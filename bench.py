@@ -1,0 +1,75 @@
+"""Benchmark: BPR-MF training throughput on TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Headline metric (BASELINE.md north star): BPR training examples/s per chip on
+an ml-1m-shaped dataset (6040 users x 3706 items, ~1M implicit feedback,
+k=16). The reference's Go single-node trainer (model/cf/model.go:448-490,
+SIMD axpy hot loop, all cores) sustains on the order of 1.6M examples/s on a
+modern many-core CPU; the north-star target is >=20x that (BASELINE.json).
+``vs_baseline`` reports ours / 1.6e6 — i.e. the multiple over the estimated
+Go trainer; >=20 meets the target.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+GO_TRAINER_EXAMPLES_PER_S = 1.6e6  # estimated reference throughput (see docstring)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gorse_tpu.data import synthetic_cf
+    from gorse_tpu.models import BPR, Params
+    from gorse_tpu.models.bpr import _bpr_epoch
+
+    # ml-1m-shaped synthetic dataset
+    data = synthetic_cf(n_users=6040, n_items=3706, rank=16, density=0.045, seed=0)
+    train, _ = data.split_cf(seed=0)
+    nnz = train.count_feedback()
+
+    model = BPR(Params(n_factors=16))
+    model.init(train)
+    csr = train.padded_user_positives()
+    padded_pos = jnp.asarray(csr.padded)
+    pos_counts = jnp.asarray(np.maximum(csr.counts, 1))
+    active = jnp.asarray(np.nonzero(csr.counts > 0)[0].astype(np.int32))
+
+    batch_size = 16384
+    n_steps = max(nnz // batch_size, 1)
+    kwargs = dict(
+        n_steps=n_steps, batch_size=batch_size,
+        n_items=train.count_items(), lr=0.05, reg=0.01,
+    )
+
+    p, q = model.user_factors, model.item_factors
+    key = jax.random.PRNGKey(0)
+    # warmup + compile
+    key, k0 = jax.random.split(key)
+    p, q, cost = _bpr_epoch(p, q, padded_pos, pos_counts, active, k0, **kwargs)
+    jax.block_until_ready(cost)
+
+    n_epochs = 5
+    t0 = time.perf_counter()
+    for _ in range(n_epochs):
+        key, ke = jax.random.split(key)
+        p, q, cost = _bpr_epoch(p, q, padded_pos, pos_counts, active, ke, **kwargs)
+    jax.block_until_ready(cost)
+    dt = time.perf_counter() - t0
+
+    examples_per_s = n_epochs * n_steps * batch_size / dt
+    print(json.dumps({
+        "metric": "bpr_train_examples_per_s",
+        "value": round(examples_per_s),
+        "unit": "examples/s/chip",
+        "vs_baseline": round(examples_per_s / GO_TRAINER_EXAMPLES_PER_S, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

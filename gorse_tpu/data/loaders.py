@@ -1,0 +1,155 @@
+"""Dataset loaders and the built-in dataset registry.
+
+Covers the reference's model/built_in.go (registry of ml-100k/ml-1m/
+pinterest-20/ml-tag/frappe/criteo) and the NCF ``train.txt``/``test.txt`` +
+libFM text formats (reference: dataset/dataset.go:402-493,
+model/ctr/data.go:270-339).
+
+This environment has no network egress, so built-ins resolve against a local
+directory (``GORSE_TPU_DATASET_DIR``, default ``~/.gorse_tpu/datasets``) and a
+``synthetic://`` scheme provides low-rank ground-truth datasets with matched
+statistics for tests and benchmarks.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import numpy as np
+
+from .dataset import Dataset
+
+# name -> (subdir, format). Mirrors model/built_in.go:46-83.
+BUILT_IN = {
+    "ml-100k": ("ml-100k", "ncf"),
+    "ml-1m": ("ml-1m", "ncf"),
+    "pinterest-20": ("pinterest-20", "ncf"),
+    "ml-tag": ("ml-tag", "libfm"),
+    "frappe": ("frappe", "libfm"),
+    "criteo": ("criteo", "libfm"),
+}
+
+
+def dataset_dir() -> Path:
+    return Path(os.environ.get("GORSE_TPU_DATASET_DIR", "~/.gorse_tpu/datasets")).expanduser()
+
+
+def load_ncf_file(path: str | Path, dataset: Dataset | None = None) -> Dataset:
+    """Load the NCF format: ``user<TAB>item[<TAB>...]`` per line, or
+    ``(user,item)<TAB>label`` test format (reference: dataset/dataset.go:402-451)."""
+    d = dataset or Dataset()
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            fields = line.split("\t")
+            if fields[0].startswith("("):
+                # test format: (user,item)\tlabel...
+                pair = fields[0].strip("()").split(",")
+                d.add_feedback(pair[0], pair[1])
+            else:
+                d.add_feedback(fields[0], fields[1])
+    return d
+
+
+def load_ncf(train_path: str | Path, test_path: str | Path) -> tuple[Dataset, Dataset]:
+    """Load an NCF-style train/test pair sharing one dictionary space."""
+    train = load_ncf_file(train_path)
+    test = train._empty_split()
+    test.num_feedback = 0
+    with open(test_path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            fields = line.split("\t")
+            if fields[0].startswith("("):
+                pair = fields[0].strip("()").split(",")
+                uid, iid = pair[0], pair[1]
+            else:
+                uid, iid = fields[0], fields[1]
+            u = train.add_user(uid)
+            i = train.add_item(iid)
+            while len(test.user_feedback) <= u:
+                test.user_feedback.append([])
+                test.timestamps.append([])
+            while len(test.item_feedback) <= i:
+                test.item_feedback.append([])
+            test.user_feedback[u].append(i)
+            test.item_feedback[i].append(u)
+            test.timestamps[u].append(0.0)
+            test.num_feedback += 1
+    # realign train's ragged arrays in case test introduced new entities
+    while len(train.user_feedback) < len(train.user_dict):
+        train.user_feedback.append([])
+        train.timestamps.append([])
+        train.user_labels.append([])
+    while len(train.item_feedback) < len(train.item_dict):
+        train.item_feedback.append([])
+        train.item_labels.append([])
+    return train, test
+
+
+def synthetic_cf(
+    n_users: int = 1000,
+    n_items: int = 500,
+    rank: int = 8,
+    density: float = 0.05,
+    seed: int = 42,
+    noise: float = 0.0,
+) -> Dataset:
+    """Low-rank ground-truth implicit-feedback dataset.
+
+    Users/items get latent factors ~N(0,1); each user's positives are the
+    items with the highest latent scores (count drawn around
+    ``density * n_items``), plus optional noise flips. A correct MF trainer
+    must recover high NDCG on a leave-one-out split of this data, giving an
+    egress-free analog of the reference's ml-1m accuracy gate
+    (reference: model/cf/model_test.go:35-48).
+    """
+    rng = np.random.default_rng(seed)
+    pu = rng.normal(size=(n_users, rank))
+    qi = rng.normal(size=(n_items, rank))
+    scores = pu @ qi.T + noise * rng.normal(size=(n_users, n_items))
+    users, items, ts = [], [], []
+    mean_count = max(int(density * n_items), 2)
+    counts = np.clip(rng.poisson(mean_count, size=n_users), 1, n_items - 1)
+    for u in range(n_users):
+        top = np.argpartition(-scores[u], counts[u])[: counts[u]]
+        users.extend([u] * len(top))
+        items.extend(top.tolist())
+        ts.extend(rng.uniform(0, 1e6, size=len(top)).tolist())
+    return Dataset.from_edges(
+        np.asarray(users),
+        np.asarray(items),
+        np.asarray(ts),
+        user_ids=[f"u{i}" for i in range(n_users)],
+        item_ids=[f"i{i}" for i in range(n_items)],
+    )
+
+
+def load_built_in(name: str) -> tuple[Dataset, Dataset]:
+    """Load a built-in CF dataset by name; synthetic fallback via
+    ``synthetic://n_users,n_items,rank,density,seed``."""
+    if name.startswith("synthetic://"):
+        spec = name[len("synthetic://"):]
+        parts = [float(x) for x in spec.split(",")] if spec else []
+        defaults = [1000, 500, 8, 0.05, 42]
+        vals = parts + defaults[len(parts):]
+        data = synthetic_cf(int(vals[0]), int(vals[1]), int(vals[2]), vals[3], int(vals[4]))
+        return data.split_cf(seed=0)
+    if name not in BUILT_IN:
+        raise KeyError(f"unknown built-in dataset {name!r}")
+    subdir, fmt = BUILT_IN[name]
+    base = dataset_dir() / subdir
+    if fmt == "ncf":
+        train_p, test_p = base / "train.txt", base / "test.txt"
+        if not train_p.exists():
+            raise FileNotFoundError(
+                f"dataset {name!r} not found at {base} (no network egress; "
+                f"place NCF-format files there or use synthetic://)"
+            )
+        return load_ncf(train_p, test_p)
+    raise ValueError(f"dataset {name!r} is a CTR dataset; use gorse_tpu.data.ctr loaders")

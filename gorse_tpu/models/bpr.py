@@ -1,0 +1,175 @@
+"""BPR — Bayesian Personalized Ranking, TPU-native.
+
+Covers the reference's model/cf/model.go:352-557. The reference runs
+CountFeedback sequential SGD updates per epoch, each sampling (user uniform,
+positive uniform within user, negative by rejection) and applying SIMD axpy
+updates. Here the epoch is ONE jitted ``lax.scan`` over minibatched steps:
+
+- users sampled uniformly from users-with-feedback, positive slots sampled
+  uniformly per user from a padded positives matrix (same distribution as the
+  reference's sampler, model/cf/model.go:450-459);
+- negatives sampled uniformly with K-way masked rejection against the user's
+  padded positive set (replacing the reference's unbounded retry loop, which
+  cannot live inside jit — collision probability after K tries is
+  density**K, negligible);
+- the pairwise update is the reference's exact per-sample rule
+  (model/cf/model.go:469-488) applied as batched scatter-adds, so duplicate
+  rows in a batch accumulate like sequential updates do.
+
+All compute is f32 on the MXU/VPU; factors stay on device across epochs and
+the epoch state is donated to avoid copies.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.dataset import Dataset
+from .base import MatrixFactorization, Score, build_eval_candidates, evaluate_mf
+from .params import N_EPOCHS, N_FACTORS, INIT_MEAN, INIT_STDDEV, LR, REG, FitConfig, Params
+
+logger = logging.getLogger(__name__)
+
+_NEG_TRIES = 4  # K-way rejection draws per negative sample
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_steps", "batch_size", "n_items", "lr", "reg"),
+    donate_argnums=(0, 1),
+)
+def _bpr_epoch(
+    user_factors: jax.Array,  # [U, k]
+    item_factors: jax.Array,  # [I, k]
+    padded_pos: jax.Array,  # [U, L] int32, pad=-1
+    pos_counts: jax.Array,  # [U] int32 (>=1 for sampled users)
+    active_users: jax.Array,  # [A] int32 users with feedback
+    key: jax.Array,
+    n_steps: int,
+    batch_size: int,
+    n_items: int,
+    lr: float,
+    reg: float,
+):
+    """One BPR epoch: scan of n_steps minibatched pairwise SGD updates."""
+
+    def step(carry, step_key):
+        p, q = carry
+        ku, ks, kn = jax.random.split(step_key, 3)
+        # --- sample (user, positive) exactly like the reference sampler
+        u = active_users[jax.random.randint(ku, (batch_size,), 0, active_users.shape[0])]
+        counts = pos_counts[u]
+        slot = jax.random.randint(ks, (batch_size,), 0, counts)  # maxval broadcasts
+        user_pos = padded_pos[u]  # [B, L]
+        pos = jnp.take_along_axis(user_pos, slot[:, None], axis=1)[:, 0]
+        # --- negative sampling with K-way masked rejection
+        cand = jax.random.randint(kn, (batch_size, _NEG_TRIES), 0, n_items)
+        collide = jnp.any(user_pos[:, None, :] == cand[:, :, None], axis=-1)  # [B, K]
+        first_ok = jnp.argmax(~collide, axis=1)  # 0 if none ok (prob ~ density^K)
+        neg = jnp.take_along_axis(cand, first_ok[:, None], axis=1)[:, 0]
+        # --- pairwise update (reference rule, model/cf/model.go:469-488)
+        pu = p[u]
+        qi = q[pos]
+        qj = q[neg]
+        diff = jnp.sum(pu * (qi - qj), axis=-1)
+        cost = jnp.sum(jax.nn.softplus(-diff))
+        grad = jax.nn.sigmoid(-diff)[:, None]  # exp(-d)/(1+exp(-d))
+        d_qi = lr * (grad * pu - reg * qi)
+        d_qj = lr * (-grad * pu - reg * qj)
+        d_pu = lr * (grad * (qi - qj) - reg * pu)
+        q = q.at[pos].add(d_qi)
+        q = q.at[neg].add(d_qj)
+        p = p.at[u].add(d_pu)
+        return (p, q), cost
+
+    keys = jax.random.split(key, n_steps)
+    (user_factors, item_factors), costs = jax.lax.scan(step, (user_factors, item_factors), keys)
+    return user_factors, item_factors, jnp.sum(costs)
+
+
+class BPR(MatrixFactorization):
+    """BPR matrix factorization (reference: model/cf/model.go:352-557).
+
+    Hyper-parameters and defaults match the reference's SetParams
+    (model/cf/model.go:386-395).
+    """
+
+    name = "bpr"
+
+    def __init__(self, params: Params | dict | None = None) -> None:
+        super().__init__(params)
+        p = self.params
+        self.n_factors = p.get_int(N_FACTORS, 16)
+        self.n_epochs = p.get_int(N_EPOCHS, 100)
+        self.lr = p.get_float(LR, 0.05)
+        self.reg = p.get_float(REG, 0.01)
+        self.init_mean = p.get_float(INIT_MEAN, 0.0)
+        self.init_stddev = p.get_float(INIT_STDDEV, 0.001)
+
+    def init(self, train: Dataset, seed: int = 0) -> None:
+        key = jax.random.PRNGKey(seed)
+        k1, k2 = jax.random.split(key)
+        self.user_factors = (
+            self.init_mean
+            + self.init_stddev * jax.random.normal(k1, (train.count_users(), self.n_factors))
+        ).astype(jnp.float32)
+        self.item_factors = (
+            self.init_mean
+            + self.init_stddev * jax.random.normal(k2, (train.count_items(), self.n_factors))
+        ).astype(jnp.float32)
+        self.user_index = train.user_dict
+        self.item_index = train.item_dict
+
+    def fit(self, train: Dataset, test: Dataset, config: FitConfig | None = None) -> Score:
+        config = config or FitConfig()
+        self.init(train, seed=config.seed)
+        csr = train.padded_user_positives()
+        padded_pos = jnp.asarray(csr.padded)
+        pos_counts = jnp.asarray(np.maximum(csr.counts, 1))
+        active_users = jnp.asarray(
+            np.nonzero(csr.counts > 0)[0].astype(np.int32)
+        )
+        n_items = train.count_items()
+        batch_size = config.batch_size
+        n_steps = max(train.count_feedback() // batch_size, 1)
+        eval_cands = build_eval_candidates(test, train, config.candidates)
+
+        key = jax.random.PRNGKey(config.seed + 1)
+        metrics = evaluate_mf(self.user_factors, self.item_factors, *eval_cands, config.top_k)
+        history = [(0, metrics["NDCG"])]
+        logger.info("fit bpr 0/%d NDCG@%d=%.4f", self.n_epochs, config.top_k, metrics["NDCG"])
+
+        p, q = self.user_factors, self.item_factors
+        for epoch in range(1, self.n_epochs + 1):
+            t0 = time.time()
+            key, epoch_key = jax.random.split(key)
+            p, q, cost = _bpr_epoch(
+                p, q, padded_pos, pos_counts, active_users, epoch_key,
+                n_steps=n_steps, batch_size=batch_size, n_items=n_items,
+                lr=self.lr, reg=self.reg,
+            )
+            if epoch % config.verbose == 0 or epoch == self.n_epochs:
+                cost = float(cost)  # blocks; also syncs the epoch
+                metrics = evaluate_mf(p, q, *eval_cands, config.top_k)
+                history.append((epoch, metrics["NDCG"]))
+                logger.info(
+                    "fit bpr %d/%d fit=%.2fs cost=%.1f NDCG@%d=%.4f P@%d=%.4f R@%d=%.4f",
+                    epoch, self.n_epochs, time.time() - t0, cost,
+                    config.top_k, metrics["NDCG"], config.top_k,
+                    metrics["Precision"], config.top_k, metrics["Recall"],
+                )
+                # early stopping (reference: model/cf/model.go:507-517)
+                if config.patience > 0 and epoch > config.patience:
+                    best_epoch = max(history, key=lambda t: t[1])[0]
+                    if best_epoch <= epoch - config.patience:
+                        logger.info("early stopping at epoch %d (best %d)", epoch, best_epoch)
+                        break
+        self.user_factors, self.item_factors = p, q
+        metrics = evaluate_mf(p, q, *eval_cands, config.top_k)
+        return Score(ndcg=metrics["NDCG"], precision=metrics["Precision"], recall=metrics["Recall"])

@@ -1,0 +1,70 @@
+"""Typed hyper-parameter map (reference: model/params.go).
+
+The reference keys hyper-parameters by name with typed getters; model search
+merges param grids. Same surface here, as a thin dict subclass.
+"""
+
+from __future__ import annotations
+
+# Canonical parameter names (reference: model/params.go)
+N_FACTORS = "n_factors"
+N_EPOCHS = "n_epochs"
+LR = "lr"
+REG = "reg"
+INIT_MEAN = "init_mean"
+INIT_STDDEV = "init_stddev"
+ALPHA = "alpha"
+BATCH_SIZE = "batch_size"
+OPTIMIZER = "optimizer"
+AUTO_SCALE = "auto_scale"
+
+SGD = "sgd"
+ADAM = "adam"
+
+
+class Params(dict):
+    """Hyper-parameter map with typed getters and merge (model/params.go)."""
+
+    def get_int(self, name: str, default: int) -> int:
+        return int(self.get(name, default))
+
+    def get_float(self, name: str, default: float) -> float:
+        return float(self.get(name, default))
+
+    def get_bool(self, name: str, default: bool) -> bool:
+        return bool(self.get(name, default))
+
+    def get_string(self, name: str, default: str) -> str:
+        return str(self.get(name, default))
+
+    def merged(self, overrides: "Params | dict") -> "Params":
+        out = Params(self)
+        out.update(overrides)
+        return out
+
+
+class FitConfig:
+    """Training-loop knobs (reference: model/cf/model.go:51-96 FitConfig)."""
+
+    def __init__(
+        self,
+        verbose: int = 10,
+        patience: int = 0,
+        top_k: int = 10,
+        candidates: int = 100,
+        batch_size: int = 1024,
+        seed: int = 0,
+    ) -> None:
+        self.verbose = verbose
+        self.patience = patience
+        self.top_k = top_k
+        self.candidates = candidates
+        self.batch_size = batch_size
+        self.seed = seed
+
+    def __repr__(self) -> str:
+        return (
+            f"FitConfig(verbose={self.verbose}, patience={self.patience}, "
+            f"top_k={self.top_k}, candidates={self.candidates}, "
+            f"batch_size={self.batch_size}, seed={self.seed})"
+        )
