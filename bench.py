@@ -54,12 +54,15 @@ def main() -> None:
     p, q, cost = _bpr_epoch(p, q, padded_pos, pos_counts, active, k0, **kwargs)
     jax.block_until_ready(cost)
 
-    n_epochs = 5
+    # Epochs chain on-device via the (p, q) data dependency; the final
+    # float() forces one host transfer so the tunnel's async dispatch can't
+    # fake completion (block_until_ready alone returns early through axon).
+    n_epochs = 20
     t0 = time.perf_counter()
     for _ in range(n_epochs):
         key, ke = jax.random.split(key)
         p, q, cost = _bpr_epoch(p, q, padded_pos, pos_counts, active, ke, **kwargs)
-    jax.block_until_ready(cost)
+    _ = float(cost)
     dt = time.perf_counter() - t0
 
     examples_per_s = n_epochs * n_steps * batch_size / dt

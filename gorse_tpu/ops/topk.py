@@ -1,0 +1,178 @@
+"""Exact blocked dot-product top-k retrieval.
+
+Covers the reference's MF serving index (logics/cf.go:36-124 — brute-force
+dot top-k over item factors) and replaces common/ann HNSW: on TPU, exact
+blocked top-k is cheaper than approximate graph search at gorse's scales and
+returns exact results (SURVEY.md §7 design stance).
+
+Two implementations with identical semantics:
+
+- ``dot_topk_xla``: jnp.dot + lax.top_k (materializes [B, N] scores in HBM);
+- ``dot_topk``: a Pallas kernel that streams item blocks HBM->VMEM, does the
+  [B, blk] matmul on the MXU, and folds each block into a running top-k in
+  VMEM scratch via iterative max-and-mask — the [B, N] score matrix never
+  exists in HBM, so retrieval over million-item catalogs is HBM-bandwidth
+  bound on the item factors only (read once).
+
+The grid iterates sequentially over item blocks on TPU, which is what makes
+the VMEM scratch accumulator correct.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def dot_topk_xla(queries: jax.Array, items: jax.Array, k_top: int):
+    """Reference implementation: full score matrix + lax.top_k."""
+    scores = jnp.dot(queries, items.T, preferred_element_type=jnp.float32)
+    top_scores, top_idx = jax.lax.top_k(scores, k_top)
+    return top_scores, top_idx.astype(jnp.int32)
+
+
+def _topk_kernel(q_ref, item_ref, out_s_ref, out_i_ref, run_s, run_i, *, k_sel, block_n, n_items):
+    """One grid step: fold item block ``pl.program_id(0)`` into the running top-k."""
+    blk = pl.program_id(0)
+    is_first = blk == 0
+
+    @pl.when(is_first)
+    def _():
+        run_s[:] = jnp.full_like(run_s, NEG_INF)
+        run_i[:] = jnp.zeros_like(run_i)
+
+    # [B, blk_n] scores on the MXU
+    scores = jax.lax.dot_general(
+        q_ref[:], item_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    base = blk * block_n
+    b = scores.shape[0]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (b, block_n), 1) + base
+    # mask out-of-range items (last block padding)
+    valid = col_ids < n_items
+    scores = jnp.where(valid, scores, NEG_INF)
+
+    comb_s = jnp.concatenate([run_s[:], scores], axis=1)  # [B, K + blk_n]
+    comb_i = jnp.concatenate([run_i[:], col_ids], axis=1)
+    m = comb_s.shape[1]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (b, m), 1)
+    out_pos = jax.lax.broadcasted_iota(jnp.int32, run_s.shape, 1)  # [B, k_pad]
+
+    def select(j, carry):
+        comb_s, out_s, out_i = carry
+        v = jnp.max(comb_s, axis=1)  # [B]
+        a = jnp.argmax(comb_s, axis=1)  # [B]
+        onehot = pos == a[:, None]
+        idx = jnp.sum(jnp.where(onehot, comb_i, 0), axis=1)
+        # write column j via masked select (dynamic_update_slice is not
+        # lowerable on loop carries in Mosaic)
+        write = out_pos == j
+        out_s = jnp.where(write, v[:, None], out_s)
+        out_i = jnp.where(write, idx[:, None], out_i)
+        comb_s = jnp.where(onehot, NEG_INF, comb_s)
+        return comb_s, out_s, out_i
+
+    # only the first ``k_sel`` slots are ever selected into; the padded tail
+    # stays NEG_INF so later blocks cannot resurrect it
+    _, new_s, new_i = jax.lax.fori_loop(
+        0, k_sel, select,
+        (comb_s, jnp.full_like(run_s, NEG_INF), jnp.zeros_like(run_i)),
+    )
+    run_s[:] = new_s
+    run_i[:] = new_i
+
+    @pl.when(blk == pl.num_programs(0) - 1)
+    def _():
+        out_s_ref[:] = run_s[:]
+        out_i_ref[:] = run_i[:]
+
+
+@functools.partial(jax.jit, static_argnames=("k_top", "block_n", "interpret"))
+def dot_topk(
+    queries: jax.Array,  # [B, d]
+    items: jax.Array,  # [N, d]
+    k_top: int = 10,
+    block_n: int = 512,
+    interpret: bool = False,
+):
+    """Fused Pallas top-k: returns (scores [B, k_top], indices [B, k_top])."""
+    b, d = queries.shape
+    n = items.shape[0]
+    # pad to hardware tiles: B to 8, d to 128, K to 128 lanes internally
+    b_pad = _round_up(max(b, 8), 8)
+    d_pad = _round_up(max(d, 128), 128)
+    k_pad = _round_up(max(k_top, 128), 128)
+    # clamp block_n so the working set (scores + concat + item block) fits VMEM
+    while block_n > 256 and (
+        3 * b_pad * (block_n + 2 * k_pad) + block_n * d_pad
+    ) * 4 > 12 * 1024 * 1024:
+        block_n //= 2
+    n_pad = _round_up(max(n, block_n), block_n)
+
+    q = jnp.zeros((b_pad, d_pad), jnp.float32).at[:b, :d].set(queries)
+    it = jnp.zeros((n_pad, d_pad), jnp.float32).at[:n, :d].set(items)
+
+    grid = (n_pad // block_n,)
+    out_s, out_i = pl.pallas_call(
+        functools.partial(
+            _topk_kernel, k_sel=k_top, block_n=block_n, n_items=n
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b_pad, d_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, d_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((b_pad, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_pad, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b_pad, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, k_pad), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((b_pad, k_pad), jnp.float32),
+            pltpu.VMEM((b_pad, k_pad), jnp.int32),
+        ],
+        interpret=interpret,
+    )(q, it)
+    return out_s[:b, :k_top], out_i[:b, :k_top]
+
+
+def topk_excluding(
+    queries: jax.Array,
+    items: jax.Array,
+    k_top: int,
+    exclude: jax.Array | None = None,  # [B, E] int32 ids to exclude, pad -1
+    use_pallas: bool = True,
+    interpret: bool = False,
+):
+    """Top-k with per-query exclusion sets (the recommender-chain pattern:
+    logics/recommend.go excludes already-consumed items).
+
+    Fetches k_top + E candidates then filters, keeping exactness.
+    """
+    e = 0 if exclude is None else exclude.shape[1]
+    fetch = min(k_top + e, items.shape[0])
+    if use_pallas:
+        s, i = dot_topk(queries, items, fetch, interpret=interpret)
+    else:
+        s, i = dot_topk_xla(queries, items, fetch)
+    if exclude is None or e == 0:
+        return s[:, :k_top], i[:, :k_top]
+    banned = jnp.any(i[:, :, None] == exclude[:, None, :], axis=-1)  # [B, fetch]
+    s = jnp.where(banned, NEG_INF, s)
+    order = jnp.argsort(-s, axis=1)[:, :k_top]
+    return jnp.take_along_axis(s, order, axis=1), jnp.take_along_axis(i, order, axis=1)

@@ -1,0 +1,24 @@
+from .blob import BlobStore
+from .cache import CacheStore, MemoryCacheStore, SQLiteCacheStore, open_cache_store
+from .data import DataStore, MemoryDataStore, SQLiteDataStore, open_data_store
+from .meta import MetaStore, Node
+from .types import Feedback, Item, Score, TimeSeriesPoint, User
+
+__all__ = [
+    "BlobStore",
+    "CacheStore",
+    "MemoryCacheStore",
+    "SQLiteCacheStore",
+    "open_cache_store",
+    "DataStore",
+    "MemoryDataStore",
+    "SQLiteDataStore",
+    "open_data_store",
+    "MetaStore",
+    "Node",
+    "Feedback",
+    "Item",
+    "Score",
+    "TimeSeriesPoint",
+    "User",
+]

@@ -1,0 +1,173 @@
+"""Storage layer tests, run against BOTH backends (the reference's backend
+matrix pattern, SURVEY.md §4 point 3)."""
+
+import pytest
+
+from gorse_tpu.storage import (
+    BlobStore,
+    Feedback,
+    Item,
+    MemoryCacheStore,
+    MemoryDataStore,
+    MetaStore,
+    Node,
+    Score,
+    SQLiteCacheStore,
+    SQLiteDataStore,
+    TimeSeriesPoint,
+    User,
+    open_cache_store,
+    open_data_store,
+)
+
+
+@pytest.fixture(params=["memory", "sqlite"])
+def data_store(request):
+    return MemoryDataStore() if request.param == "memory" else SQLiteDataStore()
+
+
+@pytest.fixture(params=["memory", "sqlite"])
+def cache_store(request):
+    return MemoryCacheStore() if request.param == "memory" else SQLiteCacheStore()
+
+
+def test_users_crud(data_store):
+    data_store.insert_users([User("u1", labels={"city": "x"}), User("u2")])
+    assert data_store.get_user("u1").labels == {"city": "x"}
+    assert [u.user_id for u in data_store.get_users()] == ["u1", "u2"]
+    data_store.delete_user("u1")
+    assert data_store.get_user("u1") is None
+    assert data_store.count_users() == 1
+
+
+def test_items_crud(data_store):
+    data_store.insert_items([
+        Item("i1", categories=["a"], timestamp=100.0),
+        Item("i2", is_hidden=True, timestamp=200.0),
+        Item("i3", categories=["a", "b"], timestamp=300.0),
+    ])
+    assert data_store.get_item("i2").is_hidden
+    latest = data_store.get_latest_items(10)
+    assert [i.item_id for i in latest] == ["i3", "i1"]  # hidden excluded
+    latest_a = data_store.get_latest_items(10, categories=["b"])
+    assert [i.item_id for i in latest_a] == ["i3"]
+    batch = data_store.batch_get_items(["i1", "i2", "zzz"], skip_hidden=True)
+    assert [i.item_id for i in batch] == ["i1"]
+
+
+def test_feedback_insert_and_query(data_store):
+    data_store.insert_feedback([
+        Feedback("read", "u1", "i1", timestamp=1.0),
+        Feedback("like", "u1", "i2", timestamp=2.0),
+        Feedback("read", "u2", "i1", timestamp=3.0),
+    ])
+    # auto-inserted entities
+    assert data_store.get_user("u1") is not None
+    assert data_store.get_item("i2") is not None
+    fb = data_store.get_user_feedback("u1")
+    assert len(fb) == 2 and fb[0].timestamp == 2.0  # newest first
+    assert len(data_store.get_user_feedback("u1", feedback_types=["like"])) == 1
+    assert len(data_store.get_item_feedback("i1")) == 2
+    assert data_store.count_feedback() == 3
+    assert data_store.delete_user_item_feedback("u1", "i2") == 1
+    assert data_store.count_feedback() == 2
+
+
+def test_feedback_no_insert_flags(data_store):
+    data_store.insert_feedback(
+        [Feedback("read", "nope", "i9", timestamp=1.0)], insert_user=False, insert_item=True
+    )
+    assert data_store.count_feedback() == 0  # user missing and not inserted
+
+
+def test_cache_kv_and_queue(cache_store):
+    cache_store.set("k1", "v1")
+    assert cache_store.get("k1") == "v1"
+    cache_store.delete("k1")
+    assert cache_store.get("k1") is None
+    cache_store.push("q", "a")
+    cache_store.push("q", "b")
+    cache_store.push("q", "a")  # dedup
+    assert cache_store.remain("q") == 2
+    assert cache_store.pop("q") == "a"
+    assert cache_store.pop("q") == "b"
+    assert cache_store.pop("q") is None
+
+
+def test_cache_scores(cache_store):
+    cache_store.add_scores("recommend", "u1", [
+        Score("i1", 0.9, ["a"]),
+        Score("i2", 0.5, []),
+        Score("i3", 0.7, ["a", "b"]),
+    ])
+    out = cache_store.search_scores("recommend", "u1")
+    assert [s.id for s in out] == ["i1", "i3", "i2"]  # descending score
+    out_a = cache_store.search_scores("recommend", "u1", categories=["a"])
+    assert [s.id for s in out_a] == ["i1", "i3"]
+    out_page = cache_store.search_scores("recommend", "u1", begin=1, end=2)
+    assert [s.id for s in out_page] == ["i3"]
+    # upsert replaces the score
+    cache_store.add_scores("recommend", "u1", [Score("i2", 1.5, [])])
+    assert cache_store.search_scores("recommend", "u1")[0].id == "i2"
+    # hide an item everywhere
+    cache_store.update_scores(["recommend"], None, "i2", is_hidden=True)
+    assert all(s.id != "i2" for s in cache_store.search_scores("recommend", "u1"))
+    # scan
+    rows = list(cache_store.scan_scores("recommend"))
+    assert {r[0] for r in rows} == {"u1"}
+    # delete by subset
+    cache_store.delete_scores("recommend", ["u1"])
+    assert cache_store.search_scores("recommend", "u1") == []
+
+
+def test_cache_delete_scores_before(cache_store):
+    cache_store.add_scores("recommend", "u", [
+        Score("old", 1.0, [], timestamp=10.0),
+        Score("new", 0.5, [], timestamp=100.0),
+    ])
+    cache_store.delete_scores("recommend", ["u"], before=50.0)
+    assert [s.id for s in cache_store.search_scores("recommend", "u")] == ["new"]
+
+
+def test_time_series(cache_store):
+    cache_store.add_time_series_points([
+        TimeSeriesPoint("m", 1.0, 10.0),
+        TimeSeriesPoint("m", 2.0, 20.0),
+        TimeSeriesPoint("other", 1.5, 99.0),
+    ])
+    pts = cache_store.get_time_series_points("m", 0.0, 10.0)
+    assert [p.value for p in pts] == [10.0, 20.0]
+
+
+def test_blob_store(tmp_path):
+    store = BlobStore(tmp_path / "blobs")
+    p = store.create("model1")
+    (p / "data.txt").write_text("hello")
+    assert store.open("model1").name == "model1"
+    assert store.list() == ["model1"]
+    store.remove("model1")
+    assert store.list() == []
+    with pytest.raises(FileNotFoundError):
+        store.open("model1")
+    with pytest.raises(ValueError):
+        store.path("../escape")
+
+
+def test_meta_store_ttl():
+    store = MetaStore(ttl_seconds=0.0)  # everything expires immediately
+    store.update_node(Node("n1", "host1", "worker"))
+    assert store.list_nodes() == []
+    store2 = MetaStore(ttl_seconds=60.0)
+    store2.update_node(Node("n1", "host1", "worker", "v1"))
+    store2.update_node(Node("n2", "host2", "server", "v1"))
+    assert len(store2.list_nodes()) == 2
+    assert [n.uuid for n in store2.list_nodes("worker")] == ["n1"]
+    store2.put("MODEL", "123")
+    assert store2.get("MODEL") == "123"
+
+
+def test_open_by_url(tmp_path):
+    assert open_data_store("memory://") is not None
+    assert open_cache_store(f"sqlite://{tmp_path}/cache.db") is not None
+    with pytest.raises(ValueError):
+        open_data_store("bogus://x")
