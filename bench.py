@@ -37,22 +37,18 @@ def main() -> None:
     model.init(train)
     csr = train.padded_user_positives()
     padded_pos = jnp.asarray(csr.padded)
-    pos_counts = jnp.asarray(np.maximum(csr.counts, 1))
-    active = jnp.asarray(np.nonzero(csr.counts > 0)[0].astype(np.int32))
+    pos_counts = jnp.asarray(csr.counts)
+    n_active = max(int(np.sum(csr.counts > 0)), 1)
 
-    batch_size = 16384
-    n_steps = max(nnz // batch_size, 1)
-    kwargs = dict(
-        n_steps=n_steps, batch_size=batch_size,
-        n_items=train.count_items(), lr=0.05, reg=0.01,
-    )
+    n_steps = max(round(nnz / n_active), 1)
+    kwargs = dict(n_steps=n_steps, n_items=train.count_items(), lr=0.05, reg=0.01)
 
     p, q = model.user_factors, model.item_factors
     key = jax.random.PRNGKey(0)
     # warmup + compile
     key, k0 = jax.random.split(key)
-    p, q, cost = _bpr_epoch(p, q, padded_pos, pos_counts, active, k0, **kwargs)
-    jax.block_until_ready(cost)
+    p, q, cost = _bpr_epoch(p, q, padded_pos, pos_counts, k0, **kwargs)
+    _ = float(cost)
 
     # Epochs chain on-device via the (p, q) data dependency; the final
     # float() forces one host transfer so the tunnel's async dispatch can't
@@ -61,11 +57,11 @@ def main() -> None:
     t0 = time.perf_counter()
     for _ in range(n_epochs):
         key, ke = jax.random.split(key)
-        p, q, cost = _bpr_epoch(p, q, padded_pos, pos_counts, active, ke, **kwargs)
+        p, q, cost = _bpr_epoch(p, q, padded_pos, pos_counts, ke, **kwargs)
     _ = float(cost)
     dt = time.perf_counter() - t0
 
-    examples_per_s = n_epochs * n_steps * batch_size / dt
+    examples_per_s = n_epochs * n_steps * n_active / dt
     print(json.dumps({
         "metric": "bpr_train_examples_per_s",
         "value": round(examples_per_s),

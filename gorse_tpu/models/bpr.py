@@ -41,51 +41,58 @@ _NEG_TRIES = 4  # K-way rejection draws per negative sample
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_steps", "batch_size", "n_items", "lr", "reg"),
+    static_argnames=("n_steps", "n_items", "lr", "reg"),
     donate_argnums=(0, 1),
 )
 def _bpr_epoch(
     user_factors: jax.Array,  # [U, k]
     item_factors: jax.Array,  # [I, k]
     padded_pos: jax.Array,  # [U, L] int32, pad=-1
-    pos_counts: jax.Array,  # [U] int32 (>=1 for sampled users)
-    active_users: jax.Array,  # [A] int32 users with feedback
+    pos_counts: jax.Array,  # [U] int32 (0 for users without feedback)
     key: jax.Array,
     n_steps: int,
-    batch_size: int,
     n_items: int,
     lr: float,
     reg: float,
 ):
-    """One BPR epoch: scan of n_steps minibatched pairwise SGD updates."""
+    """One BPR epoch: scan of n_steps dense-over-users SGD sweeps.
+
+    TPU-native formulation: every step visits ALL users at once (one pairwise
+    sample per user), so the user-side update is a fully dense add — no user
+    sampling gather, no user-table scatter, and the padded-positives matrix is
+    read contiguously instead of row-gathered. Only the two item-table
+    scatter-adds remain irregular. Per epoch this performs
+    ``n_steps * U ~= nnz`` pairwise updates — the reference's per-epoch sample
+    count (model/cf/model.go:448) with an exactly-uniform user visitation
+    instead of with-replacement sampling.
+    """
+    active = (pos_counts > 0)[:, None]  # [U, 1] users with feedback
 
     def step(carry, step_key):
         p, q = carry
-        ku, ks, kn = jax.random.split(step_key, 3)
-        # --- sample (user, positive) exactly like the reference sampler
-        u = active_users[jax.random.randint(ku, (batch_size,), 0, active_users.shape[0])]
-        counts = pos_counts[u]
-        slot = jax.random.randint(ks, (batch_size,), 0, counts)  # maxval broadcasts
-        user_pos = padded_pos[u]  # [B, L]
-        pos = jnp.take_along_axis(user_pos, slot[:, None], axis=1)[:, 0]
-        # --- negative sampling with K-way masked rejection
-        cand = jax.random.randint(kn, (batch_size, _NEG_TRIES), 0, n_items)
-        collide = jnp.any(user_pos[:, None, :] == cand[:, :, None], axis=-1)  # [B, K]
-        first_ok = jnp.argmax(~collide, axis=1)  # 0 if none ok (prob ~ density^K)
+        ks, kn = jax.random.split(step_key)
+        n_users = p.shape[0]
+        # --- positive: uniform slot within each user's history
+        slot = jax.random.randint(ks, (n_users,), 0, jnp.maximum(pos_counts, 1))
+        pos = jnp.take_along_axis(padded_pos, slot[:, None], axis=1)[:, 0]
+        pos = jnp.maximum(pos, 0)  # inactive users point at row 0, masked below
+        # --- negative: K-way masked rejection against the user's positives
+        cand = jax.random.randint(kn, (n_users, _NEG_TRIES), 0, n_items)
+        collide = jnp.any(padded_pos[:, None, :] == cand[:, :, None], axis=-1)
+        first_ok = jnp.argmax(~collide, axis=1)  # 0 if all collide (p ~ density^K)
         neg = jnp.take_along_axis(cand, first_ok[:, None], axis=1)[:, 0]
         # --- pairwise update (reference rule, model/cf/model.go:469-488)
-        pu = p[u]
         qi = q[pos]
         qj = q[neg]
-        diff = jnp.sum(pu * (qi - qj), axis=-1)
-        cost = jnp.sum(jax.nn.softplus(-diff))
-        grad = jax.nn.sigmoid(-diff)[:, None]  # exp(-d)/(1+exp(-d))
-        d_qi = lr * (grad * pu - reg * qi)
-        d_qj = lr * (-grad * pu - reg * qj)
-        d_pu = lr * (grad * (qi - qj) - reg * pu)
+        diff = jnp.sum(p * (qi - qj), axis=-1)
+        cost = jnp.sum(jnp.where(active[:, 0], jax.nn.softplus(-diff), 0.0))
+        grad = jnp.where(active, jax.nn.sigmoid(-diff)[:, None], 0.0)
+        d_qi = jnp.where(active, lr * (grad * p - reg * qi), 0.0)
+        d_qj = jnp.where(active, lr * (-grad * p - reg * qj), 0.0)
+        d_pu = jnp.where(active, lr * (grad * (qi - qj) - reg * p), 0.0)
         q = q.at[pos].add(d_qi)
         q = q.at[neg].add(d_qj)
-        p = p.at[u].add(d_pu)
+        p = p + d_pu  # dense: every active user was visited
         return (p, q), cost
 
     keys = jax.random.split(key, n_steps)
@@ -131,13 +138,12 @@ class BPR(MatrixFactorization):
         self.init(train, seed=config.seed)
         csr = train.padded_user_positives()
         padded_pos = jnp.asarray(csr.padded)
-        pos_counts = jnp.asarray(np.maximum(csr.counts, 1))
-        active_users = jnp.asarray(
-            np.nonzero(csr.counts > 0)[0].astype(np.int32)
-        )
+        pos_counts = jnp.asarray(csr.counts)
         n_items = train.count_items()
-        batch_size = config.batch_size
-        n_steps = max(train.count_feedback() // batch_size, 1)
+        n_active = max(int(np.sum(csr.counts > 0)), 1)
+        # each step visits every user once; match the reference's nnz
+        # pairwise updates per epoch (model/cf/model.go:448)
+        n_steps = max(round(train.count_feedback() / n_active), 1)
         eval_cands = build_eval_candidates(test, train, config.candidates)
 
         key = jax.random.PRNGKey(config.seed + 1)
@@ -150,8 +156,8 @@ class BPR(MatrixFactorization):
             t0 = time.time()
             key, epoch_key = jax.random.split(key)
             p, q, cost = _bpr_epoch(
-                p, q, padded_pos, pos_counts, active_users, epoch_key,
-                n_steps=n_steps, batch_size=batch_size, n_items=n_items,
+                p, q, padded_pos, pos_counts, epoch_key,
+                n_steps=n_steps, n_items=n_items,
                 lr=self.lr, reg=self.reg,
             )
             if epoch % config.verbose == 0 or epoch == self.n_epochs:

@@ -1,0 +1,104 @@
+"""The all-in-one node: master + worker + server in a single process.
+
+Covers the reference's cmd/gorse-in-one (main.go:56-92): standalone mode
+wiring the training loop, the offline pipeline, and the REST frontend around
+shared in-process stores. This is both the easiest deployment and the
+integration-test harness (the reference's client/ tests drive a compose
+cluster; here the in-one node plays that role in-process).
+"""
+
+from __future__ import annotations
+
+import logging
+import tempfile
+import threading
+
+from ..storage.blob import BlobStore
+from ..storage.cache import open_cache_store
+from ..storage.data import open_data_store
+from ..storage.meta import MetaStore
+from ..utils.config import Config, load_config
+from .master import Master
+from .rest import RestServer
+from .worker import Worker
+
+logger = logging.getLogger(__name__)
+
+
+class InOneNode:
+    def __init__(self, config: Config | None = None, workdir: str | None = None) -> None:
+        self.config = config or Config()
+        self.workdir = workdir or tempfile.mkdtemp(prefix="gorse_tpu_")
+        self.data = open_data_store(self.config.database.data_store)
+        self.cache = open_cache_store(self.config.database.cache_store)
+        blob_dir = self.config.database.blob_store or f"{self.workdir}/blobs"
+        self.blob = BlobStore(blob_dir)
+        self.meta = MetaStore(self.config.database.meta_store)
+        self.master = Master(self.config, self.data, self.cache, self.blob, self.meta)
+        self.worker = Worker(self.config, self.data, self.cache, self.blob, node_id="in-one")
+        self.rest = RestServer(
+            self.config, self.data, self.cache, api_key=self.config.server.api_key
+        )
+        self._httpd = None
+        self._stop = threading.Event()
+        self._loop_thread: threading.Thread | None = None
+
+    # --------------------------------------------------------------- runs
+
+    def run_once(self, search: bool = False) -> dict:
+        """One offline cycle: master tasks then the worker pipeline
+        (reference: standalone updateRecommend master/tasks.go:1400-1454
+        reuses the worker pipeline in-process)."""
+        self.master.run_tasks_once(search=search)
+        refreshed = self.worker.sync_and_recommend(self.master)
+        return {
+            "cf_model_id": self.worker.cf_model_id,
+            "ctr_model_id": self.worker.ctr_model_id,
+            "users_refreshed": refreshed,
+        }
+
+    def serve(self, host: str = "127.0.0.1", port: int = 8087, background_loop: bool = True):
+        self._httpd = self.rest.serve(host, port)
+        if background_loop:
+            self._loop_thread = threading.Thread(target=self._loop, daemon=True)
+            self._loop_thread.start()
+        return self._httpd
+
+    def _loop(self) -> None:
+        period = self.config.recommend.collaborative.model_fit_period * 60.0
+        while not self._stop.is_set():
+            try:
+                self.run_once()
+            except Exception:  # noqa: BLE001
+                logger.exception("in-one cycle failed")
+            self._stop.wait(timeout=period)
+
+    def shutdown(self) -> None:
+        self._stop.set()
+        self.rest.shutdown()
+        if self._loop_thread:
+            self._loop_thread.join(timeout=5.0)
+
+
+def main() -> None:
+    import argparse
+
+    parser = argparse.ArgumentParser(description="gorse_tpu all-in-one node")
+    parser.add_argument("--config", help="TOML config path")
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8087)
+    parser.add_argument("--workdir", default=None)
+    args = parser.parse_args()
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
+    config = load_config(args.config) if args.config else Config()
+    node = InOneNode(config, workdir=args.workdir)
+    node.serve(args.host, args.port, background_loop=True)
+    logger.info("in-one node ready at http://%s:%d/api/", args.host, args.port)
+    try:
+        threading.Event().wait()
+    except KeyboardInterrupt:
+        node.shutdown()
+
+
+if __name__ == "__main__":
+    main()

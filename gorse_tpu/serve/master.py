@@ -1,0 +1,434 @@
+"""Master node: the periodic training loop.
+
+Covers the reference's master/ package: load the dataset from the data
+store, refresh non-personalized / item-to-item / user-to-user caches, train
+the CF model, build the serving index, train the CTR ranker, upload
+artifacts to the blob store, record metadata, collect garbage, and
+optionally run hyper-parameter search (task sequence master/tasks.go:229-271).
+
+The gRPC meta service of the reference (GetMeta/PushProgress) maps to
+``get_meta`` here, served over HTTP by the in-one/master REST endpoint;
+workers and servers poll it for config + model ids + peer lists.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import threading
+import time
+
+import numpy as np
+
+from ..data.ctr import CTRDataset
+from ..data.dataset import Dataset
+from ..logics.cf import MatrixFactorizationIndex
+from ..logics.item_to_item import ItemToItemConfig, new_item_to_item
+from ..logics.non_personalized import NonPersonalized, NonPersonalizedConfig
+from ..logics.user_to_user import UserToUser, UserToUserConfig
+from ..models import FitConfig, Params, create_mf_model
+from ..models.fm import AFM
+from ..models.optimize import ALS_SPACE, BPR_SPACE, model_search
+from ..storage import cache as ck
+from ..storage.blob import BlobStore
+from ..storage.cache import CacheStore, key
+from ..storage.data import DataStore
+from ..storage.meta import (
+    CLICK_THROUGH_RATE_MODEL,
+    COLLABORATIVE_FILTERING_MODEL,
+    MetaStore,
+)
+from ..storage.types import TimeSeriesPoint
+from ..utils.config import Config
+from ..utils.expression import match_any
+from .progress import ProgressTracker
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class LoadedData:
+    """Result of the load-dataset task (reference: master/tasks.go:51-227)."""
+
+    dataset: Dataset
+    train: Dataset
+    test: Dataset
+    ctr: CTRDataset | None
+    item_categories: list[list[str]]
+    items: list
+
+
+class Master:
+    """Reference: master.Master (master/master.go:72-112)."""
+
+    def __init__(
+        self,
+        config: Config,
+        data_store: DataStore,
+        cache_store: CacheStore,
+        blob_store: BlobStore,
+        meta_store: MetaStore,
+    ) -> None:
+        self.config = config
+        self.data = data_store
+        self.cache = cache_store
+        self.blob = blob_store
+        self.meta = meta_store
+        self.progress = ProgressTracker()
+        self.cf_model = None
+        self.cf_index: MatrixFactorizationIndex | None = None
+        self.ctr_model: AFM | None = None
+        self._stop = threading.Event()
+        self._trigger = threading.Event()
+        self._thread: threading.Thread | None = None
+        self._load_models_from_meta()
+
+    # ----------------------------------------------------------- meta + rpc
+
+    def get_meta(self) -> dict:
+        """The GetMeta payload (reference: master/rpc.go:29-79): full config
+        JSON, active model ids, peer lists."""
+        servers = [n.uuid for n in self.meta.list_nodes("server")]
+        workers = [n.uuid for n in self.meta.list_nodes("worker")]
+        return {
+            "config": self.config.to_json(),
+            "cf_model_id": self.meta.get(COLLABORATIVE_FILTERING_MODEL) or "",
+            "ctr_model_id": self.meta.get(CLICK_THROUGH_RATE_MODEL) or "",
+            "servers": servers,
+            "workers": workers,
+        }
+
+    def _load_models_from_meta(self) -> None:
+        """Resume serving the last trained models after restart
+        (reference: master/master.go:331-359)."""
+        cf_id = self.meta.get(COLLABORATIVE_FILTERING_MODEL)
+        if cf_id and self.blob.exists(cf_id):
+            try:
+                self.cf_index = MatrixFactorizationIndex.load(self.blob.open(cf_id))
+                logger.info("resumed CF index %s", cf_id)
+            except Exception as e:  # noqa: BLE001
+                logger.warning("failed to resume CF model %s: %s", cf_id, e)
+        ctr_id = self.meta.get(CLICK_THROUGH_RATE_MODEL)
+        if ctr_id and self.blob.exists(ctr_id):
+            try:
+                self.ctr_model = AFM.load(self.blob.open(ctr_id))
+                logger.info("resumed CTR model %s", ctr_id)
+            except Exception as e:  # noqa: BLE001
+                logger.warning("failed to resume CTR model %s: %s", ctr_id, e)
+
+    # ---------------------------------------------------------------- tasks
+
+    def load_dataset(self) -> LoadedData:
+        """Reference: LoadDataFromDatabase master/tasks.go:274-740 — stream
+        users/items/feedback from the data store into the training dataset +
+        the CTR dataset."""
+        with self.progress.span("load_dataset"):
+            cfg = self.config.recommend
+            dataset = Dataset()
+            items = list(self.data.get_items())
+            item_categories = []
+            for item in items:
+                from ..logics.item_to_item import _flatten_labels
+
+                dataset.add_item(item.item_id, labels=_flatten_labels(item.labels))
+                item_categories.append(item.categories)
+            users = list(self.data.get_users())
+            for user in users:
+                from ..logics.item_to_item import _flatten_labels
+
+                dataset.add_user(user.user_id, labels=_flatten_labels(user.labels))
+            positive_ttl = cfg.data_source.positive_feedback_ttl
+            cutoff = time.time() - positive_ttl * 86400 if positive_ttl > 0 else None
+            positive_edges: set[tuple[str, str]] = set()
+            negative_edges: list[tuple[str, str]] = []
+            for fb in self.data.get_feedback(end_time=time.time()):
+                if match_any(cfg.data_source.positive_feedback_types, fb.feedback_type, fb.value):
+                    if cutoff is not None and fb.timestamp < cutoff:
+                        continue
+                    if (fb.user_id, fb.item_id) not in positive_edges:
+                        positive_edges.add((fb.user_id, fb.item_id))
+                        dataset.add_feedback(fb.user_id, fb.item_id, fb.timestamp)
+                elif match_any(cfg.data_source.negative_feedback_types, fb.feedback_type, fb.value):
+                    negative_edges.append((fb.user_id, fb.item_id))
+            train, test = dataset.split_cf(seed=0)
+            ctr = self._build_ctr_dataset(dataset, positive_edges, negative_edges)
+            self._record_ts("UsersTotal", dataset.count_users())
+            self._record_ts("ItemsTotal", dataset.count_items())
+            self._record_ts("FeedbacksTotal", dataset.count_feedback())
+            return LoadedData(dataset, train, test, ctr, item_categories, items)
+
+    def _build_ctr_dataset(self, dataset: Dataset, positive_edges, negative_edges) -> CTRDataset:
+        """CTR rows from positive + explicit/sampled negatives
+        (reference: master/tasks.go:668-739 STEP6)."""
+        from ..data.unified_index import UnifiedIndex
+
+        index = UnifiedIndex(
+            users=dataset.user_dict,
+            items=dataset.item_dict,
+            user_labels=dataset.user_label_dict,
+            item_labels=dataset.item_label_dict,
+        )
+        ctr = CTRDataset(index)
+
+        def add_row(user_id: str, item_id: str, target: float) -> None:
+            u = dataset.user_dict.to_number(user_id)
+            i = dataset.item_dict.to_number(item_id)
+            if u < 0 or i < 0:
+                return
+            idx = [u, index.item_offset + i]
+            val = [1.0, 1.0]
+            for l in dataset.user_labels[u] if u < len(dataset.user_labels) else []:
+                idx.append(index.user_label_offset + l)
+                val.append(1.0)
+            for l in dataset.item_labels[i] if i < len(dataset.item_labels) else []:
+                idx.append(index.item_label_offset + l)
+                val.append(1.0)
+            ctr.add(idx, val, target, user=u)
+
+        for user_id, item_id in positive_edges:
+            add_row(user_id, item_id, 1.0)
+        for user_id, item_id in negative_edges:
+            add_row(user_id, item_id, 0.0)
+        # sample extra negatives to balance if explicit negatives are scarce
+        n_missing = len(positive_edges) - len(negative_edges)
+        if n_missing > 0 and dataset.count_items() > 1:
+            rng = np.random.default_rng(0)
+            users = list({u for u, _ in positive_edges})
+            for _ in range(n_missing):
+                user_id = users[int(rng.integers(len(users)))]
+                item_idx = int(rng.integers(dataset.count_items()))
+                item_id = dataset.item_dict.to_name(item_idx)
+                if (user_id, item_id) not in positive_edges:
+                    add_row(user_id, item_id, 0.0)
+        return ctr
+
+    def update_non_personalized(self, data: LoadedData) -> None:
+        """Reference: master/tasks.go non-personalized refresh (:69-76 +
+        updateNonPersonalized). Incremental via config digests."""
+        entries = list(self.config.recommend.non_personalized)
+        if not any(e.name == "popular" for e in entries):
+            # built-in most-popular (reference registers `popular` by default)
+            from ..utils.config import NonPersonalizedConfigEntry
+
+            entries.append(NonPersonalizedConfigEntry(name="popular", score="len(feedback)"))
+        if not any(e.name == "latest" for e in entries):
+            from ..utils.config import NonPersonalizedConfigEntry
+
+            entries.append(NonPersonalizedConfigEntry(name="latest", score="item.timestamp"))
+        for entry in entries:
+            cfg = NonPersonalizedConfig(name=entry.name, score=entry.score, filter=entry.filter)
+            digest_key = key(ck.NON_PERSONALIZED_DIGEST, entry.name)
+            if self.cache.get(digest_key) == cfg.digest() and not self._data_changed():
+                continue
+            with self.progress.span(f"non_personalized/{entry.name}"):
+                engine = NonPersonalized(cfg, self.config.recommend.cache_size)
+                for item in data.items:
+                    fb = self.data.get_item_feedback(item.item_id)
+                    engine.push(item, fb)
+                self.cache.delete_scores(ck.NON_PERSONALIZED, [entry.name])
+                self.cache.add_scores(ck.NON_PERSONALIZED, entry.name, engine.pop_all())
+                self.cache.set(digest_key, cfg.digest())
+                self.cache.set(key(ck.NON_PERSONALIZED_UPDATE_TIME, entry.name), str(time.time()))
+
+    def _data_changed(self) -> bool:
+        return True  # incremental data-digest optimization arrives with events
+
+    def update_item_to_item(self, data: LoadedData) -> None:
+        """Reference: updateItemToItem master/tasks.go:742-857."""
+        entries = list(self.config.recommend.item_to_item)
+        if not entries:
+            return
+        tag_idf = data.dataset.item_label_idf()
+        user_idf = data.dataset.user_idf()
+        for entry in entries:
+            cfg = ItemToItemConfig(name=entry.name, type=entry.type, column=entry.column)
+            with self.progress.span(f"item_to_item/{entry.name}"):
+                engine = new_item_to_item(
+                    cfg, self.config.recommend.cache_size,
+                    tag_idf=tag_idf, user_idf=user_idf,
+                    label_index=data.dataset.item_label_dict,
+                )
+                for idx, item in enumerate(data.items):
+                    item_index = data.dataset.item_dict.to_number(item.item_id)
+                    feedback = (
+                        data.dataset.item_feedback[item_index]
+                        if 0 <= item_index < len(data.dataset.item_feedback)
+                        else []
+                    )
+                    engine.push(item, feedback)
+                for item_id, scores in engine.pop_all():
+                    self.cache.add_scores(ck.ITEM_TO_ITEM, key(entry.name, item_id), scores)
+                    self.cache.set(
+                        key(ck.ITEM_TO_ITEM_DIGEST, entry.name, item_id), cfg.digest()
+                    )
+                self.cache.set(key(ck.ITEM_TO_ITEM_UPDATE_TIME, entry.name), str(time.time()))
+
+    def update_user_to_user(self, data: LoadedData) -> None:
+        """Reference: updateUserToUser master/tasks.go:859-961."""
+        entries = list(self.config.recommend.user_to_user)
+        if not entries:
+            return
+        item_idf = data.dataset.item_idf()
+        tag_idf = data.dataset.user_label_idf()
+        users = list(self.data.get_users())
+        for entry in entries:
+            cfg = UserToUserConfig(name=entry.name, type=entry.type, column=entry.column)
+            with self.progress.span(f"user_to_user/{entry.name}"):
+                engine = UserToUser(
+                    cfg, self.config.recommend.cache_size,
+                    tag_idf=tag_idf, item_idf=item_idf,
+                    label_index=data.dataset.user_label_dict,
+                )
+                for user in users:
+                    user_index = data.dataset.user_dict.to_number(user.user_id)
+                    feedback = (
+                        data.dataset.user_feedback[user_index]
+                        if 0 <= user_index < len(data.dataset.user_feedback)
+                        else []
+                    )
+                    engine.push(user, feedback)
+                for user_id, scores in engine.pop_all():
+                    self.cache.add_scores(ck.USER_TO_USER, key(entry.name, user_id), scores)
+                    self.cache.set(
+                        key(ck.USER_TO_USER_DIGEST, entry.name, user_id), cfg.digest()
+                    )
+                self.cache.set(key(ck.USER_TO_USER_UPDATE_TIME, entry.name), str(time.time()))
+
+    def train_collaborative_filtering(self, data: LoadedData) -> None:
+        """Reference: trainCollaborativeFiltering master/tasks.go:963-1109."""
+        if data.train.count_feedback() == 0:
+            logger.info("skip CF training: no feedback")
+            return
+        cfg = self.config.recommend.collaborative
+        with self.progress.span("fit_cf_model"):
+            params = Params(self.meta_model_params("cf"))
+            model = create_mf_model(cfg.model, params)
+            score = model.fit(
+                data.train, data.test,
+                FitConfig(verbose=10, patience=0, seed=0),
+            )
+            self._record_ts("CFModelNDCG", score.ndcg)
+            self._record_ts("CFModelPrecision", score.precision)
+            self._record_ts("CFModelRecall", score.recall)
+        self.cf_model = model
+        self.cf_index = MatrixFactorizationIndex.from_model(
+            model, item_categories=data.item_categories, timestamp=time.time()
+        )
+        model_id = self.blob.new_model_id()
+        self.cf_index.save(self.blob.create(model_id))
+        self.meta.put(COLLABORATIVE_FILTERING_MODEL, model_id)
+        self.cache.set(ck.LAST_FIT_MATCHING_MODEL_TIME, str(time.time()))
+        logger.info("CF model %s trained: NDCG@10=%.4f", model_id, score.ndcg)
+
+    def train_click_through_rate(self, data: LoadedData) -> None:
+        """Reference: trainClickThroughRatePrediction master/tasks.go:1111-1219."""
+        if self.config.recommend.ranker.type != "fm" or data.ctr is None or len(data.ctr) == 0:
+            return
+        if data.ctr.count_positive() == 0 or data.ctr.count_negative() == 0:
+            logger.info("skip CTR training: single-class data")
+            return
+        with self.progress.span("fit_ctr_model"):
+            train, test = data.ctr.split(0.2, seed=0)
+            model = AFM(Params(self.meta_model_params("ctr")))
+            score = model.fit(train, test, FitConfig(verbose=10))
+            self._record_ts("RankingModelAUC", score.auc)
+        self.ctr_model = model
+        model_id = self.blob.new_model_id()
+        model.save(self.blob.create(model_id))
+        self.meta.put(CLICK_THROUGH_RATE_MODEL, model_id)
+        self.cache.set(ck.LAST_FIT_RANKING_MODEL_TIME, str(time.time()))
+        logger.info("CTR model %s trained: AUC=%.4f", model_id, score.auc)
+
+    def meta_model_params(self, kind: str) -> dict:
+        """Best params from past hyper-parameter search, if recorded."""
+        raw = self.meta.get(f"BEST_PARAMS_{kind.upper()}")
+        return json.loads(raw) if raw else {}
+
+    def search_model(self, data: LoadedData, kind: str = "cf", n_trials: int | None = None) -> dict:
+        """Hyper-parameter search (reference: optimizeCF/optimizeCTR
+        master/tasks.go:1303-1398, goptuna TPE)."""
+        cfg = self.config.recommend.collaborative
+        n_trials = n_trials or cfg.model_search_trials
+        with self.progress.span(f"search_{kind}_model"):
+            if kind == "cf":
+                space = BPR_SPACE if cfg.model == "bpr" else ALS_SPACE
+
+                def objective(p: Params) -> float:
+                    model = create_mf_model(
+                        cfg.model, Params(n_epochs=cfg.model_search_epoch).merged(p)
+                    )
+                    return model.fit(
+                        data.train, data.test, FitConfig(verbose=cfg.model_search_epoch)
+                    ).ndcg
+
+                best, value, _ = model_search(objective, space, n_trials=n_trials)
+            else:
+                from ..models.optimize import AFM_SPACE
+
+                train, test = data.ctr.split(0.2, seed=0)
+
+                def objective(p: Params) -> float:
+                    model = AFM(Params(n_epochs=cfg.model_search_epoch).merged(p))
+                    return model.fit(train, test, FitConfig(verbose=cfg.model_search_epoch)).auc
+
+                best, value, _ = model_search(objective, AFM_SPACE, n_trials=n_trials)
+            self.meta.put(f"BEST_PARAMS_{kind.upper()}", json.dumps(dict(best)))
+            logger.info("model search %s: best=%.4f params=%s", kind, value, dict(best))
+            return dict(best)
+
+    def collect_garbage(self) -> None:
+        """Drop stale model blobs (reference: master/tasks.go:1221-1247)."""
+        keep = {
+            self.meta.get(COLLABORATIVE_FILTERING_MODEL),
+            self.meta.get(CLICK_THROUGH_RATE_MODEL),
+        }
+        for name in self.blob.list():
+            if name not in keep:
+                self.blob.remove(name)
+
+    def _record_ts(self, name: str, value: float) -> None:
+        self.cache.add_time_series_points(
+            [TimeSeriesPoint(name=name, timestamp=time.time(), value=float(value))]
+        )
+
+    # ----------------------------------------------------------- main loop
+
+    def run_tasks_once(self, search: bool = False) -> LoadedData:
+        """One full pass of the task sequence (reference:
+        master/tasks.go:229-271 runLoadDatasetTask + training tasks)."""
+        data = self.load_dataset()
+        self.update_non_personalized(data)
+        self.update_item_to_item(data)
+        self.update_user_to_user(data)
+        self.train_collaborative_filtering(data)
+        self.train_click_through_rate(data)
+        if search:
+            self.search_model(data, "cf")
+        self.collect_garbage()
+        return data
+
+    def trigger(self) -> None:
+        """Schedule an immediate task-loop run (dashboard 'train now')."""
+        self._trigger.set()
+
+    def run_tasks_loop(self) -> None:
+        """Reference: RunTasksLoop master/master.go:490-511."""
+        period = self.config.recommend.collaborative.model_fit_period * 60.0
+        while not self._stop.is_set():
+            try:
+                self.run_tasks_once()
+            except Exception:  # noqa: BLE001 — keep the loop alive
+                logger.exception("task loop iteration failed")
+            self._trigger.wait(timeout=period)
+            self._trigger.clear()
+
+    def serve_background(self) -> None:
+        self._thread = threading.Thread(target=self.run_tasks_loop, daemon=True)
+        self._thread.start()
+
+    def shutdown(self) -> None:
+        self._stop.set()
+        self._trigger.set()
+        if self._thread:
+            self._thread.join(timeout=5.0)

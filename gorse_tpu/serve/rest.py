@@ -1,0 +1,604 @@
+"""REST API server.
+
+Covers the reference's server/rest.go (~45 routes, :197-612): user/item/
+feedback CRUD, recommendation endpoints (recommend, collaborative-filtering,
+latest, non-personalized, item-to-item, user-to-user, neighbors, session
+recommend), health checks, measurements — with X-API-Key auth and the same
+JSON shapes (Go-style field names). go-restful becomes a stdlib
+ThreadingHTTPServer with a small regex router; no third-party web framework
+is needed.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import re
+import threading
+import time
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from ..logics.recommend import Recommender
+from ..storage import cache as ck
+from ..storage.cache import CacheStore, key
+from ..storage.data import DataStore
+from ..storage.types import Feedback, Item, Score, User
+from ..utils.config import Config
+from ..utils.expression import match_any
+
+logger = logging.getLogger(__name__)
+
+DEFAULT_N = 10
+
+
+class HTTPError(Exception):
+    def __init__(self, status: int, message: str) -> None:
+        super().__init__(message)
+        self.status = status
+        self.message = message
+
+
+class RestServer:
+    """Shared REST service (embedded by both server and master nodes, like
+    the reference's RestServer: master/master.go:74)."""
+
+    def __init__(
+        self,
+        config: Config,
+        data_store: DataStore,
+        cache_store: CacheStore,
+        api_key: str = "",
+    ) -> None:
+        self.config = config
+        self.data = data_store
+        self.cache = cache_store
+        self.api_key = api_key
+        self._routes: list[tuple[str, re.Pattern, callable]] = []
+        self._register_routes()
+        self._httpd: ThreadingHTTPServer | None = None
+
+    # ------------------------------------------------------------- routing
+
+    def route(self, method: str, pattern: str, handler) -> None:
+        # "{user-id}" -> named group "user_id"
+        regex = re.compile(
+            "^"
+            + re.sub(
+                r"\{([a-z\-]+)\}",
+                lambda m: f"(?P<{m.group(1).replace('-', '_')}>[^/]+)",
+                pattern,
+            )
+            + "/?$"
+        )
+        self._routes.append((method, regex, handler))
+
+    def _register_routes(self) -> None:
+        r = self.route
+        r("GET", "/api/health/live", self.check_live)
+        r("GET", "/api/health/ready", self.check_ready)
+        # users
+        r("POST", "/api/user", self.insert_user)
+        r("PATCH", "/api/user/{user-id}", self.modify_user)
+        r("GET", "/api/user/{user-id}", self.get_user)
+        r("DELETE", "/api/user/{user-id}", self.delete_user)
+        r("POST", "/api/users", self.insert_users)
+        r("GET", "/api/users", self.get_users)
+        # items
+        r("POST", "/api/item", self.insert_item)
+        r("PATCH", "/api/item/{item-id}", self.modify_item)
+        r("GET", "/api/item/{item-id}", self.get_item)
+        r("DELETE", "/api/item/{item-id}", self.delete_item)
+        r("POST", "/api/items", self.insert_items)
+        r("GET", "/api/items", self.get_items)
+        r("PUT", "/api/item/{item-id}/category/{category}", self.insert_item_category)
+        r("DELETE", "/api/item/{item-id}/category/{category}", self.delete_item_category)
+        # feedback
+        r("POST", "/api/feedback", lambda req: self.insert_feedback(req, overwrite=False))
+        r("PUT", "/api/feedback", lambda req: self.insert_feedback(req, overwrite=True))
+        r("GET", "/api/feedback", self.get_feedback)
+        r("GET", "/api/feedback/{user-id}/{item-id}", self.get_user_item_feedback)
+        r("DELETE", "/api/feedback/{user-id}/{item-id}", self.delete_user_item_feedback)
+        r("GET", "/api/feedback/{feedback-type}/{user-id}/{item-id}", self.get_typed_user_item_feedback)
+        r("DELETE", "/api/feedback/{feedback-type}/{user-id}/{item-id}", self.delete_typed_user_item_feedback)
+        r("GET", "/api/user/{user-id}/feedback/{feedback-type}", self.get_typed_feedback_by_user)
+        r("GET", "/api/user/{user-id}/feedback", self.get_feedback_by_user)
+        r("GET", "/api/item/{item-id}/feedback/{feedback-type}", self.get_typed_feedback_by_item)
+        r("GET", "/api/item/{item-id}/feedback", self.get_feedback_by_item)
+        # recommendations
+        r("GET", "/api/collaborative-filtering/{user-id}/{category}", self.get_collaborative)
+        r("GET", "/api/collaborative-filtering/{user-id}", self.get_collaborative)
+        r("GET", "/api/latest/{category}", self.get_latest)
+        r("GET", "/api/latest", self.get_latest)
+        r("GET", "/api/popular/{category}", lambda req: self.get_non_personalized(req, name="popular"))
+        r("GET", "/api/popular", lambda req: self.get_non_personalized(req, name="popular"))
+        r("GET", "/api/non-personalized/{name}", self.get_non_personalized)
+        r("GET", "/api/item-to-item/{name}/{item-id}", self.get_item_to_item)
+        r("GET", "/api/user-to-user/{name}/{user-id}", self.get_user_to_user)
+        r("GET", "/api/item/{item-id}/neighbors/{category}", self.get_item_neighbors)
+        r("GET", "/api/item/{item-id}/neighbors", self.get_item_neighbors)
+        r("GET", "/api/user/{user-id}/neighbors", self.get_user_neighbors)
+        r("GET", "/api/recommend/{user-id}/{category}", self.get_recommend)
+        r("GET", "/api/recommend/{user-id}", self.get_recommend)
+        r("POST", "/api/session/recommend/{category}", self.session_recommend)
+        r("POST", "/api/session/recommend", self.session_recommend)
+        r("GET", "/api/measurements/{name}", self.get_measurements)
+
+    def dispatch(self, method: str, path: str, query: dict, body, headers) -> tuple[int, object]:
+        headers = {k.lower(): v for k, v in headers.items()}
+        if self.api_key and headers.get("x-api-key") != self.api_key:
+            matched = any(p.match(path) for m, p, _ in self._routes if m == method)
+            if "/health/" not in path:
+                return (401, {"error": "unauthorized"}) if matched else (404, {"error": "not found"})
+        for m, pattern, handler in self._routes:
+            if m != method:
+                continue
+            match = pattern.match(path)
+            if match:
+                req = Request(
+                    params={k: urllib.parse.unquote(v) for k, v in match.groupdict().items()},
+                    query=query,
+                    body=body,
+                    headers=headers,
+                )
+                try:
+                    return 200, handler(req)
+                except HTTPError as e:
+                    return e.status, {"error": e.message}
+                except Exception as e:  # noqa: BLE001 — surface as 500 like the reference
+                    logger.exception("handler error")
+                    return 500, {"error": str(e)}
+        return 404, {"error": "not found"}
+
+    # ------------------------------------------------------------- handlers
+
+    def check_live(self, req) -> dict:
+        return {"status": "live"}
+
+    def check_ready(self, req) -> dict:
+        ready = self.data.ping() and self.cache.ping()
+        if not ready:
+            raise HTTPError(503, "stores not ready")
+        return {"status": "ready"}
+
+    # users
+
+    def insert_user(self, req) -> dict:
+        user = User.from_dict(req.body)
+        if not user.user_id:
+            raise HTTPError(400, "UserId is required")
+        self.data.insert_users([user])
+        return {"RowAffected": 1}
+
+    def insert_users(self, req) -> dict:
+        users = [User.from_dict(d) for d in req.body]
+        if any(not u.user_id for u in users):
+            raise HTTPError(400, "UserId is required")
+        self.data.insert_users(users)
+        return {"RowAffected": len(users)}
+
+    def modify_user(self, req) -> dict:
+        user = self.data.get_user(req.params["user_id"])
+        if user is None:
+            raise HTTPError(404, "user not found")
+        patch = req.body
+        if "Labels" in patch:
+            user.labels = patch["Labels"]
+        if "Comment" in patch:
+            user.comment = patch["Comment"]
+        if "Subscribe" in patch:
+            user.subscribe = patch["Subscribe"]
+        self.data.insert_users([user])
+        return {"RowAffected": 1}
+
+    def get_user(self, req) -> dict:
+        user = self.data.get_user(req.params["user_id"])
+        if user is None:
+            raise HTTPError(404, "user not found")
+        return user.to_dict()
+
+    def delete_user(self, req) -> dict:
+        self.data.delete_user(req.params["user_id"])
+        return {"RowAffected": 1}
+
+    def get_users(self, req) -> dict:
+        n = req.int_query("n", DEFAULT_N)
+        cursor = req.query.get("cursor", "")
+        users = list(self.data.get_users(begin_id=cursor, limit=n))
+        next_cursor = users[-1].user_id if len(users) == n else ""
+        return {"Users": [u.to_dict() for u in users], "Cursor": next_cursor}
+
+    # items
+
+    def insert_item(self, req) -> dict:
+        item = Item.from_dict(req.body)
+        if not item.item_id:
+            raise HTTPError(400, "ItemId is required")
+        if isinstance(req.body.get("Timestamp"), str):
+            item.timestamp = _parse_time(req.body["Timestamp"])
+        self.data.insert_items([item])
+        self._sync_item_cache(item)
+        return {"RowAffected": 1}
+
+    def insert_items(self, req) -> dict:
+        items = []
+        for d in req.body:
+            item = Item.from_dict(d)
+            if not item.item_id:
+                raise HTTPError(400, "ItemId is required")
+            if isinstance(d.get("Timestamp"), str):
+                item.timestamp = _parse_time(d["Timestamp"])
+            items.append(item)
+        self.data.insert_items(items)
+        for item in items:
+            self._sync_item_cache(item)
+        return {"RowAffected": len(items)}
+
+    def _sync_item_cache(self, item: Item) -> None:
+        """Propagate category/hidden changes to cached scores
+        (reference: server/rest.go modifyItem cache update)."""
+        self.cache.update_scores(
+            [ck.RECOMMEND, ck.COLLABORATIVE, ck.ITEM_TO_ITEM, ck.NON_PERSONALIZED],
+            None, item.item_id, categories=item.categories, is_hidden=item.is_hidden,
+        )
+
+    def modify_item(self, req) -> dict:
+        item = self.data.get_item(req.params["item_id"])
+        if item is None:
+            raise HTTPError(404, "item not found")
+        patch = req.body
+        if "IsHidden" in patch:
+            item.is_hidden = bool(patch["IsHidden"])
+        if "Categories" in patch:
+            item.categories = list(patch["Categories"])
+        if "Labels" in patch:
+            item.labels = patch["Labels"]
+        if "Comment" in patch:
+            item.comment = patch["Comment"]
+        if "Timestamp" in patch:
+            ts = patch["Timestamp"]
+            item.timestamp = _parse_time(ts) if isinstance(ts, str) else float(ts)
+        self.data.insert_items([item])
+        self._sync_item_cache(item)
+        return {"RowAffected": 1}
+
+    def get_item(self, req) -> dict:
+        item = self.data.get_item(req.params["item_id"])
+        if item is None:
+            raise HTTPError(404, "item not found")
+        return item.to_dict()
+
+    def delete_item(self, req) -> dict:
+        self.data.delete_item(req.params["item_id"])
+        return {"RowAffected": 1}
+
+    def get_items(self, req) -> dict:
+        n = req.int_query("n", DEFAULT_N)
+        cursor = req.query.get("cursor", "")
+        items = list(self.data.get_items(begin_id=cursor, limit=n))
+        next_cursor = items[-1].item_id if len(items) == n else ""
+        return {"Items": [i.to_dict() for i in items], "Cursor": next_cursor}
+
+    def insert_item_category(self, req) -> dict:
+        item = self.data.get_item(req.params["item_id"])
+        if item is None:
+            raise HTTPError(404, "item not found")
+        category = req.params["category"]
+        if category not in item.categories:
+            item.categories.append(category)
+        self.data.insert_items([item])
+        self._sync_item_cache(item)
+        return {"RowAffected": 1}
+
+    def delete_item_category(self, req) -> dict:
+        item = self.data.get_item(req.params["item_id"])
+        if item is None:
+            raise HTTPError(404, "item not found")
+        category = req.params["category"]
+        item.categories = [c for c in item.categories if c != category]
+        self.data.insert_items([item])
+        self._sync_item_cache(item)
+        return {"RowAffected": 1}
+
+    # feedback
+
+    def insert_feedback(self, req, overwrite: bool) -> dict:
+        entities = req.body if isinstance(req.body, list) else [req.body]
+        feedback = []
+        clock_error = self.config.server.clock_error
+        for d in entities:
+            fb = Feedback.from_dict(d)
+            if not fb.feedback_type or not fb.user_id or not fb.item_id:
+                raise HTTPError(400, "FeedbackType, UserId and ItemId are required")
+            if isinstance(d.get("Timestamp"), str):
+                fb.timestamp = _parse_time(d["Timestamp"])
+            elif not d.get("Timestamp"):
+                fb.timestamp = time.time()
+            # clock-error tolerance (reference: server/rest.go:1573)
+            fb.timestamp = min(fb.timestamp, time.time() + clock_error)
+            feedback.append(fb)
+        self.data.insert_feedback(feedback, overwrite=overwrite)
+        for fb in feedback:
+            self.cache.set(key(ck.LAST_MODIFY_USER_TIME, fb.user_id), str(time.time()))
+        return {"RowAffected": len(feedback)}
+
+    def get_feedback(self, req) -> dict:
+        n = req.int_query("n", DEFAULT_N)
+        out = []
+        for fb in self.data.get_feedback():
+            out.append(fb.to_dict())
+            if len(out) >= n:
+                break
+        return {"Feedback": out, "Cursor": ""}
+
+    def get_user_item_feedback(self, req) -> list:
+        return [
+            f.to_dict()
+            for f in self.data.get_user_feedback(req.params["user_id"])
+            if f.item_id == req.params["item_id"]
+        ]
+
+    def delete_user_item_feedback(self, req) -> dict:
+        n = self.data.delete_user_item_feedback(req.params["user_id"], req.params["item_id"])
+        return {"RowAffected": n}
+
+    def get_typed_user_item_feedback(self, req) -> dict:
+        out = [
+            f
+            for f in self.data.get_user_feedback(req.params["user_id"], feedback_types=[req.params["feedback_type"]])
+            if f.item_id == req.params["item_id"]
+        ]
+        if not out:
+            raise HTTPError(404, "feedback not found")
+        return out[0].to_dict()
+
+    def delete_typed_user_item_feedback(self, req) -> dict:
+        n = self.data.delete_user_item_feedback(
+            req.params["user_id"], req.params["item_id"], [req.params["feedback_type"]]
+        )
+        return {"RowAffected": n}
+
+    def get_typed_feedback_by_user(self, req) -> list:
+        return [
+            f.to_dict()
+            for f in self.data.get_user_feedback(req.params["user_id"], feedback_types=[req.params["feedback_type"]])
+        ]
+
+    def get_feedback_by_user(self, req) -> list:
+        return [f.to_dict() for f in self.data.get_user_feedback(req.params["user_id"])]
+
+    def get_typed_feedback_by_item(self, req) -> list:
+        return [
+            f.to_dict()
+            for f in self.data.get_item_feedback(req.params["item_id"], [req.params["feedback_type"]])
+        ]
+
+    def get_feedback_by_item(self, req) -> list:
+        return [f.to_dict() for f in self.data.get_item_feedback(req.params["item_id"])]
+
+    # recommendations
+
+    def _scores_out(self, scores: list[Score], req) -> list:
+        n = req.int_query("n", DEFAULT_N)
+        offset = req.int_query("offset", 0)
+        page = scores[offset : offset + n] if n > 0 else scores[offset:]
+        if req.headers.get("x-api-version") == "2":
+            return [{"Id": s.id, "Score": s.score} for s in page]
+        return [s.id for s in page]
+
+    def _categories(self, req) -> list[str]:
+        cats = []
+        if "category" in req.params:
+            cats.append(req.params["category"])
+        cats.extend(req.query_all("category"))
+        return [c for c in cats if c]
+
+    def get_collaborative(self, req) -> list:
+        scores = self.cache.search_scores(
+            ck.COLLABORATIVE, req.params["user_id"], self._categories(req), 0, -1
+        )
+        return self._scores_out(scores, req)
+
+    def get_latest(self, req) -> list:
+        items = self.data.get_latest_items(
+            req.int_query("n", DEFAULT_N) + req.int_query("offset", 0),
+            self._categories(req),
+        )
+        scores = [Score(id=i.item_id, score=float(i.timestamp), categories=i.categories) for i in items]
+        return self._scores_out(scores, req)
+
+    def get_non_personalized(self, req, name: str | None = None) -> list:
+        name = name or req.params["name"]
+        cats = self._categories(req) or [""]
+        scores = self.cache.search_scores(ck.NON_PERSONALIZED, name, cats, 0, -1)
+        return self._scores_out(scores, req)
+
+    def get_item_to_item(self, req, name: str | None = None) -> list:
+        name = name or req.params["name"]
+        scores = self.cache.search_scores(
+            ck.ITEM_TO_ITEM, key(name, req.params["item_id"]), self._categories(req), 0, -1
+        )
+        return self._scores_out(scores, req)
+
+    def get_user_to_user(self, req, name: str | None = None) -> list:
+        name = name or req.params["name"]
+        scores = self.cache.search_scores(
+            ck.USER_TO_USER, key(name, req.params["user_id"]), None, 0, -1
+        )
+        return self._scores_out(scores, req)
+
+    def get_item_neighbors(self, req) -> list:
+        """Default item-to-item recommender (reference: getItemNeighbors
+        uses the first configured item-to-item)."""
+        if not self.config.recommend.item_to_item:
+            raise HTTPError(404, "item-to-item recommendation is not enabled")
+        return self.get_item_to_item(req, name=self.config.recommend.item_to_item[0].name)
+
+    def get_user_neighbors(self, req) -> list:
+        if not self.config.recommend.user_to_user:
+            raise HTTPError(404, "user-to-user recommendation is not enabled")
+        return self.get_user_to_user(req, name=self.config.recommend.user_to_user[0].name)
+
+    def get_recommend(self, req) -> list:
+        """The latency path (reference: getRecommend server/rest.go:866-935)."""
+        user_id = req.params["user_id"]
+        recommender = Recommender(
+            self.config.recommend, self.cache, self.data,
+            online=True, user_id=user_id, categories=self._categories(req),
+        )
+        n = req.int_query("n", DEFAULT_N)
+        offset = req.int_query("offset", 0)
+        results = recommender.recommend(limit=n + offset if n > 0 else 0)
+        # optional write-back feedback loop (reference :910-929)
+        write_back_type = req.query.get("write-back-type", "")
+        if write_back_type:
+            delay = _parse_duration(req.query.get("write-back-delay", "0s"))
+            self.data.insert_feedback(
+                [
+                    Feedback(write_back_type, user_id, s.id, timestamp=time.time() + delay)
+                    for s in results[offset:]
+                ]
+            )
+        return self._scores_out(results, req)
+
+    def session_recommend(self, req) -> list:
+        """Session-based recommendation from a posted feedback list
+        (reference: sessionRecommend server/rest.go:938-1037)."""
+        if not self.config.recommend.item_to_item:
+            raise HTTPError(404, "item-to-item recommendation is not enabled")
+        name = self.config.recommend.item_to_item[0].name
+        feedbacks = [Feedback.from_dict(d) for d in req.body]
+        feedbacks.sort(key=lambda f: -f.timestamp)
+        exclude = {f.item_id for f in feedbacks}
+        positive = [
+            f
+            for f in feedbacks
+            if match_any(
+                self.config.recommend.data_source.positive_feedback_types,
+                f.feedback_type, f.value,
+            )
+        ][: self.config.recommend.context_size]
+        scores: dict[str, float] = {}
+        categories: dict[str, list[str]] = {}
+        for fb in positive:
+            similar = self.cache.search_scores(
+                ck.ITEM_TO_ITEM, key(name, fb.item_id), self._categories(req), 0, -1
+            )
+            for s in similar:
+                if s.id not in exclude:
+                    scores[s.id] = scores.get(s.id, 0.0) + s.score
+                    categories[s.id] = s.categories
+        ranked = sorted(scores.items(), key=lambda kv: -kv[1])
+        out = [Score(id=i, score=v, categories=categories[i]) for i, v in ranked]
+        return self._scores_out(out, req)
+
+    def get_measurements(self, req) -> list:
+        n = req.int_query("n", 100)
+        points = self.cache.get_time_series_points(req.params["name"], 0, time.time())
+        return [
+            {"Name": p.name, "Timestamp": p.timestamp, "Value": p.value}
+            for p in points[-n:]
+        ]
+
+    # ------------------------------------------------------------- serving
+
+    def serve(self, host: str = "127.0.0.1", port: int = 8087) -> ThreadingHTTPServer:
+        rest = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):  # quiet access log -> logger
+                logger.debug("%s %s", self.address_string(), fmt % args)
+
+            def _handle(self, method: str) -> None:
+                parsed = urllib.parse.urlparse(self.path)
+                query: dict = {}
+                query_multi: dict = {}
+                for k, v in urllib.parse.parse_qsl(parsed.query):
+                    query[k] = v
+                    query_multi.setdefault(k, []).append(v)
+                body = None
+                length = int(self.headers.get("Content-Length") or 0)
+                if length:
+                    raw = self.rfile.read(length)
+                    try:
+                        body = json.loads(raw.decode())
+                    except json.JSONDecodeError:
+                        self._reply(400, {"error": "invalid JSON body"})
+                        return
+                query["__multi__"] = query_multi
+                status, payload = rest.dispatch(
+                    method, parsed.path, query, body, dict(self.headers)
+                )
+                self._reply(status, payload)
+
+            def _reply(self, status: int, payload) -> None:
+                data = json.dumps(payload).encode()
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_GET(self):
+                self._handle("GET")
+
+            def do_POST(self):
+                self._handle("POST")
+
+            def do_PUT(self):
+                self._handle("PUT")
+
+            def do_PATCH(self):
+                self._handle("PATCH")
+
+            def do_DELETE(self):
+                self._handle("DELETE")
+
+        httpd = ThreadingHTTPServer((host, port), Handler)
+        self._httpd = httpd
+        thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+        thread.start()
+        logger.info("REST server listening on %s:%d", host, port)
+        return httpd
+
+    def shutdown(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd = None
+
+
+class Request:
+    def __init__(self, params: dict, query: dict, body, headers: dict) -> None:
+        self.params = params
+        self.query = query
+        self.body = body
+        self.headers = headers
+
+    def int_query(self, name: str, default: int) -> int:
+        v = self.query.get(name)
+        if v is None:
+            return default
+        try:
+            return int(v)
+        except ValueError:
+            raise HTTPError(400, f"invalid integer for {name!r}: {v!r}")
+
+    def query_all(self, name: str) -> list[str]:
+        return self.query.get("__multi__", {}).get(name, [])
+
+
+def _parse_time(s: str) -> float:
+    """RFC3339-ish timestamp parsing."""
+    import datetime
+
+    s = s.replace("Z", "+00:00")
+    return datetime.datetime.fromisoformat(s).timestamp()
+
+
+def _parse_duration(s: str) -> float:
+    """Go-style durations: 10s, 5m, 2h, 1d."""
+    m = re.match(r"^([0-9.]+)(s|m|h|d)?$", s)
+    if not m:
+        raise HTTPError(400, f"invalid duration {s!r}")
+    mult = {"s": 1, "m": 60, "h": 3600, "d": 86400, None: 1}[m.group(2)]
+    return float(m.group(1)) * mult

@@ -8,8 +8,19 @@ dataclasses; labels are free-form JSON like the reference's datatypes.
 from __future__ import annotations
 
 import dataclasses
+import datetime
 import time
 from typing import Any
+
+
+def parse_timestamp(v) -> float:
+    """Accept unix seconds (number) or RFC3339 strings (the reference's JSON
+    timestamps)."""
+    if v is None or v == "":
+        return 0.0
+    if isinstance(v, str):
+        return datetime.datetime.fromisoformat(v.replace("Z", "+00:00")).timestamp()
+    return float(v)
 
 
 @dataclasses.dataclass
@@ -62,7 +73,7 @@ class Item:
             item_id=d.get("ItemId", ""),
             is_hidden=bool(d.get("IsHidden", False)),
             categories=list(d.get("Categories") or []),
-            timestamp=float(d.get("Timestamp", 0.0)),
+            timestamp=parse_timestamp(d.get("Timestamp")),
             labels=d.get("Labels"),
             comment=d.get("Comment", ""),
         )
@@ -96,8 +107,8 @@ class Feedback:
             feedback_type=d.get("FeedbackType", ""),
             user_id=d.get("UserId", ""),
             item_id=d.get("ItemId", ""),
-            value=float(d.get("Value", 0.0)),
-            timestamp=float(d.get("Timestamp", 0.0)),
+            value=float(d.get("Value") or 0.0),
+            timestamp=parse_timestamp(d.get("Timestamp")),
             comment=d.get("Comment", ""),
         )
 

@@ -1,0 +1,254 @@
+"""Node-role tests: master task loop, worker pipeline, REST API, in-one.
+
+Pattern mirrors the reference's suite tests with embedded storage
+(master/master_test.go, worker/worker_test.go, server/rest_test.go).
+"""
+
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+
+from gorse_tpu.serve import InOneNode, Master, Worker, rendezvous_owner
+from gorse_tpu.storage import (
+    BlobStore,
+    Feedback,
+    Item,
+    MemoryCacheStore,
+    MemoryDataStore,
+    MetaStore,
+    User,
+)
+from gorse_tpu.storage import cache as ck
+from gorse_tpu.utils.config import Config
+
+
+def _populate(data, n_users=30, n_items=40, seed=0):
+    rng = np.random.default_rng(seed)
+    data.insert_items(
+        [
+            Item(f"i{k}", timestamp=float(k), categories=["even"] if k % 2 == 0 else [],
+                 labels=["tag_a"] if k < 20 else ["tag_b"])
+            for k in range(n_items)
+        ]
+    )
+    data.insert_users([User(f"u{u}", labels=["young"] if u % 2 else ["old"]) for u in range(n_users)])
+    fbs = []
+    for u in range(n_users):
+        liked = rng.choice(n_items, size=6, replace=False)
+        for i in liked:
+            fbs.append(Feedback("like", f"u{u}", f"i{i}", timestamp=float(rng.integers(1, 1000))))
+    data.insert_feedback(fbs)
+
+
+@pytest.fixture
+def env(tmp_path):
+    config = Config()
+    config.recommend.collaborative.model = "bpr"
+    config.recommend.ranker.type = "fm"
+    config.recommend.ranker.recommenders = ["collaborative"]
+    config.recommend.fallback.recommenders = ["latest"]
+    data = MemoryDataStore()
+    cache = MemoryCacheStore()
+    blob = BlobStore(tmp_path / "blobs")
+    meta = MetaStore()
+    _populate(data)
+    return config, data, cache, blob, meta
+
+
+def test_master_run_tasks_once(env):
+    config, data, cache, blob, meta = env
+    master = Master(config, data, cache, blob, meta)
+    master.run_tasks_once()
+    # CF model persisted + registered
+    cf_id = meta.get("COLLABORATIVE_FILTERING_MODEL")
+    assert cf_id and blob.exists(cf_id)
+    # CTR model trained (positives + sampled negatives)
+    assert meta.get("CLICK_THROUGH_RATE_MODEL")
+    # non-personalized caches materialized (built-in popular/latest)
+    assert cache.search_scores(ck.NON_PERSONALIZED, "popular", [""], 0, 5)
+    assert cache.search_scores(ck.NON_PERSONALIZED, "latest", [""], 0, 5)
+    # progress recorded
+    names = [s["Name"] for s in master.progress.list()]
+    assert "load_dataset" in names and "fit_cf_model" in names
+
+
+def test_master_resume_from_meta(env):
+    config, data, cache, blob, meta = env
+    master = Master(config, data, cache, blob, meta)
+    master.run_tasks_once()
+    # a fresh master resumes the persisted models
+    master2 = Master(config, data, cache, blob, meta)
+    assert master2.cf_index is not None
+    assert master2.ctr_model is not None
+
+
+def test_master_gc(env):
+    config, data, cache, blob, meta = env
+    master = Master(config, data, cache, blob, meta)
+    blob.create("stale-model")
+    master.run_tasks_once()
+    assert "stale-model" not in blob.list()
+
+
+def test_worker_pipeline(env):
+    config, data, cache, blob, meta = env
+    master = Master(config, data, cache, blob, meta)
+    master.run_tasks_once()
+    worker = Worker(config, data, cache, blob, node_id="w0")
+    n = worker.sync_and_recommend(master)
+    assert n == 30  # all users refreshed
+    recs = cache.search_scores(ck.RECOMMEND, "u1", None, 0, 10)
+    assert recs, "no recommendations materialized"
+    consumed = {fb.item_id for fb in data.get_user_feedback("u1")}
+    assert not ({s.id for s in recs} & consumed)
+    # second run: nothing stale -> no work
+    assert worker.sync_and_recommend(master) == 0
+    # new feedback invalidates that user
+    data.insert_feedback([Feedback("like", "u1", "i39", timestamp=2000.0)])
+    cache.set(f"{ck.LAST_MODIFY_USER_TIME}/u1", "99999999999")
+    assert worker.sync_and_recommend(master) == 1
+
+
+def test_rendezvous_sharding():
+    users = [f"u{i}" for i in range(200)]
+    nodes = ["w0", "w1", "w2"]
+    owners = {u: rendezvous_owner(u, nodes) for u in users}
+    # every node gets a reasonable share
+    counts = {n: sum(1 for o in owners.values() if o == n) for n in nodes}
+    assert all(c > 20 for c in counts.values()), counts
+    # removing a node only moves that node's users
+    owners2 = {u: rendezvous_owner(u, ["w0", "w1"]) for u in users}
+    moved = [u for u in users if owners[u] != owners2[u] and owners[u] != "w2"]
+    assert moved == []
+    assert rendezvous_owner("u1", []) is None
+
+
+def test_worker_replacement(env):
+    config, data, cache, blob, meta = env
+    config.recommend.replacement.enable_replacement = True
+    master = Master(config, data, cache, blob, meta)
+    master.run_tasks_once()
+    worker = Worker(config, data, cache, blob, node_id="w0")
+    worker.sync_and_recommend(master)
+    recs = cache.search_scores(ck.RECOMMEND, "u1", None, 0, -1)
+    consumed = {fb.item_id for fb in data.get_user_feedback("u1")}
+    assert {s.id for s in recs} & consumed, "replacement should re-insert consumed items"
+
+
+@pytest.fixture
+def http_node(tmp_path):
+    config = Config()
+    config.recommend.ranker.type = "none"
+    config.recommend.ranker.recommenders = ["collaborative"]
+    config.recommend.fallback.recommenders = ["latest"]
+    from gorse_tpu.utils.config import ItemToItemConfigEntry
+
+    config.recommend.item_to_item = [ItemToItemConfigEntry(name="similar", type="users")]
+    node = InOneNode(config, workdir=str(tmp_path))
+    _populate(node.data)
+    node.run_once()
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    node.serve("127.0.0.1", port, background_loop=False)
+    yield node, f"http://127.0.0.1:{port}"
+    node.shutdown()
+
+
+def _get(base, path, headers=None):
+    req = urllib.request.Request(base + path, headers=headers or {})
+    with urllib.request.urlopen(req) as resp:
+        return resp.status, json.loads(resp.read().decode())
+
+
+def _send(base, method, path, payload=None, headers=None):
+    data = json.dumps(payload).encode() if payload is not None else None
+    req = urllib.request.Request(base + path, data=data, method=method, headers=headers or {})
+    with urllib.request.urlopen(req) as resp:
+        return resp.status, json.loads(resp.read().decode())
+
+
+def test_rest_end_to_end(http_node):
+    node, base = http_node
+    # health
+    assert _get(base, "/api/health/live")[1]["status"] == "live"
+    assert _get(base, "/api/health/ready")[1]["status"] == "ready"
+    # entity CRUD
+    _send(base, "POST", "/api/user", {"UserId": "newuser", "Labels": ["x"]})
+    assert _get(base, "/api/user/newuser")[1]["Labels"] == ["x"]
+    _send(base, "PATCH", "/api/user/newuser", {"Comment": "hi"})
+    assert _get(base, "/api/user/newuser")[1]["Comment"] == "hi"
+    status, users = _get(base, "/api/users?n=5")
+    assert len(users["Users"]) == 5 and users["Cursor"]
+    _send(base, "POST", "/api/item", {"ItemId": "newitem", "Categories": ["c"], "Timestamp": "2023-01-01T00:00:00Z"})
+    assert _get(base, "/api/item/newitem")[1]["Categories"] == ["c"]
+    _send(base, "PUT", "/api/item/newitem/category/d")
+    assert set(_get(base, "/api/item/newitem")[1]["Categories"]) == {"c", "d"}
+    # feedback
+    _send(base, "POST", "/api/feedback", [
+        {"FeedbackType": "like", "UserId": "newuser", "ItemId": "newitem"}
+    ])
+    fb = _get(base, "/api/user/newuser/feedback/like")[1]
+    assert fb and fb[0]["ItemId"] == "newitem"
+    # recommendations
+    status, recs = _get(base, "/api/recommend/u1?n=5")
+    assert status == 200 and len(recs) == 5
+    consumed = {f.item_id for f in node.data.get_user_feedback("u1")}
+    assert not (set(recs) & consumed)
+    # v2 API returns scores
+    status, recs2 = _get(base, "/api/recommend/u1?n=3", headers={"X-API-Version": "2"})
+    assert "Score" in recs2[0]
+    # latest + popular + collaborative
+    assert len(_get(base, "/api/latest?n=3")[1]) == 3
+    assert len(_get(base, "/api/popular?n=3")[1]) == 3
+    assert _get(base, "/api/collaborative-filtering/u1?n=3")[1]
+    # item-to-item + neighbors alias
+    i2i = _get(base, "/api/item-to-item/similar/i1?n=3")[1]
+    assert i2i == _get(base, "/api/item/i1/neighbors?n=3")[1]
+    # session recommend
+    status, sess = _send(base, "POST", "/api/session/recommend?n=5", [
+        {"FeedbackType": "like", "UserId": "anon", "ItemId": "i1", "Timestamp": 100.0}
+    ])
+    assert status == 200 and sess
+    # 404s
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(base, "/api/user/ghost")
+    assert e.value.code == 404
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(base, "/api/nonexistent")
+    assert e.value.code == 404
+
+
+def test_rest_api_key(tmp_path):
+    config = Config()
+    config.server.api_key = "secret"
+    node = InOneNode(config, workdir=str(tmp_path))
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    node.serve("127.0.0.1", port, background_loop=False)
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(base, "/api/users")
+        assert e.value.code == 401
+        status, _ = _get(base, "/api/users", headers={"X-API-Key": "secret"})
+        assert status == 200
+        # health endpoints skip auth
+        assert _get(base, "/api/health/live")[1]["status"] == "live"
+    finally:
+        node.shutdown()
+
+
+def test_in_one_write_back(http_node):
+    node, base = http_node
+    status, recs = _get(base, "/api/recommend/u2?n=2&write-back-type=read")
+    assert status == 200
+    fb = node.data.get_user_feedback("u2", feedback_types=["read"])
+    assert {f.item_id for f in fb} == set(recs)
