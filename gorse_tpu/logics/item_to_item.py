@@ -33,10 +33,11 @@ class ItemToItemConfig:
     type: str = "auto"  # embedding | tags | users | auto | chat
     column: str = ""  # embedding source: item.labels key holding a vector
     categories: list[str] = dataclasses.field(default_factory=list)
+    prompt: str = ""  # chat type: jinja template rendered per item
 
     def digest(self) -> str:
         return hashlib.md5(
-            f"{self.name}|{self.type}|{self.column}|{','.join(self.categories)}".encode()
+            f"{self.name}|{self.type}|{self.column}|{','.join(self.categories)}|{self.prompt}".encode()
         ).hexdigest()
 
 
@@ -263,5 +264,5 @@ def new_item_to_item(
     if cfg.type == "chat":
         from .chat import ChatItemToItem
 
-        return ChatItemToItem(cfg, n, timestamp, openai_client=openai_client)
+        return ChatItemToItem(cfg, n, timestamp, openai_client=openai_client, prompt=cfg.prompt)
     raise ValueError(f"unknown item-to-item type {cfg.type!r}")

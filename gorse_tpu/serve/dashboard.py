@@ -1,0 +1,203 @@
+"""Master dashboard + admin REST API.
+
+Covers the reference's master/rest.go dashboard surface (:81-279): cluster
+membership, stats, task progress, time series, config get/set (persisted as a
+RECOMMEND_CONFIG override in the meta store, master/master.go:160-172),
+recommendation previews, dump/restore (:1724, :1967), CSV import/export
+(:1280-1501), plus the node-sync endpoints that replace the reference's gRPC
+Master service (GetMeta/PushProgress, master/rpc.go) with HTTP.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io
+import json
+import time
+
+from .. import __version__
+from ..storage.meta import RECOMMEND_CONFIG, Node
+from ..utils.config import Config, _from_dict
+from . import dump as dump_mod
+from .metrics import MetricsRegistry
+from .rest import HTTPError, RawResponse, RestServer
+
+
+class MasterRestServer(RestServer):
+    """REST surface of the master: the public API plus dashboard/admin routes
+    (the reference's master embeds the shared RestServer the same way,
+    master/master.go:74)."""
+
+    def __init__(self, master, api_key: str = "", metrics: MetricsRegistry | None = None) -> None:
+        self.master = master
+        self.metrics = metrics or MetricsRegistry()
+        super().__init__(master.config, master.data, master.cache, api_key=api_key)
+
+    def _register_routes(self) -> None:
+        super()._register_routes()
+        r = self.route
+        r("GET", "/metrics", self.get_metrics)
+        # dashboard (reference: master/rest.go:81-279)
+        r("GET", "/api/dashboard/cluster", self.get_cluster)
+        r("GET", "/api/dashboard/stats", self.get_stats)
+        r("GET", "/api/dashboard/tasks", self.get_tasks)
+        r("GET", "/api/dashboard/timeseries/{name}", self.get_timeseries)
+        r("GET", "/api/dashboard/config", self.get_config)
+        r("POST", "/api/dashboard/config", self.post_config)
+        r("DELETE", "/api/dashboard/config", self.delete_config)
+        r("GET", "/api/dashboard/config/schema", self.get_config_schema)
+        r("GET", "/api/dashboard/categories", self.get_categories)
+        r("POST", "/api/dashboard/schedule", self.post_schedule)
+        # bulk data (reference: master/rest.go:1280-1501, 1724, 1967)
+        r("GET", "/api/dump", self.get_dump)
+        r("POST", "/api/restore", self.post_restore)
+        r("GET", "/api/export/users", lambda req: self._export(dump_mod.export_users))
+        r("GET", "/api/export/items", lambda req: self._export(dump_mod.export_items))
+        r("GET", "/api/export/feedback", lambda req: self._export(dump_mod.export_feedback))
+        r("POST", "/api/import/users", lambda req: self._import(req, dump_mod.import_users))
+        r("POST", "/api/import/items", lambda req: self._import(req, dump_mod.import_items))
+        r("POST", "/api/import/feedback", lambda req: self._import(req, dump_mod.import_feedback))
+        # node sync (replaces the gRPC Master service, master/rpc.go:29-98)
+        r("POST", "/api/admin/meta", self.post_meta)
+        r("POST", "/api/admin/progress", self.post_progress)
+
+    # ------------------------------------------------------------ dashboard
+
+    def get_cluster(self, req) -> list:
+        nodes = self.master.meta.list_nodes()
+        return [
+            {
+                "UUID": n.uuid,
+                "Hostname": n.hostname,
+                "Type": n.node_type,
+                "Version": n.version,
+                "UpdateTime": n.update_time,
+            }
+            for n in nodes
+        ]
+
+    def get_stats(self, req) -> dict:
+        return {
+            "Version": __version__,
+            "NumUsers": self.data.count_users(),
+            "NumItems": self.data.count_items(),
+            "NumTotalPos": self.data.count_feedback(),
+            "CFModel": self.master.meta.get("COLLABORATIVE_FILTERING_MODEL") or "",
+            "RankingModel": self.master.meta.get("CLICK_THROUGH_RATE_MODEL") or "",
+        }
+
+    def get_tasks(self, req) -> list:
+        return self.master.progress.list()
+
+    def get_timeseries(self, req) -> list:
+        points = self.cache.get_time_series_points(req.params["name"], 0, time.time())
+        return [{"Name": p.name, "Timestamp": p.timestamp, "Value": p.value} for p in points]
+
+    def get_config(self, req) -> dict:
+        return json.loads(self.config.to_json())
+
+    def post_config(self, req) -> dict:
+        """Persist a recommend-config override into the meta store and apply
+        it live (reference: master/master.go:160-172)."""
+        override = req.body or {}
+        merged = json.loads(self.config.to_json())
+        merged["recommend"].update(override.get("recommend", override))
+        new_cfg = Config.from_json(json.dumps(merged))
+        new_cfg.validate()
+        self.master.meta.put(RECOMMEND_CONFIG, json.dumps(override))
+        self.config.recommend = new_cfg.recommend
+        return {"status": "ok"}
+
+    def delete_config(self, req) -> dict:
+        self.master.meta.delete(RECOMMEND_CONFIG)
+        return {"status": "ok"}
+
+    def get_config_schema(self, req) -> dict:
+        """JSON-schema-ish description generated from the dataclass tree
+        (reference: invopop jsonschema, master/rest.go:116)."""
+
+        def schema_of(cls):
+            if not dataclasses.is_dataclass(cls):
+                return {"type": "any"}
+            import typing
+
+            hints = typing.get_type_hints(cls)
+            props = {}
+            for f in dataclasses.fields(cls):
+                t = hints.get(f.name, str)
+                if dataclasses.is_dataclass(t) if isinstance(t, type) else False:
+                    props[f.name] = schema_of(t)
+                else:
+                    props[f.name] = {"type": getattr(t, "__name__", str(t))}
+            return {"type": "object", "properties": props}
+
+        return schema_of(Config)
+
+    def get_categories(self, req) -> list:
+        cats = set()
+        for item in self.data.get_items():
+            cats.update(item.categories)
+        return sorted(cats)
+
+    def post_schedule(self, req) -> dict:
+        self.master.trigger()
+        return {"status": "scheduled"}
+
+    # ------------------------------------------------------------ bulk data
+
+    def get_dump(self, req) -> RawResponse:
+        buf = io.BytesIO()
+        dump_mod.dump(self.data, buf)
+        return RawResponse(buf.getvalue())
+
+    def post_restore(self, req) -> dict:
+        if not isinstance(req.body, (bytes, bytearray)):
+            raise HTTPError(400, "restore expects a binary dump stream")
+        counts = dump_mod.restore(self.data, io.BytesIO(bytes(req.body)))
+        return counts
+
+    def _export(self, fn) -> RawResponse:
+        buf = io.StringIO()
+        fn(self.data, buf)
+        return RawResponse(buf.getvalue().encode(), "text/csv")
+
+    def _import(self, req, fn) -> dict:
+        if isinstance(req.body, (bytes, bytearray)):
+            text = bytes(req.body).decode()
+        elif isinstance(req.body, str):
+            text = req.body
+        else:
+            raise HTTPError(400, "import expects a CSV payload")
+        n = fn(self.data, io.StringIO(text))
+        return {"RowAffected": n}
+
+    # ------------------------------------------------------------ node sync
+
+    def post_meta(self, req) -> dict:
+        """Node registration + meta distribution (reference: GetMeta
+        master/rpc.go:29-79). Body: {uuid, hostname, type, version}."""
+        b = req.body or {}
+        if b.get("uuid"):
+            self.master.meta.update_node(
+                Node(
+                    uuid=b["uuid"],
+                    hostname=b.get("hostname", ""),
+                    node_type=b.get("type", "worker"),
+                    version=b.get("version", ""),
+                )
+            )
+        return self.master.get_meta()
+
+    def post_progress(self, req) -> dict:
+        """Worker progress push (reference: PushProgress master/rpc.go:81-98)."""
+        b = req.body or {}
+        self.master.progress.push_remote(b.get("uuid", "unknown"), b.get("spans", []))
+        return {"status": "ok"}
+
+    # -------------------------------------------------------------- metrics
+
+    def get_metrics(self, req) -> RawResponse:
+        self.metrics.gauge_set("users_total", self.data.count_users())
+        self.metrics.gauge_set("items_total", self.data.count_items())
+        self.metrics.gauge_set("feedback_total", self.data.count_feedback())
+        return RawResponse(self.metrics.render().encode(), "text/plain; version=0.0.4")

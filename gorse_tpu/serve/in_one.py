@@ -19,7 +19,6 @@ from ..storage.data import open_data_store
 from ..storage.meta import MetaStore
 from ..utils.config import Config, load_config
 from .master import Master
-from .rest import RestServer
 from .worker import Worker
 
 logger = logging.getLogger(__name__)
@@ -36,9 +35,9 @@ class InOneNode:
         self.meta = MetaStore(self.config.database.meta_store)
         self.master = Master(self.config, self.data, self.cache, self.blob, self.meta)
         self.worker = Worker(self.config, self.data, self.cache, self.blob, node_id="in-one")
-        self.rest = RestServer(
-            self.config, self.data, self.cache, api_key=self.config.server.api_key
-        )
+        from .dashboard import MasterRestServer
+
+        self.rest = MasterRestServer(self.master, api_key=self.config.server.api_key)
         self._httpd = None
         self._stop = threading.Event()
         self._loop_thread: threading.Thread | None = None

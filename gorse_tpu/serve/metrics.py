@@ -1,0 +1,135 @@
+"""Metrics: Prometheus text exposition + the online evaluator.
+
+Covers the reference's Prometheus gauges/counters (master/metrics.go:33-215,
+worker/metrics.go, server/metrics.go) with a dependency-free registry that
+renders the text exposition format at /metrics, and the OnlineEvaluator
+(master/metrics.go:218-305): live positive-feedback-ratio over a 30-day
+window, emitted as time-series points for the dashboard.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+
+from ..storage.types import TimeSeriesPoint
+from ..utils.expression import FeedbackTypeExpression, match_any
+
+POSITIVE_FEEDBACK_RATIO = "PositiveFeedbackRatio"
+_DAY = 86400.0
+
+
+class MetricsRegistry:
+    """Minimal Prometheus-style registry (gauges + counters + histograms-as-
+    summaries), rendered in text exposition format."""
+
+    def __init__(self, namespace: str = "gorse_tpu") -> None:
+        self.namespace = namespace
+        self._lock = threading.Lock()
+        self._values: dict[tuple[str, tuple], float] = {}
+        self._types: dict[str, str] = {}
+        self._help: dict[str, str] = {}
+
+    def _key(self, name: str, labels: dict | None):
+        return (name, tuple(sorted((labels or {}).items())))
+
+    def gauge_set(self, name: str, value: float, labels: dict | None = None, help: str = "") -> None:
+        with self._lock:
+            self._types[name] = "gauge"
+            if help:
+                self._help[name] = help
+            self._values[self._key(name, labels)] = float(value)
+
+    def counter_inc(self, name: str, value: float = 1.0, labels: dict | None = None, help: str = "") -> None:
+        with self._lock:
+            self._types[name] = "counter"
+            if help:
+                self._help[name] = help
+            k = self._key(name, labels)
+            self._values[k] = self._values.get(k, 0.0) + value
+
+    def observe_seconds(self, name: str, seconds: float, labels: dict | None = None) -> None:
+        """Record a duration as <name>_seconds gauge (the reference uses
+        timing gauges per pipeline step, e.g. master/metrics.go:110-215)."""
+        self.gauge_set(name + "_seconds", seconds, labels)
+
+    def render(self) -> str:
+        with self._lock:
+            lines = []
+            by_name: dict[str, list] = {}
+            for (name, labels), value in sorted(self._values.items()):
+                by_name.setdefault(name, []).append((labels, value))
+            for name, entries in by_name.items():
+                full = f"{self.namespace}_{name}"
+                if name in self._help:
+                    lines.append(f"# HELP {full} {self._help[name]}")
+                lines.append(f"# TYPE {full} {self._types.get(name, 'gauge')}")
+                for labels, value in entries:
+                    if labels:
+                        label_str = ",".join(f'{k}="{v}"' for k, v in labels)
+                        lines.append(f"{full}{{{label_str}}} {value}")
+                    else:
+                        lines.append(f"{full} {value}")
+            return "\n".join(lines) + "\n"
+
+
+class OnlineEvaluator:
+    """Positive-feedback-ratio over a sliding 30-day window
+    (reference: master/metrics.go:218-305)."""
+
+    def __init__(
+        self,
+        positive_types: list[str] | list[FeedbackTypeExpression],
+        read_types: list[str] | list[FeedbackTypeExpression],
+        window_size: int = 30,
+    ) -> None:
+        def parse(ts):
+            return [
+                t if isinstance(t, FeedbackTypeExpression) else FeedbackTypeExpression.parse(t)
+                for t in ts
+            ]
+
+        self.positive_types = parse(positive_types)
+        self.read_types = parse(read_types)
+        self.window_size = window_size
+        self.window_end = (time.time() // _DAY) * _DAY
+        # window index -> user -> set(items)
+        self.read_feedback: list[dict[int, set[int]]] = [dict() for _ in range(window_size)]
+        # per positive-expression name ("" = any) -> user -> set(items)
+        self.positive_feedback: dict[str, dict[int, set[int]]] = {"": {}}
+
+    def add(self, feedback_type: str, value: float, user_index: int, item_index: int, timestamp: float) -> None:
+        if match_any(self.read_types, feedback_type, value):
+            truncated = (timestamp // _DAY) * _DAY
+            window_index = int((self.window_end - truncated) // _DAY)
+            if 0 <= window_index < self.window_size:
+                self.read_feedback[window_index].setdefault(user_index, set()).add(item_index)
+        is_positive = False
+        for expr in self.positive_types:
+            if not expr.match(feedback_type, value):
+                continue
+            is_positive = True
+            self.positive_feedback.setdefault(str(expr), {}).setdefault(
+                user_index, set()
+            ).add(item_index)
+        if is_positive:
+            self.positive_feedback[""].setdefault(user_index, set()).add(item_index)
+
+    def evaluate(self) -> list[TimeSeriesPoint]:
+        points = []
+        for name, positives in self.positive_feedback.items():
+            for i in range(self.window_size):
+                date = self.window_end - i * _DAY
+                ratio_sum, user_count = 0.0, 0
+                for user_index, read_items in self.read_feedback[i].items():
+                    pos_items = positives.get(user_index)
+                    if pos_items is None or not read_items:
+                        continue
+                    ratio_sum += len(read_items & pos_items) / len(read_items)
+                    user_count += 1
+                if user_count > 0:
+                    metric = POSITIVE_FEEDBACK_RATIO + (f"_{name}" if name else "")
+                    points.append(
+                        TimeSeriesPoint(name=metric, timestamp=date, value=ratio_sum / user_count)
+                    )
+        return points

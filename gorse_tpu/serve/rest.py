@@ -39,6 +39,14 @@ class HTTPError(Exception):
         self.message = message
 
 
+class RawResponse:
+    """Non-JSON handler result (dump streams, /metrics text)."""
+
+    def __init__(self, body: bytes, content_type: str = "application/octet-stream") -> None:
+        self.body = body
+        self.content_type = content_type
+
+
 class RestServer:
     """Shared REST service (embedded by both server and master nodes, like
     the reference's RestServer: master/master.go:74)."""
@@ -128,7 +136,7 @@ class RestServer:
         headers = {k.lower(): v for k, v in headers.items()}
         if self.api_key and headers.get("x-api-key") != self.api_key:
             matched = any(p.match(path) for m, p, _ in self._routes if m == method)
-            if "/health/" not in path:
+            if "/health/" not in path and path != "/metrics":
                 return (401, {"error": "unauthorized"}) if matched else (404, {"error": "not found"})
         for m, pattern, handler in self._routes:
             if m != method:
@@ -520,11 +528,15 @@ class RestServer:
                 length = int(self.headers.get("Content-Length") or 0)
                 if length:
                     raw = self.rfile.read(length)
-                    try:
-                        body = json.loads(raw.decode())
-                    except json.JSONDecodeError:
-                        self._reply(400, {"error": "invalid JSON body"})
-                        return
+                    ctype = (self.headers.get("Content-Type") or "application/json").split(";")[0]
+                    if ctype in ("application/json", "text/json", ""):
+                        try:
+                            body = json.loads(raw.decode())
+                        except json.JSONDecodeError:
+                            self._reply(400, {"error": "invalid JSON body"})
+                            return
+                    else:
+                        body = raw  # binary/CSV payloads pass through
                 query["__multi__"] = query_multi
                 status, payload = rest.dispatch(
                     method, parsed.path, query, body, dict(self.headers)
@@ -532,9 +544,12 @@ class RestServer:
                 self._reply(status, payload)
 
             def _reply(self, status: int, payload) -> None:
-                data = json.dumps(payload).encode()
+                if isinstance(payload, RawResponse):
+                    data, ctype = payload.body, payload.content_type
+                else:
+                    data, ctype = json.dumps(payload).encode(), "application/json"
                 self.send_response(status)
-                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(data)))
                 self.end_headers()
                 self.wfile.write(data)

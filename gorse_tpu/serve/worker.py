@@ -59,6 +59,7 @@ class Worker:
         cache_store: CacheStore,
         blob_store: BlobStore,
         node_id: str = "worker-0",
+        openai_client=None,
     ) -> None:
         self.config = config
         self.data = data_store
@@ -70,6 +71,11 @@ class Worker:
         self.cf_model_id = ""
         self.ctr_model: AFM | None = None
         self.ctr_model_id = ""
+        if openai_client is None and config.openai.base_url:
+            from ..llm.client import OpenAIClient
+
+            openai_client = OpenAIClient.from_config(config.openai)
+        self.openai_client = openai_client
 
     # ------------------------------------------------------------- syncing
 
@@ -219,6 +225,8 @@ class Worker:
         (reference: rankByCollaborativeFiltering / rankByClickTroughRate
         worker/pipeline.go:421-470)."""
         cfg = self.config.recommend
+        if cfg.ranker.type == "llm" and self.openai_client is not None:
+            return self._rank_llm(candidates)
         if cfg.ranker.type != "fm" or self.ctr_model is None or not self.ctr_model.is_fitted():
             return {
                 u: sorted(s, key=lambda x: -x.score) for u, s in candidates.items()
@@ -262,6 +270,31 @@ class Worker:
         for (user_id, s), p in zip(owners, preds):
             ranked[user_id].append(Score(s.id, float(p), s.categories, s.timestamp))
         return {u: sorted(s, key=lambda x: -x.score) for u, s in ranked.items()}
+
+    def _rank_llm(self, candidates: dict[str, list[Score]]) -> dict[str, list[Score]]:
+        """LLM reranking (reference: rankByLLM worker/pipeline.go:472-540)."""
+        from ..logics.chat import LLMReranker
+
+        cfg = self.config.recommend
+        reranker = LLMReranker(self.openai_client, prompt=cfg.ranker.prompt)
+        out: dict[str, list[Score]] = {}
+        for user_id, scores in candidates.items():
+            user = self.data.get_user(user_id)
+            history: list[tuple[str, object]] = []
+            for fb in self.data.get_user_feedback(user_id):
+                if len(history) >= cfg.context_size:
+                    break
+                if match_any(cfg.data_source.positive_feedback_types, fb.feedback_type, fb.value):
+                    item = self.data.get_item(fb.item_id)
+                    if item is not None:
+                        history.append((fb.feedback_type, item))
+            items = {
+                s.id: it
+                for s in scores
+                if (it := self.data.get_item(s.id)) is not None
+            }
+            out[user_id] = reranker.rank(user, history, scores, items)
+        return out
 
     # ------------------------------------------------------------ main loop
 

@@ -1,0 +1,210 @@
+"""Dashboard/admin API, dump/restore, CSV import/export, metrics, online
+evaluator tests (reference analogs: master/rest_test.go, master/metrics.go)."""
+
+import io
+import json
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from gorse_tpu.serve import InOneNode
+from gorse_tpu.serve.dump import (
+    dump,
+    export_feedback,
+    export_items,
+    export_users,
+    import_feedback,
+    import_items,
+    import_users,
+    restore,
+)
+from gorse_tpu.serve.metrics import MetricsRegistry, OnlineEvaluator
+from gorse_tpu.storage import Feedback, Item, MemoryDataStore, User
+from gorse_tpu.utils.config import Config
+
+
+def test_dump_restore_round_trip():
+    src = MemoryDataStore()
+    src.insert_users([User("u1", labels={"a": 1}), User("u2")])
+    src.insert_items([Item("i1", categories=["x"], timestamp=5.0)])
+    src.insert_feedback([Feedback("like", "u1", "i1", timestamp=7.0)])
+    buf = io.BytesIO()
+    counts = dump(src, buf)
+    assert counts == {"users": 2, "items": 1, "feedback": 1}
+    dst = MemoryDataStore()
+    buf.seek(0)
+    counts2 = restore(dst, buf)
+    assert counts2 == counts
+    assert dst.get_user("u1").labels == {"a": 1}
+    assert dst.get_item("i1").categories == ["x"]
+    assert dst.get_user_feedback("u1")[0].timestamp == 7.0
+    with pytest.raises(ValueError):
+        restore(dst, io.BytesIO(b"garbage"))
+
+
+def test_csv_round_trip():
+    src = MemoryDataStore()
+    src.insert_users([User("u1", labels=["l1"])])
+    src.insert_items([Item("i1", is_hidden=True, categories=["a", "b"], timestamp=3.0)])
+    src.insert_feedback([Feedback("star", "u1", "i1", timestamp=9.0)])
+    ubuf, ibuf, fbuf = io.StringIO(), io.StringIO(), io.StringIO()
+    assert export_users(src, ubuf) == 1
+    assert export_items(src, ibuf) == 1
+    assert export_feedback(src, fbuf) == 1
+    dst = MemoryDataStore()
+    assert import_users(dst, io.StringIO(ubuf.getvalue())) == 1
+    assert import_items(dst, io.StringIO(ibuf.getvalue())) == 1
+    assert import_feedback(dst, io.StringIO(fbuf.getvalue())) == 1
+    item = dst.get_item("i1")
+    assert item.is_hidden and item.categories == ["a", "b"] and item.timestamp == 3.0
+    assert dst.get_user("u1").labels == ["l1"]
+
+
+def test_metrics_registry():
+    reg = MetricsRegistry()
+    reg.gauge_set("users_total", 5, help="number of users")
+    reg.counter_inc("requests", labels={"path": "/api/recommend"})
+    reg.counter_inc("requests", labels={"path": "/api/recommend"})
+    reg.observe_seconds("load_dataset", 1.5)
+    text = reg.render()
+    assert "# TYPE gorse_tpu_users_total gauge" in text
+    assert "gorse_tpu_users_total 5.0" in text
+    assert 'gorse_tpu_requests{path="/api/recommend"} 2.0' in text
+    assert "gorse_tpu_load_dataset_seconds 1.5" in text
+
+
+def test_online_evaluator():
+    ev = OnlineEvaluator(positive_types=["like"], read_types=["read"])
+    now = time.time()
+    # user 0 read items 1,2 today; liked item 1 -> ratio 0.5
+    ev.add("read", 0, 0, 1, now)
+    ev.add("read", 0, 0, 2, now)
+    ev.add("like", 0, 0, 1, now)
+    # user 1 read item 3, no likes -> excluded (reference skips users with
+    # no positive feedback at all, master/metrics.go:287-289)
+    ev.add("read", 0, 1, 3, now)
+    points = ev.evaluate()
+    overall = [p for p in points if p.name == "PositiveFeedbackRatio"]
+    assert overall and abs(overall[0].value - 0.5) < 1e-9
+    typed = [p for p in points if p.name == "PositiveFeedbackRatio_like"]
+    assert typed and abs(typed[0].value - 0.5) < 1e-9
+    # user 1 likes something else -> now counted with ratio 0 for reads
+    ev.add("like", 0, 1, 9, now)
+    points = ev.evaluate()
+    overall = [p for p in points if p.name == "PositiveFeedbackRatio"]
+    assert abs(overall[0].value - 0.25) < 1e-9  # mean(0.5, 0)
+
+
+@pytest.fixture
+def node(tmp_path):
+    config = Config()
+    config.recommend.ranker.type = "none"
+    node = InOneNode(config, workdir=str(tmp_path))
+    rng = np.random.default_rng(0)
+    node.data.insert_items([Item(f"i{k}", timestamp=float(k), categories=["c"]) for k in range(15)])
+    pairs = [(u, i) for u in range(8) for i in range(15)]
+    rng.shuffle(pairs)
+    node.data.insert_feedback([
+        Feedback("like", f"u{u}", f"i{i}", timestamp=float(t))
+        for t, (u, i) in enumerate(pairs[:60])
+    ])
+    node.run_once()
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    node.serve("127.0.0.1", port, background_loop=False)
+    yield node, f"http://127.0.0.1:{port}"
+    node.shutdown()
+
+
+def _get_raw(base, path, headers=None):
+    req = urllib.request.Request(base + path, headers=headers or {})
+    with urllib.request.urlopen(req) as resp:
+        return resp.status, resp.read(), resp.headers.get("Content-Type", "")
+
+
+def _get(base, path):
+    status, body, _ = _get_raw(base, path)
+    return status, json.loads(body.decode())
+
+
+def _post(base, path, data, content_type="application/json"):
+    if isinstance(data, (dict, list)):
+        data = json.dumps(data).encode()
+    req = urllib.request.Request(
+        base + path, data=data, method="POST", headers={"Content-Type": content_type}
+    )
+    with urllib.request.urlopen(req) as resp:
+        return resp.status, json.loads(resp.read().decode())
+
+
+def test_dashboard_endpoints(node):
+    n, base = node
+    status, stats = _get(base, "/api/dashboard/stats")
+    assert stats["NumUsers"] == 8 and stats["NumItems"] == 15
+    assert stats["CFModel"]
+    _, tasks = _get(base, "/api/dashboard/tasks")
+    assert any(t["Name"] == "fit_cf_model" for t in tasks)
+    _, cats = _get(base, "/api/dashboard/categories")
+    assert cats == ["c"]
+    _, cfg = _get(base, "/api/dashboard/config")
+    assert cfg["recommend"]["cache_size"] == 100
+    # config override persists + applies
+    _post(base, "/api/dashboard/config", {"recommend": {"cache_size": 55}})
+    _, cfg2 = _get(base, "/api/dashboard/config")
+    assert cfg2["recommend"]["cache_size"] == 55
+    assert n.master.meta.get("RECOMMEND_CONFIG")
+    _, schema = _get(base, "/api/dashboard/config/schema")
+    assert "recommend" in schema["properties"]
+    # timeseries recorded during training
+    _, ts = _get(base, "/api/dashboard/timeseries/CFModelNDCG")
+    assert ts and "Value" in ts[0]
+    # schedule triggers the loop flag
+    _post(base, "/api/dashboard/schedule", {})
+    assert n.master._trigger.is_set()
+
+
+def test_metrics_endpoint(node):
+    _, base = node
+    status, body, ctype = _get_raw(base, "/metrics")
+    text = body.decode()
+    assert "gorse_tpu_users_total 8.0" in text
+    assert ctype.startswith("text/plain")
+
+
+def test_http_dump_restore_and_csv(node):
+    n, base = node
+    status, blob, _ = _get_raw(base, "/api/dump")
+    assert blob.startswith(b"GTPU1")
+    # wipe and restore over HTTP
+    n.data.purge()
+    assert n.data.count_users() == 0
+    status, counts = _post(base, "/api/restore", blob, content_type="application/octet-stream")
+    assert counts["users"] == 8 and counts["feedback"] == 60
+    # CSV export/import
+    status, csv_body, ctype = _get_raw(base, "/api/export/feedback")
+    assert ctype.startswith("text/csv")
+    n.data.purge()
+    status, out = _post(base, "/api/import/feedback", csv_body, content_type="text/csv")
+    assert out["RowAffected"] == 60
+    assert n.data.count_feedback() == 60
+
+
+def test_admin_meta_sync(node):
+    n, base = node
+    status, meta = _post(base, "/api/admin/meta", {
+        "uuid": "w-remote", "hostname": "h1", "type": "worker", "version": "0.1",
+    })
+    assert "w-remote" in meta["workers"]
+    assert json.loads(meta["config"])["recommend"]
+    _, cluster = _get(base, "/api/dashboard/cluster")
+    assert any(c["UUID"] == "w-remote" for c in cluster)
+    _post(base, "/api/admin/progress", {"uuid": "w-remote", "spans": [
+        {"Name": "recommend", "Status": "running", "Count": 5, "Total": 10}
+    ]})
+    _, tasks = _get(base, "/api/dashboard/tasks")
+    assert any(t.get("Node") == "w-remote" for t in tasks)
