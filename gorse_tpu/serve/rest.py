@@ -529,14 +529,14 @@ class RestServer:
                 if length:
                     raw = self.rfile.read(length)
                     ctype = (self.headers.get("Content-Type") or "application/json").split(";")[0]
-                    if ctype in ("application/json", "text/json", ""):
+                    if ctype in ("application/octet-stream", "text/csv"):
+                        body = raw  # binary/CSV payloads pass through
+                    else:
                         try:
                             body = json.loads(raw.decode())
-                        except json.JSONDecodeError:
+                        except (json.JSONDecodeError, UnicodeDecodeError):
                             self._reply(400, {"error": "invalid JSON body"})
                             return
-                    else:
-                        body = raw  # binary/CSV payloads pass through
                 query["__multi__"] = query_multi
                 status, payload = rest.dispatch(
                     method, parsed.path, query, body, dict(self.headers)
