@@ -1,0 +1,163 @@
+"""Explicitly sharded training and retrieval over a device mesh.
+
+The north-star scaling design (SURVEY.md §2.7, §7): user-dimension sharding
+of BPR training (each device owns a contiguous user shard — the TPU rebirth
+of the reference's consistent-hash user sharding, worker/worker.go:429-458)
+and item-dimension sharding of exact top-k retrieval. Built on
+``jax.shard_map`` with explicit collectives:
+
+- BPR epoch: user table, padded positives, and counts are row-sharded over
+  the ``data`` axis; the item table is replicated and item-factor updates are
+  combined with one ``psum`` per step (dense [I, k] delta — items tables are
+  small relative to user counts; catalog-sharded variants ride the same mesh
+  with gather/all-to-all instead).
+- top-k retrieval: item factors row-sharded over all devices; each shard
+  computes a local top-k, results are all-gathered and merged — the
+  partial-top-k + merge pattern.
+
+Sampling uses per-(step, user-id) counter-based randomness, so the sharded
+epoch produces BIT-IDENTICAL samples to the single-device epoch — sharding
+changes the schedule, not the math (verified in tests/test_sharded.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+_NEG_TRIES = 4
+
+
+def _per_user_uniforms(step_key: jax.Array, uids: jax.Array, n: int) -> jax.Array:
+    """[U, n] uniforms keyed by (step_key, global user id) — identical no
+    matter how the user axis is sharded."""
+
+    def one(uid):
+        return jax.random.uniform(jax.random.fold_in(step_key, uid), (n,))
+
+    return jax.vmap(one)(uids)
+
+
+def _bpr_step_math(p, q, padded_pos, pos_counts, uids, step_key, n_items, lr, reg):
+    """Shard-local BPR step on a user shard; returns (p, q_delta, cost).
+
+    Same update rule as models/bpr._bpr_epoch, with counter-based sampling.
+    """
+    u_local = p.shape[0]
+    rand = _per_user_uniforms(step_key, uids, 1 + _NEG_TRIES)  # [U, 5]
+    active = (pos_counts > 0)[:, None]
+    slot = (rand[:, 0] * jnp.maximum(pos_counts, 1)).astype(jnp.int32)
+    pos = jnp.take_along_axis(padded_pos, slot[:, None], axis=1)[:, 0]
+    pos = jnp.maximum(pos, 0)
+    cand = (rand[:, 1:] * n_items).astype(jnp.int32)
+    collide = jnp.any(padded_pos[:, None, :] == cand[:, :, None], axis=-1)
+    first_ok = jnp.argmax(~collide, axis=1)
+    neg = jnp.take_along_axis(cand, first_ok[:, None], axis=1)[:, 0]
+    qi = q[pos]
+    qj = q[neg]
+    diff = jnp.sum(p * (qi - qj), axis=-1)
+    cost = jnp.sum(jnp.where(active[:, 0], jax.nn.softplus(-diff), 0.0))
+    grad = jnp.where(active, jax.nn.sigmoid(-diff)[:, None], 0.0)
+    d_qi = jnp.where(active, lr * (grad * p - reg * qi), 0.0)
+    d_qj = jnp.where(active, lr * (-grad * p - reg * qj), 0.0)
+    d_pu = jnp.where(active, lr * (grad * (qi - qj) - reg * p), 0.0)
+    q_delta = jnp.zeros_like(q).at[pos].add(d_qi).at[neg].add(d_qj)
+    return p + d_pu, q_delta, cost
+
+
+def make_sharded_bpr_epoch(mesh: Mesh, n_steps: int, n_items: int, lr: float, reg: float):
+    """Build a jitted sharded BPR epoch over ``mesh`` (axis ``data`` shards
+    users across ALL devices; the ``model`` axis is folded in)."""
+    axes = tuple(mesh.axis_names)
+
+    def epoch(p, q, padded_pos, pos_counts, uids, key):
+        def local_epoch(p, q, padded_pos, pos_counts, uids, key):
+            def step(carry, step_key):
+                p, q = carry
+                p, q_delta, cost = _bpr_step_math(
+                    p, q, padded_pos, pos_counts, uids, step_key, n_items, lr, reg
+                )
+                q_delta = jax.lax.psum(q_delta, axes)  # combine item updates
+                return (p, q + q_delta), cost
+
+            keys = jax.random.split(key, n_steps)
+            (p, q), costs = jax.lax.scan(step, (p, q), keys)
+            total = jax.lax.psum(jnp.sum(costs), axes)
+            return p, q, total[None]
+
+        return jax.shard_map(
+            local_epoch,
+            mesh=mesh,
+            in_specs=(P(axes, None), P(), P(axes, None), P(axes), P(axes), P()),
+            out_specs=(P(axes, None), P(), P()),
+        )(p, q, padded_pos, pos_counts, uids, key)
+
+    return jax.jit(epoch, donate_argnums=(0, 1))
+
+
+def shard_bpr_inputs(mesh: Mesh, user_factors, item_factors, padded_pos, pos_counts):
+    """Pad the user axis to the device count and place inputs with the
+    epoch's shardings. Returns (p, q, padded_pos, counts, uids, n_users)."""
+    n_dev = mesh.size
+    axes = tuple(mesh.axis_names)
+    n_users = user_factors.shape[0]
+    pad = (-n_users) % n_dev
+
+    def pad_rows(x, fill):
+        if pad == 0:
+            return np.asarray(x)
+        return np.concatenate(
+            [np.asarray(x), np.full((pad,) + x.shape[1:], fill, dtype=x.dtype)], axis=0
+        )
+
+    uids = np.arange(n_users + pad, dtype=np.int32)
+    p = jax.device_put(pad_rows(np.asarray(user_factors), 0.0), NamedSharding(mesh, P(axes, None)))
+    q = jax.device_put(np.asarray(item_factors), NamedSharding(mesh, P()))
+    pp = jax.device_put(pad_rows(np.asarray(padded_pos), -1), NamedSharding(mesh, P(axes, None)))
+    pc = jax.device_put(
+        pad_rows(np.asarray(pos_counts, dtype=np.int32), 0), NamedSharding(mesh, P(axes))
+    )
+    uid_arr = jax.device_put(uids, NamedSharding(mesh, P(axes)))
+    return p, q, pp, pc, uid_arr, n_users
+
+
+def make_sharded_topk(mesh: Mesh, k_top: int):
+    """Item-sharded exact top-k: each device ranks its item shard, results
+    are all-gathered and merged (partial top-k + merge)."""
+    axes = tuple(mesh.axis_names)
+
+    def topk(queries, items):  # queries replicated, items row-sharded
+        n_dev = mesh.size
+        shard_size = items.shape[0] // n_dev
+
+        def local(queries, items_shard, shard_idx):
+            scores = jnp.dot(queries, items_shard.T, preferred_element_type=jnp.float32)
+            k_local = min(k_top, items_shard.shape[0])
+            s, i = jax.lax.top_k(scores, k_local)
+            i = i + shard_idx[0] * shard_size
+            # gather every shard's candidates, merge locally (replicated out)
+            all_s = jax.lax.all_gather(s, axes, tiled=False)  # [D, B, k]
+            all_i = jax.lax.all_gather(i, axes, tiled=False)
+            d = all_s.shape[0]
+            all_s = jnp.moveaxis(all_s, 0, 1).reshape(queries.shape[0], d * k_local)
+            all_i = jnp.moveaxis(all_i, 0, 1).reshape(queries.shape[0], d * k_local)
+            ms, mi = jax.lax.top_k(all_s, k_top)
+            gi = jnp.take_along_axis(all_i, mi, axis=1)
+            return ms, gi
+
+        shard_ids = jax.device_put(
+            np.arange(mesh.size, dtype=np.int32), NamedSharding(mesh, P(axes))
+        )
+        return jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(axes, None), P(axes)),
+            out_specs=(P(), P()),
+            check_vma=False,  # outputs are replicated by the final merge
+        )(queries, items, shard_ids)
+
+    return jax.jit(topk)
