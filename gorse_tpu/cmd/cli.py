@@ -1,0 +1,149 @@
+"""Admin CLI.
+
+Covers the reference's cmd/gorse-cli (main.go:97-138): get users/items/
+feedback, recommendations, cluster info, task list (ps), stats, config,
+schedule training, dump/restore and CSV import/export — all against a
+running node's HTTP API.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import urllib.request
+
+
+class AdminClient:
+    def __init__(self, url: str, api_key: str = "") -> None:
+        self.url = url.rstrip("/")
+        self.api_key = api_key
+
+    def _headers(self) -> dict:
+        h = {"Content-Type": "application/json"}
+        if self.api_key:
+            h["X-API-Key"] = self.api_key
+        return h
+
+    def get(self, path: str):
+        req = urllib.request.Request(self.url + path, headers=self._headers())
+        with urllib.request.urlopen(req) as resp:
+            body = resp.read()
+            ctype = resp.headers.get("Content-Type", "")
+            return json.loads(body) if "json" in ctype else body
+
+    def post(self, path: str, payload=None, content_type: str = "application/json"):
+        data = (
+            json.dumps(payload).encode()
+            if isinstance(payload, (dict, list))
+            else (payload or b"")
+        )
+        headers = self._headers()
+        headers["Content-Type"] = content_type
+        req = urllib.request.Request(self.url + path, data=data, headers=headers)
+        with urllib.request.urlopen(req) as resp:
+            return json.loads(resp.read().decode())
+
+
+def _print(obj) -> None:
+    if isinstance(obj, bytes):
+        sys.stdout.buffer.write(obj)
+    else:
+        print(json.dumps(obj, indent=2))
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="gorse-tpu-cli", description="gorse_tpu admin CLI")
+    parser.add_argument("--url", default="http://127.0.0.1:8087", help="node base URL")
+    parser.add_argument("--api-key", default="")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("version")
+    sub.add_parser("cluster-info", help="list cluster nodes")
+    sub.add_parser("ps", help="list running/finished tasks")
+    sub.add_parser("stats")
+    sub.add_parser("config")
+    sub.add_parser("schedule", help="trigger a training cycle now")
+    sub.add_parser("health")
+
+    p = sub.add_parser("get", help="get users/items/feedback/recommendations")
+    p.add_argument("what", choices=["user", "item", "users", "items", "feedback"])
+    p.add_argument("id", nargs="?", default="")
+    p.add_argument("-n", type=int, default=10)
+
+    p = sub.add_parser("recommend")
+    p.add_argument("user_id")
+    p.add_argument("-n", type=int, default=10)
+    p.add_argument("--category", default="")
+
+    p = sub.add_parser("popular")
+    p.add_argument("-n", type=int, default=10)
+    p = sub.add_parser("latest")
+    p.add_argument("-n", type=int, default=10)
+
+    p = sub.add_parser("dump")
+    p.add_argument("path")
+    p = sub.add_parser("restore")
+    p.add_argument("path")
+
+    p = sub.add_parser("export")
+    p.add_argument("what", choices=["users", "items", "feedback"])
+    p.add_argument("path")
+    p = sub.add_parser("import")
+    p.add_argument("what", choices=["users", "items", "feedback"])
+    p.add_argument("path")
+
+    args = parser.parse_args(argv)
+    client = AdminClient(args.url, args.api_key)
+
+    if args.cmd == "version":
+        from .. import __version__
+
+        print(__version__)
+    elif args.cmd == "cluster-info":
+        _print(client.get("/api/dashboard/cluster"))
+    elif args.cmd == "ps":
+        _print(client.get("/api/dashboard/tasks"))
+    elif args.cmd == "stats":
+        _print(client.get("/api/dashboard/stats"))
+    elif args.cmd == "config":
+        _print(client.get("/api/dashboard/config"))
+    elif args.cmd == "schedule":
+        _print(client.post("/api/dashboard/schedule", {}))
+    elif args.cmd == "health":
+        _print(client.get("/api/health/ready"))
+    elif args.cmd == "get":
+        if args.what in ("user", "item"):
+            _print(client.get(f"/api/{args.what}/{args.id}"))
+        elif args.what == "feedback":
+            _print(client.get(f"/api/user/{args.id}/feedback" if args.id else "/api/feedback"))
+        else:
+            _print(client.get(f"/api/{args.what}?n={args.n}"))
+    elif args.cmd == "recommend":
+        path = f"/api/recommend/{args.user_id}"
+        if args.category:
+            path += f"/{args.category}"
+        _print(client.get(f"{path}?n={args.n}"))
+    elif args.cmd in ("popular", "latest"):
+        _print(client.get(f"/api/{args.cmd}?n={args.n}"))
+    elif args.cmd == "dump":
+        blob = client.get("/api/dump")
+        with open(args.path, "wb") as f:
+            f.write(blob)
+        print(f"dumped to {args.path}")
+    elif args.cmd == "restore":
+        with open(args.path, "rb") as f:
+            _print(client.post("/api/restore", f.read(), "application/octet-stream"))
+    elif args.cmd == "export":
+        body = client.get(f"/api/export/{args.what}")
+        with open(args.path, "wb") as f:
+            f.write(body)
+        print(f"exported to {args.path}")
+    elif args.cmd == "import":
+        with open(args.path, "rb") as f:
+            _print(client.post(f"/api/import/{args.what}", f.read(), "text/csv"))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,76 @@
+"""Entrypoints for the three node roles.
+
+Covers the reference's cmd/gorse-master, cmd/gorse-server, cmd/gorse-worker:
+a master process running the training loop + dashboard, stateless REST
+server processes, and offline-pipeline worker processes — all pointed at the
+master over HTTP and at shared store URLs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import threading
+
+
+def _logging():
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
+
+
+def master_main() -> None:
+    from ..serve.dashboard import MasterRestServer
+    from ..serve.master import Master
+    from ..storage.blob import BlobStore
+    from ..storage.cache import open_cache_store
+    from ..storage.data import open_data_store
+    from ..storage.meta import MetaStore
+    from ..utils.config import Config, ConfigWatcher, load_config
+
+    parser = argparse.ArgumentParser(prog="gorse-tpu-master")
+    parser.add_argument("--config", help="TOML config path")
+    parser.add_argument("--host", default=None)
+    parser.add_argument("--port", type=int, default=None)
+    args = parser.parse_args()
+    _logging()
+    config = load_config(args.config) if args.config else Config()
+    data = open_data_store(config.database.data_store)
+    cache = open_cache_store(config.database.cache_store)
+    blob = BlobStore(config.database.blob_store or "/tmp/gorse_tpu_blobs")
+    meta = MetaStore(config.database.meta_store)
+    master = Master(config, data, cache, blob, meta)
+    rest = MasterRestServer(master, api_key=config.master.admin_api_key)
+    rest.serve(args.host or config.master.http_host, args.port or config.master.http_port)
+    master.serve_background()
+    if args.config:
+        def on_change(new_cfg):
+            master.config.recommend = new_cfg.recommend
+            master.trigger()
+
+        ConfigWatcher(args.config, on_change).start()
+    threading.Event().wait()
+
+
+def server_main() -> None:
+    from ..serve.nodes import ServerNode
+
+    parser = argparse.ArgumentParser(prog="gorse-tpu-server")
+    parser.add_argument("--master", default="http://127.0.0.1:8088")
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8087)
+    args = parser.parse_args()
+    _logging()
+    node = ServerNode(args.master)
+    node.serve(args.host, args.port)
+    threading.Event().wait()
+
+
+def worker_main() -> None:
+    from ..serve.nodes import WorkerNode
+
+    parser = argparse.ArgumentParser(prog="gorse-tpu-worker")
+    parser.add_argument("--master", default="http://127.0.0.1:8088")
+    parser.add_argument("--meta-timeout", type=float, default=10.0)
+    args = parser.parse_args()
+    _logging()
+    node = WorkerNode(args.master, meta_timeout=args.meta_timeout)
+    node.serve()

@@ -145,26 +145,38 @@ class CTRDataset:
 
 def load_libfm_file(path: str) -> CTRDataset:
     """Load a libFM-format file: ``target idx:val idx:val ...`` per line
-    (reference: model/ctr/data.go:270-318)."""
+    (reference: model/ctr/data.go:270-318). Uses the native C++ parser
+    (gorse_tpu.native) when available; pure-Python fallback otherwise."""
+    from ..native import parse_libfm_bytes
+
+    with open(path, "rb") as f:
+        buf = f.read()
+    parsed = parse_libfm_bytes(buf)
+    if parsed is not None:
+        targets, indptr, indices, values, max_label = parsed
+        d = CTRDataset(DirectIndex(int(max_label) + 1))
+        for r in range(len(targets)):
+            lo, hi = int(indptr[r]), int(indptr[r + 1])
+            d.add(indices[lo:hi].tolist(), values[lo:hi].tolist(), float(targets[r]))
+        return d
     features: list[tuple[list[int], list[float]]] = []
-    targets: list[float] = []
+    targets_list: list[float] = []
     max_label = 0
-    with open(path) as f:
-        for line in f:
-            fields = line.strip().split()
-            if not fields:
-                continue
-            targets.append(max(float(fields[0]), 0.0))  # -1 -> 0
-            idx, val = [], []
-            for tok in fields[1:]:
-                k, _, v = tok.partition(":")
-                k = int(k)
-                idx.append(k)
-                val.append(float(v) if v else 1.0)
-                max_label = max(max_label, k)
-            features.append((idx, val))
+    for line in buf.decode().splitlines():
+        fields = line.strip().split()
+        if not fields:
+            continue
+        targets_list.append(max(float(fields[0]), 0.0))  # -1 -> 0
+        idx, val = [], []
+        for tok in fields[1:]:
+            k, _, v = tok.partition(":")
+            k = int(k)
+            idx.append(k)
+            val.append(float(v) if v else 1.0)
+            max_label = max(max_label, k)
+        features.append((idx, val))
     d = CTRDataset(DirectIndex(max_label + 1))
-    for (idx, val), t in zip(features, targets):
+    for (idx, val), t in zip(features, targets_list):
         d.add(idx, val, t)
     return d
 

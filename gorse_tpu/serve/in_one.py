@@ -44,6 +44,38 @@ class InOneNode:
 
     # --------------------------------------------------------------- runs
 
+    def seed_playground(self, n_users: int = 100, n_items: int = 200, seed: int = 0) -> None:
+        """Seed demo data (reference: --playground downloads the GitRec
+        corpus, cmd/gorse-in-one/main.go:56-92; offline here, a low-rank
+        synthetic catalog plays that role)."""
+        import numpy as np
+
+        from ..data import synthetic_cf
+        from ..storage.types import Feedback, Item, User
+
+        data = synthetic_cf(n_users=n_users, n_items=n_items, rank=8, density=0.06, seed=seed)
+        genres = ["ai", "web", "db", "infra", "mobile"]
+        rng = np.random.default_rng(seed)
+        self.data.insert_items(
+            [
+                Item(
+                    f"repo{i}",
+                    categories=[genres[int(rng.integers(len(genres)))]],
+                    timestamp=float(rng.integers(1, 10**6)),
+                    labels=[genres[int(rng.integers(len(genres)))]],
+                )
+                for i in range(n_items)
+            ]
+        )
+        self.data.insert_users([User(f"user{u}") for u in range(n_users)])
+        fbs = []
+        for u in range(n_users):
+            for slot, i in enumerate(data.user_feedback[u]):
+                fbs.append(
+                    Feedback("star", f"user{u}", f"repo{i}", timestamp=float(data.timestamps[u][slot]))
+                )
+        self.data.insert_feedback(fbs)
+
     def run_once(self, search: bool = False) -> dict:
         """One offline cycle: master tasks then the worker pipeline
         (reference: standalone updateRecommend master/tasks.go:1400-1454
@@ -87,10 +119,18 @@ def main() -> None:
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8087)
     parser.add_argument("--workdir", default=None)
+    parser.add_argument(
+        "--playground", action="store_true",
+        help="seed a synthetic demo catalog and train immediately",
+    )
     args = parser.parse_args()
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
     config = load_config(args.config) if args.config else Config()
     node = InOneNode(config, workdir=args.workdir)
+    if args.playground:
+        config.recommend.data_source.positive_feedback_types = ["star"]
+        node.seed_playground()
+        node.run_once()
     node.serve(args.host, args.port, background_loop=True)
     logger.info("in-one node ready at http://%s:%d/api/", args.host, args.port)
     try:

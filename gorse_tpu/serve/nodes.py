@@ -1,0 +1,161 @@
+"""Standalone server and worker node processes.
+
+Covers the reference's cmd/gorse-server and cmd/gorse-worker: nodes that
+register with the master, poll it for config + model ids + peer lists, and
+serve/compute against shared stores. The reference's gRPC Master service
+(GetMeta) maps to the master's HTTP /api/admin/meta endpoint; storage is
+shared through store URLs (sqlite files or remote engines), mirroring the
+reference's storage-proxy deployment shape.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import socket
+import threading
+import time
+import urllib.request
+import uuid as uuid_mod
+
+from .. import __version__
+from ..storage.blob import BlobStore
+from ..storage.cache import open_cache_store
+from ..storage.data import open_data_store
+from ..utils.config import Config
+from .rest import RestServer
+from .worker import Worker
+
+logger = logging.getLogger(__name__)
+
+
+class MasterClient:
+    """HTTP client for the master's node-sync endpoints (the gRPC
+    MasterClient analog, worker/worker.go:139-259)."""
+
+    def __init__(self, master_url: str, node_type: str, node_id: str | None = None) -> None:
+        self.master_url = master_url.rstrip("/")
+        self.node_type = node_type
+        self.node_id = node_id or f"{node_type}-{uuid_mod.uuid4().hex[:8]}"
+
+    def get_meta(self) -> dict:
+        payload = json.dumps(
+            {
+                "uuid": self.node_id,
+                "hostname": socket.gethostname(),
+                "type": self.node_type,
+                "version": __version__,
+            }
+        ).encode()
+        req = urllib.request.Request(
+            self.master_url + "/api/admin/meta",
+            data=payload,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            return json.loads(resp.read().decode())
+
+    def push_progress(self, spans: list[dict]) -> None:
+        payload = json.dumps({"uuid": self.node_id, "spans": spans}).encode()
+        req = urllib.request.Request(
+            self.master_url + "/api/admin/progress",
+            data=payload,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            resp.read()
+
+
+class ServerNode:
+    """REST frontend node (reference: server/server.go): syncs config from
+    the master each meta_timeout, serves the public API from the stores."""
+
+    def __init__(self, master_url: str, meta_timeout: float = 10.0) -> None:
+        self.client = MasterClient(master_url, "server")
+        self.meta_timeout = meta_timeout
+        self.config: Config | None = None
+        self.rest: RestServer | None = None
+        self._stop = threading.Event()
+
+    def sync(self) -> None:
+        """Reference: Server.Sync server/server.go:152-247."""
+        meta = self.client.get_meta()
+        new_config = Config.from_json(meta["config"])
+        if self.config is None or new_config.to_json() != self.config.to_json():
+            self.config = new_config
+            data = open_data_store(new_config.database.data_store)
+            cache = open_cache_store(new_config.database.cache_store)
+            if self.rest is None:
+                self.rest = RestServer(
+                    new_config, data, cache, api_key=new_config.server.api_key
+                )
+            else:
+                self.rest.config = new_config
+                self.rest.data = data
+                self.rest.cache = cache
+            logger.info("server config synced from master")
+
+    def serve(self, host: str = "127.0.0.1", port: int = 8087):
+        self.sync()
+        httpd = self.rest.serve(host, port)
+        threading.Thread(target=self._sync_loop, daemon=True).start()
+        return httpd
+
+    def _sync_loop(self) -> None:
+        while not self._stop.wait(self.meta_timeout):
+            try:
+                self.sync()
+            except Exception as e:  # noqa: BLE001
+                logger.error("server sync failed: %s", e)
+
+    def shutdown(self) -> None:
+        self._stop.set()
+        if self.rest:
+            self.rest.shutdown()
+
+
+class WorkerNode:
+    """Offline-pipeline node (reference: worker/worker.go Serve :349-414):
+    syncs config/models from the master, recomputes its rendezvous shard."""
+
+    def __init__(self, master_url: str, meta_timeout: float = 10.0) -> None:
+        self.client = MasterClient(master_url, "worker")
+        self.meta_timeout = meta_timeout
+        self.config: Config | None = None
+        self.worker: Worker | None = None
+        self._stop = threading.Event()
+
+    def sync_once(self) -> int:
+        """One sync + pipeline cycle; returns users refreshed."""
+        meta = self.client.get_meta()
+        new_config = Config.from_json(meta["config"])
+        if self.worker is None or new_config.to_json() != self.config.to_json():
+            self.config = new_config
+            data = open_data_store(new_config.database.data_store)
+            cache = open_cache_store(new_config.database.cache_store)
+            blob = BlobStore(new_config.database.blob_store or "/tmp/gorse_tpu_blobs")
+            self.worker = Worker(
+                new_config, data, cache, blob, node_id=self.client.node_id
+            )
+        self.worker.pull_models(meta["cf_model_id"], meta["ctr_model_id"])
+        peers = meta["workers"] or [self.client.node_id]
+        users = self.worker.pull_users(peers)
+        n = self.worker.recommend(users)
+        self.client.push_progress(self.worker.progress.list())
+        return n
+
+    def serve(self) -> None:
+        while not self._stop.is_set():
+            try:
+                self.sync_once()
+            except Exception as e:  # noqa: BLE001
+                logger.error("worker cycle failed: %s", e)
+            self._stop.wait(self.meta_timeout)
+
+    def serve_background(self) -> threading.Thread:
+        t = threading.Thread(target=self.serve, daemon=True)
+        t.start()
+        return t
+
+    def shutdown(self) -> None:
+        self._stop.set()

@@ -1,0 +1,115 @@
+"""Vector store + Python SDK client tests (reference analogs:
+storage/vectors/*_test.go, client/client_test.go)."""
+
+import socket
+
+import numpy as np
+import pytest
+
+from gorse_tpu.client import GorseClient
+from gorse_tpu.serve import InOneNode
+from gorse_tpu.storage.types import Feedback, Item, User
+from gorse_tpu.storage.vectors import (
+    MemoryVectorStore,
+    SQLiteVectorStore,
+    open_vector_store,
+)
+from gorse_tpu.utils.config import Config
+
+
+@pytest.fixture(params=["memory", "sqlite"])
+def vstore(request, tmp_path):
+    if request.param == "memory":
+        return MemoryVectorStore()
+    return SQLiteVectorStore(str(tmp_path / "vec.db"))
+
+
+def test_vector_store_crud_and_query(vstore):
+    vstore.create_collection("cf", 4)
+    assert vstore.has_collection("cf")
+    rng = np.random.default_rng(0)
+    vecs = rng.normal(size=(20, 4)).astype(np.float32)
+    ids = [f"v{i}" for i in range(20)]
+    vstore.add("cf", ids, vecs)
+    q = vecs[3:5]
+    results = vstore.query("cf", q, k=3)
+    # exact top-k by dot product matches brute force for every query
+    for b in range(2):
+        ref = vecs @ q[b]
+        order = np.argsort(-ref)[:3]
+        assert [r.id for r in results[b]] == [f"v{i}" for i in order]
+    # delete removes from queries
+    vstore.delete("cf", ["v3"])
+    results = vstore.query("cf", q[:1], k=3)
+    assert all(r.id != "v3" for r in results[0])
+    vstore.drop_collection("cf")
+    assert not vstore.has_collection("cf")
+
+
+def test_sqlite_vector_store_persists(tmp_path):
+    path = str(tmp_path / "v.db")
+    s1 = SQLiteVectorStore(path)
+    s1.create_collection("c", 2)
+    s1.add("c", ["a", "b"], np.asarray([[1.0, 0.0], [0.0, 1.0]], dtype=np.float32))
+    s1.close()
+    s2 = SQLiteVectorStore(path)
+    assert s2.has_collection("c")
+    out = s2.query("c", np.asarray([[1.0, 0.1]], dtype=np.float32), k=1)
+    assert out[0][0].id == "a"
+
+
+def test_open_vector_store():
+    assert open_vector_store("memory://") is not None
+    with pytest.raises(ValueError):
+        open_vector_store("milvus://nope")
+
+
+@pytest.fixture
+def sdk(tmp_path):
+    config = Config()
+    config.recommend.ranker.type = "none"
+    config.recommend.data_source.positive_feedback_types = ["star"]
+    node = InOneNode(config, workdir=str(tmp_path))
+    node.seed_playground(n_users=20, n_items=30, seed=1)
+    node.run_once()
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    node.serve("127.0.0.1", port, background_loop=False)
+    yield GorseClient(f"http://127.0.0.1:{port}")
+    node.shutdown()
+
+
+def test_sdk_client_end_to_end(sdk):
+    assert sdk.health_ready()
+    sdk.insert_user(User("sdk-user", labels=["x"]))
+    assert sdk.get_user("sdk-user").labels == ["x"]
+    sdk.insert_item(Item("sdk-item", categories=["ai"], timestamp=99.0))
+    assert sdk.get_item("sdk-item").categories == ["ai"]
+    sdk.insert_feedback([Feedback("star", "sdk-user", "repo1")])
+    fb = sdk.get_user_feedback("sdk-user", "star")
+    assert fb and fb[0].item_id == "repo1"
+    recs = sdk.get_recommend("user3", n=5)
+    assert len(recs) == 5
+    assert sdk.get_latest(n=3)
+    assert sdk.get_popular(n=3)
+    users, cursor = sdk.get_users(n=5)
+    assert len(users) == 5 and cursor
+    sdk.delete_item("sdk-item")
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError):
+        sdk.get_item("sdk-item")
+
+
+def test_playground_seeding(tmp_path):
+    config = Config()
+    config.recommend.data_source.positive_feedback_types = ["star"]
+    node = InOneNode(config, workdir=str(tmp_path))
+    node.seed_playground(n_users=15, n_items=25)
+    assert node.data.count_users() == 15
+    assert node.data.count_items() == 25
+    assert node.data.count_feedback() > 0
+    out = node.run_once()
+    assert out["cf_model_id"]
+    assert out["users_refreshed"] == 15
