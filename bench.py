@@ -26,7 +26,8 @@ def main() -> None:
 
     from gorse_tpu.data import synthetic_cf
     from gorse_tpu.models import BPR, Params
-    from gorse_tpu.models.bpr import _bpr_epoch
+    from gorse_tpu.models.bpr import _bpr_epoch, _bpr_epoch_fused
+    from gorse_tpu.ops.bpr_kernel import pack_items
 
     # ml-1m-shaped synthetic dataset
     data = synthetic_cf(n_users=6040, n_items=3706, rank=16, density=0.045, seed=0)
@@ -43,11 +44,15 @@ def main() -> None:
     n_steps = max(round(nnz / n_active), 1)
     kwargs = dict(n_steps=n_steps, n_items=train.count_items(), lr=0.05, reg=0.01)
 
+    use_fused = jax.default_backend() == "tpu"
+    epoch_fn = _bpr_epoch_fused if use_fused else _bpr_epoch
     p, q = model.user_factors, model.item_factors
+    if use_fused:
+        q = pack_items(q)
     key = jax.random.PRNGKey(0)
     # warmup + compile
     key, k0 = jax.random.split(key)
-    p, q, cost = _bpr_epoch(p, q, padded_pos, pos_counts, k0, **kwargs)
+    p, q, cost = epoch_fn(p, q, padded_pos, pos_counts, k0, **kwargs)
     _ = float(cost)
 
     # Epochs chain on-device via the (p, q) data dependency; the final
@@ -57,7 +62,7 @@ def main() -> None:
     t0 = time.perf_counter()
     for _ in range(n_epochs):
         key, ke = jax.random.split(key)
-        p, q, cost = _bpr_epoch(p, q, padded_pos, pos_counts, ke, **kwargs)
+        p, q, cost = epoch_fn(p, q, padded_pos, pos_counts, ke, **kwargs)
     _ = float(cost)
     dt = time.perf_counter() - t0
 

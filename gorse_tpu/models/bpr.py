@@ -39,6 +39,32 @@ logger = logging.getLogger(__name__)
 _NEG_TRIES = 4  # K-way rejection draws per negative sample
 
 
+def _sample_pairs(padded_pos, pos_counts, n_items, step_key):
+    """Sample one (positive, negative) pair per user.
+
+    Positive: uniform slot selected via a one-hot over the history axis
+    (take_along_axis row-gathers measured ~7x slower on TPU). Negative:
+    K-way rejection with 2D compares per candidate (a single 3D broadcast
+    compare is ~12x slower on TPU).
+    """
+    ks, kn = jax.random.split(step_key)
+    n_users, max_len = padded_pos.shape
+    slot = jax.random.randint(ks, (n_users,), 0, jnp.maximum(pos_counts, 1))
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n_users, max_len), 1)
+    pos = jnp.sum(jnp.where(lane == slot[:, None], padded_pos, 0), axis=1)
+    pos = jnp.maximum(pos, 0)  # inactive users point at row 0, masked later
+    cand = jax.random.randint(kn, (n_users, _NEG_TRIES), 0, n_items)
+    neg = cand[:, 0]
+    ok = jnp.zeros((n_users,), bool)
+    for t in range(_NEG_TRIES):
+        c = cand[:, t]
+        collides = jnp.any(padded_pos == c[:, None], axis=1)
+        take = (~ok) & (~collides)
+        neg = jnp.where(take, c, neg)
+        ok = ok | (~collides)
+    return pos, neg
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_steps", "n_items", "lr", "reg"),
@@ -70,17 +96,7 @@ def _bpr_epoch(
 
     def step(carry, step_key):
         p, q = carry
-        ks, kn = jax.random.split(step_key)
-        n_users = p.shape[0]
-        # --- positive: uniform slot within each user's history
-        slot = jax.random.randint(ks, (n_users,), 0, jnp.maximum(pos_counts, 1))
-        pos = jnp.take_along_axis(padded_pos, slot[:, None], axis=1)[:, 0]
-        pos = jnp.maximum(pos, 0)  # inactive users point at row 0, masked below
-        # --- negative: K-way masked rejection against the user's positives
-        cand = jax.random.randint(kn, (n_users, _NEG_TRIES), 0, n_items)
-        collide = jnp.any(padded_pos[:, None, :] == cand[:, :, None], axis=-1)
-        first_ok = jnp.argmax(~collide, axis=1)  # 0 if all collide (p ~ density^K)
-        neg = jnp.take_along_axis(cand, first_ok[:, None], axis=1)[:, 0]
+        pos, neg = _sample_pairs(padded_pos, pos_counts, n_items, step_key)
         # --- pairwise update (reference rule, model/cf/model.go:469-488)
         qi = q[pos]
         qj = q[neg]
@@ -98,6 +114,42 @@ def _bpr_epoch(
     keys = jax.random.split(key, n_steps)
     (user_factors, item_factors), costs = jax.lax.scan(step, (user_factors, item_factors), keys)
     return user_factors, item_factors, jnp.sum(costs)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_steps", "n_items", "lr", "reg"),
+    donate_argnums=(0, 1),
+)
+def _bpr_epoch_fused(
+    user_factors: jax.Array,  # [U, k]
+    q_packed: jax.Array,  # [R, 128] packed item factors (ops/bpr_kernel)
+    padded_pos: jax.Array,
+    pos_counts: jax.Array,
+    key: jax.Array,
+    n_steps: int,
+    n_items: int,
+    lr: float,
+    reg: float,
+):
+    """Fused-kernel epoch: sampling in XLA, gather+update+scatter in the
+    Pallas kernel (ops/bpr_kernel.bpr_fused_step). TPU-only; requires
+    k | 128."""
+    from ..ops.bpr_kernel import bpr_fused_step
+
+    active = (pos_counts > 0).astype(jnp.int32)
+
+    def step(carry, step_key):
+        p, qp = carry
+        pos, neg = _sample_pairs(padded_pos, pos_counts, n_items, step_key)
+        p, q_delta, cost = bpr_fused_step(
+            p, qp, pos, neg, active, lr, reg, mm_dtype=jnp.bfloat16
+        )
+        return (p, qp + q_delta), cost
+
+    keys = jax.random.split(key, n_steps)
+    (user_factors, q_packed), costs = jax.lax.scan(step, (user_factors, q_packed), keys)
+    return user_factors, q_packed, jnp.sum(costs)
 
 
 class BPR(MatrixFactorization):
@@ -151,18 +203,27 @@ class BPR(MatrixFactorization):
         history = [(0, metrics["NDCG"])]
         logger.info("fit bpr 0/%d NDCG@%d=%.4f", self.n_epochs, config.top_k, metrics["NDCG"])
 
+        # fused Pallas path on TPU when k divides the lane width
+        use_fused = jax.default_backend() == "tpu" and 128 % self.n_factors == 0
+        if use_fused:
+            from ..ops.bpr_kernel import pack_items, unpack_items
+
         p, q = self.user_factors, self.item_factors
+        if use_fused:
+            q = pack_items(q)
         for epoch in range(1, self.n_epochs + 1):
             t0 = time.time()
             key, epoch_key = jax.random.split(key)
-            p, q, cost = _bpr_epoch(
+            epoch_fn = _bpr_epoch_fused if use_fused else _bpr_epoch
+            p, q, cost = epoch_fn(
                 p, q, padded_pos, pos_counts, epoch_key,
                 n_steps=n_steps, n_items=n_items,
                 lr=self.lr, reg=self.reg,
             )
             if epoch % config.verbose == 0 or epoch == self.n_epochs:
                 cost = float(cost)  # blocks; also syncs the epoch
-                metrics = evaluate_mf(p, q, *eval_cands, config.top_k)
+                q_eval = unpack_items(q, n_items, self.n_factors) if use_fused else q
+                metrics = evaluate_mf(p, q_eval, *eval_cands, config.top_k)
                 history.append((epoch, metrics["NDCG"]))
                 logger.info(
                     "fit bpr %d/%d fit=%.2fs cost=%.1f NDCG@%d=%.4f P@%d=%.4f R@%d=%.4f",
@@ -176,6 +237,8 @@ class BPR(MatrixFactorization):
                     if best_epoch <= epoch - config.patience:
                         logger.info("early stopping at epoch %d (best %d)", epoch, best_epoch)
                         break
+        if use_fused:
+            q = unpack_items(q, n_items, self.n_factors)
         self.user_factors, self.item_factors = p, q
         metrics = evaluate_mf(p, q, *eval_cands, config.top_k)
         return Score(ndcg=metrics["NDCG"], precision=metrics["Precision"], recall=metrics["Recall"])

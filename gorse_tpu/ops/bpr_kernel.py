@@ -1,0 +1,335 @@
+"""Fused Pallas kernel for the BPR pairwise update.
+
+The XLA dense-over-users epoch (models/bpr.py) is bottlenecked by the two
+item-table scatter-adds and the item-row gathers — XLA lowers them to slow
+serialized scatter/gather loops (~100M rows/s measured). This kernel turns
+both into full-utilization MXU matmuls via a *packed* item layout:
+
+    q_packed[r, :]  holds  P = 128 // k  consecutive items' factors,
+    item i lives at row i // P, lanes (i % P) * k : (i % P + 1) * k.
+
+Per user block the kernel builds a one-hot [TB, I/P] over packed rows
+on the fly IN VMEM (never materialized to HBM):
+
+    gather:  onehot @ q_packed        -> [TB, 128], lane-group select -> q_i
+    scatter: onehot^T @ delta_packed  -> [I/P, 128] accumulated in scratch
+
+so the FLOPs land on the 128-wide MXU instead of 16-wide scatter rows.
+The grid walks user blocks sequentially; the q-delta accumulator lives in
+VMEM scratch and is written once at the last block.
+
+Used by models/bpr.py on TPU when k divides 128; parity with the XLA path is
+tested in interpret mode (tests/test_bpr_kernel.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def pack_items(q: jax.Array) -> jax.Array:
+    """[I, k] -> packed [I_pad/P, 128] with P = 128//k consecutive items per
+    row (k must divide 128)."""
+    n_items, k = q.shape
+    assert LANES % k == 0, f"k={k} must divide {LANES}"
+    p = LANES // k
+    rows = _round_up(n_items, p) // p
+    padded = jnp.zeros((rows * p, k), q.dtype).at[:n_items].set(q)
+    return padded.reshape(rows, LANES)
+
+
+def unpack_items(q_packed: jax.Array, n_items: int, k: int) -> jax.Array:
+    p = LANES // k
+    return q_packed.reshape(-1, k)[:n_items]
+
+
+def _fused_kernel(
+    pos_ref, neg_ref, active_ref, p_ref, qp_ref,
+    p_out_ref, qd_out_ref, cost_ref,
+    *, k: int, lr: float, reg: float, block_u: int, rows_pad: int, mm_dtype, n_blocks: int,
+):
+    """Single pallas invocation; internal fori_loop over user blocks keeps
+    the q-delta accumulator live in VMEM with no per-block grid overhead."""
+    pack = LANES // k
+    qp_mm = qp_ref[:].astype(mm_dtype)
+
+    def body(blk, carry):
+        qd, cost = carry
+        sl = pl.ds(blk * block_u, block_u)
+        pos = pos_ref[sl, :]  # [TB, 1] int32
+        neg = neg_ref[sl, :]
+        active = active_ref[sl, :].astype(jnp.float32)  # [TB, 1]
+        p = p_ref[sl, :]  # [TB, k]
+
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (block_u, rows_pad), 1)
+        oh_pos = (row_ids == pos // pack).astype(mm_dtype)  # [TB, R]
+        oh_neg = (row_ids == neg // pack).astype(mm_dtype)
+        g_pos = jnp.dot(oh_pos, qp_mm, preferred_element_type=jnp.float32)  # [TB, 128]
+        g_neg = jnp.dot(oh_neg, qp_mm, preferred_element_type=jnp.float32)
+
+        if pack == 1:
+            qi, qj = g_pos, g_neg
+        else:
+            lane_pos = pos % pack  # [TB, 1]
+            lane_neg = neg % pack
+            qi = jnp.zeros((block_u, k), jnp.float32)
+            qj = jnp.zeros((block_u, k), jnp.float32)
+            for g in range(pack):
+                qi = qi + jnp.where(lane_pos == g, g_pos[:, g * k:(g + 1) * k], 0.0)
+                qj = qj + jnp.where(lane_neg == g, g_neg[:, g * k:(g + 1) * k], 0.0)
+
+        diff = jnp.sum(p * (qi - qj), axis=-1, keepdims=True)  # [TB, 1]
+        cost = cost + jnp.sum(active * jnp.logaddexp(0.0, -diff))
+        grad = active * jax.nn.sigmoid(-diff)  # [TB, 1]
+        d_qi = active * (lr * (grad * p - reg * qi))
+        d_qj = active * (lr * (-grad * p - reg * qj))
+        d_pu = active * (lr * (grad * (qi - qj) - reg * p))
+        p_out_ref[sl, :] = p + d_pu
+
+        if pack == 1:
+            dp_pos, dp_neg = d_qi, d_qj
+        else:
+            dp_pos = jnp.concatenate(
+                [jnp.where(lane_pos == g, d_qi, 0.0) for g in range(pack)], axis=1
+            )
+            dp_neg = jnp.concatenate(
+                [jnp.where(lane_neg == g, d_qj, 0.0) for g in range(pack)], axis=1
+            )
+
+        qd = qd + jax.lax.dot_general(
+            oh_pos, dp_pos.astype(mm_dtype), dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        qd = qd + jax.lax.dot_general(
+            oh_neg, dp_neg.astype(mm_dtype), dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return qd, cost
+
+    qd0 = jnp.zeros((rows_pad, LANES), jnp.float32)
+    qd, cost = jax.lax.fori_loop(0, n_blocks, body, (qd0, jnp.float32(0.0)))
+    qd_out_ref[:] = qd
+    cost_ref[0, 0] = cost
+
+
+@functools.partial(jax.jit, static_argnames=("lr", "reg", "block_u", "interpret", "mm_dtype"))
+def bpr_fused_step(
+    p: jax.Array,  # [U, k] user factors (U padded to block_u multiple)
+    q_packed: jax.Array,  # [R, 128] packed item factors (R mult of 8)
+    pos: jax.Array,  # [U] int32
+    neg: jax.Array,  # [U] int32
+    active: jax.Array,  # [U] bool/int32
+    lr: float,
+    reg: float,
+    block_u: int = 512,
+    interpret: bool = False,
+    mm_dtype=jnp.float32,
+):
+    """One fused BPR pairwise sweep. Returns (p_new, q_delta_packed, cost)."""
+    n_users, k = p.shape
+    rows = q_packed.shape[0]
+    rows_pad = _round_up(rows, 8)
+    u_pad = _round_up(n_users, block_u)
+    qp = jnp.zeros((rows_pad, LANES), jnp.float32).at[:rows].set(q_packed)
+    pp = jnp.zeros((u_pad, k), jnp.float32).at[:n_users].set(p)
+    pos_p = jnp.zeros((u_pad, 1), jnp.int32).at[:n_users, 0].set(pos)
+    neg_p = jnp.zeros((u_pad, 1), jnp.int32).at[:n_users, 0].set(neg)
+    act_p = jnp.zeros((u_pad, 1), jnp.int32).at[:n_users, 0].set(active.astype(jnp.int32))
+
+    n_blocks = u_pad // block_u
+    p_new, q_delta, cost = pl.pallas_call(
+        functools.partial(
+            _fused_kernel, k=k, lr=lr, reg=reg, block_u=block_u,
+            rows_pad=rows_pad, mm_dtype=mm_dtype, n_blocks=n_blocks,
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((u_pad, k), jnp.float32),
+            jax.ShapeDtypeStruct((rows_pad, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ),
+        interpret=interpret,
+    )(pos_p, neg_p, act_p, pp, qp)
+    return p_new[:n_users], q_delta[:rows], cost[0, 0]
+
+
+def _fully_fused_kernel(
+    seed_ref, pp_ref, pc_ref, p_ref, qp_ref,
+    p_out_ref, qd_out_ref, cost_ref, pos_out_ref, neg_out_ref,
+    *, k: int, n_items: int, lr: float, reg: float,
+    block_u: int, rows_pad: int, max_len: int, mm_dtype, n_blocks: int, n_tries: int,
+):
+    """Everything in one kernel: on-chip PRNG sampling (positive slot +
+    K-way rejected negative) straight out of the VMEM-resident padded
+    positives, then the packed gather/update/scatter of _fused_kernel."""
+    pack = LANES // k
+    pltpu.prng_seed(seed_ref[0])
+    qp_mm = qp_ref[:].astype(mm_dtype)
+
+    def body(blk, carry):
+        qd, cost = carry
+        sl = pl.ds(blk * block_u, block_u)
+        pc = pc_ref[sl, :]  # [TB, 1]
+        pp = pp_ref[sl, :]  # [TB, L]
+        active = (pc > 0).astype(jnp.float32)
+        p = p_ref[sl, :]
+
+        # --- positive: uniform slot in [0, count), one-hot select from pp
+        bits = pltpu.bitcast(pltpu.prng_random_bits((block_u, 1)), jnp.uint32)
+        slot = (bits % jnp.maximum(pc, 1).astype(jnp.uint32)).astype(jnp.int32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (block_u, max_len), 1)
+        pos = jnp.sum(jnp.where(lane == slot, pp, 0), axis=1, keepdims=True)
+        pos = jnp.maximum(pos, 0)  # [TB, 1]
+
+        # --- negative: K-way rejection against pp (first non-colliding
+        # draw wins; if all K collide, fall back to the first draw — the
+        # XLA path's semantics, probability ~ density**K)
+        neg = jnp.zeros((block_u, 1), jnp.int32)
+        first_draw = jnp.zeros((block_u, 1), jnp.int32)
+        ok = jnp.zeros((block_u, 1), jnp.bool_)
+        for t in range(n_tries):
+            cbits = pltpu.bitcast(pltpu.prng_random_bits((block_u, 1)), jnp.uint32)
+            c = (cbits % jnp.uint32(n_items)).astype(jnp.int32)
+            if t == 0:
+                first_draw = c
+            collides = jnp.any(pp == c, axis=1, keepdims=True)
+            take = jnp.logical_and(jnp.logical_not(ok), jnp.logical_not(collides))
+            neg = jnp.where(take, c, neg)
+            ok = jnp.logical_or(ok, jnp.logical_not(collides))
+        neg = jnp.where(ok, neg, first_draw)
+        pos_out_ref[sl, :] = pos
+        neg_out_ref[sl, :] = neg
+
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (block_u, rows_pad), 1)
+        oh_pos = (row_ids == pos // pack).astype(mm_dtype)
+        oh_neg = (row_ids == neg // pack).astype(mm_dtype)
+        g_pos = jnp.dot(oh_pos, qp_mm, preferred_element_type=jnp.float32)
+        g_neg = jnp.dot(oh_neg, qp_mm, preferred_element_type=jnp.float32)
+
+        if pack == 1:
+            qi, qj = g_pos, g_neg
+        else:
+            lane_pos = pos % pack
+            lane_neg = neg % pack
+            qi = jnp.zeros((block_u, k), jnp.float32)
+            qj = jnp.zeros((block_u, k), jnp.float32)
+            for g in range(pack):
+                qi = qi + jnp.where(lane_pos == g, g_pos[:, g * k:(g + 1) * k], 0.0)
+                qj = qj + jnp.where(lane_neg == g, g_neg[:, g * k:(g + 1) * k], 0.0)
+
+        diff = jnp.sum(p * (qi - qj), axis=-1, keepdims=True)
+        cost = cost + jnp.sum(active * jnp.logaddexp(0.0, -diff))
+        grad = active * jax.nn.sigmoid(-diff)
+        d_qi = active * (lr * (grad * p - reg * qi))
+        d_qj = active * (lr * (-grad * p - reg * qj))
+        d_pu = active * (lr * (grad * (qi - qj) - reg * p))
+        p_out_ref[sl, :] = p + d_pu
+
+        if pack == 1:
+            dp_pos, dp_neg = d_qi, d_qj
+        else:
+            dp_pos = jnp.concatenate(
+                [jnp.where(lane_pos == g, d_qi, 0.0) for g in range(pack)], axis=1
+            )
+            dp_neg = jnp.concatenate(
+                [jnp.where(lane_neg == g, d_qj, 0.0) for g in range(pack)], axis=1
+            )
+        qd = qd + jax.lax.dot_general(
+            oh_pos, dp_pos.astype(mm_dtype), dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        qd = qd + jax.lax.dot_general(
+            oh_neg, dp_neg.astype(mm_dtype), dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return qd, cost
+
+    qd0 = jnp.zeros((rows_pad, LANES), jnp.float32)
+    qd, cost = jax.lax.fori_loop(0, n_blocks, body, (qd0, jnp.float32(0.0)))
+    qd_out_ref[:] = qd
+    cost_ref[0, 0] = cost
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_items", "lr", "reg", "block_u", "interpret", "mm_dtype", "n_tries"),
+)
+def bpr_fully_fused_step(
+    p: jax.Array,  # [U, k]
+    q_packed: jax.Array,  # [R, 128]
+    padded_pos: jax.Array,  # [U, L] int32, pad=-1
+    pos_counts: jax.Array,  # [U] int32
+    seed: jax.Array,  # [1] int32 per-step seed
+    n_items: int,
+    lr: float,
+    reg: float,
+    block_u: int = 512,
+    interpret: bool = False,
+    mm_dtype=jnp.float32,
+    n_tries: int = 4,
+):
+    """One BPR sweep with in-kernel sampling. Returns
+    (p_new, q_delta_packed, cost, pos, neg)."""
+    n_users, k = p.shape
+    max_len = padded_pos.shape[1]
+    rows = q_packed.shape[0]
+    rows_pad = _round_up(rows, 8)
+    u_pad = _round_up(n_users, block_u)
+    qp = jnp.zeros((rows_pad, LANES), jnp.float32).at[:rows].set(q_packed)
+    pp_arr = jnp.full((u_pad, max_len), -1, jnp.int32).at[:n_users].set(padded_pos)
+    pc_arr = jnp.zeros((u_pad, 1), jnp.int32).at[:n_users, 0].set(pos_counts)
+    p_arr = jnp.zeros((u_pad, k), jnp.float32).at[:n_users].set(p)
+
+    n_blocks = u_pad // block_u
+    p_new, q_delta, cost, pos, neg = pl.pallas_call(
+        functools.partial(
+            _fully_fused_kernel, k=k, n_items=n_items, lr=lr, reg=reg,
+            block_u=block_u, rows_pad=rows_pad, max_len=max_len,
+            mm_dtype=mm_dtype, n_blocks=n_blocks, n_tries=n_tries,
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((u_pad, k), jnp.float32),
+            jax.ShapeDtypeStruct((rows_pad, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((u_pad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((u_pad, 1), jnp.int32),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(seed, jnp.int32).reshape(1), pp_arr, pc_arr, p_arr, qp)
+    return p_new[:n_users], q_delta[:rows], cost[0, 0], pos[:n_users, 0], neg[:n_users, 0]
