@@ -132,23 +132,27 @@ def _bpr_epoch_fused(
     lr: float,
     reg: float,
 ):
-    """Fused-kernel epoch: sampling in XLA, gather+update+scatter in the
-    Pallas kernel (ops/bpr_kernel.bpr_fused_step). TPU-only; requires
-    k | 128."""
-    from ..ops.bpr_kernel import bpr_fused_step
+    """Fully-fused epoch: sampling (on-chip PRNG), gather, update, and
+    scatter all inside the Pallas kernel
+    (ops/bpr_kernel.bpr_fully_fused_step). TPU-only; requires k | 128.
+    The hardware PRNG stream differs from jax.random, so fused and XLA
+    epochs match in distribution, not bitwise."""
+    from ..ops.bpr_kernel import bpr_fully_fused_step
 
-    active = (pos_counts > 0).astype(jnp.int32)
+    # per-epoch base seed from the key; per-step seeds offset from it
+    base_seed = jax.random.randint(key, (1,), 0, 2**31 - 1, dtype=jnp.int32)
 
-    def step(carry, step_key):
+    def step(carry, i):
         p, qp = carry
-        pos, neg = _sample_pairs(padded_pos, pos_counts, n_items, step_key)
-        p, q_delta, cost = bpr_fused_step(
-            p, qp, pos, neg, active, lr, reg, mm_dtype=jnp.bfloat16
+        p, q_delta, cost, _, _ = bpr_fully_fused_step(
+            p, qp, padded_pos, pos_counts, base_seed + i,
+            n_items=n_items, lr=lr, reg=reg, mm_dtype=jnp.bfloat16,
         )
         return (p, qp + q_delta), cost
 
-    keys = jax.random.split(key, n_steps)
-    (user_factors, q_packed), costs = jax.lax.scan(step, (user_factors, q_packed), keys)
+    (user_factors, q_packed), costs = jax.lax.scan(
+        step, (user_factors, q_packed), jnp.arange(n_steps, dtype=jnp.int32)[:, None]
+    )
     return user_factors, q_packed, jnp.sum(costs)
 
 

@@ -178,21 +178,39 @@ def bpr_fused_step(
 def _fully_fused_kernel(
     seed_ref, pp_ref, pc_ref, p_ref, qp_ref,
     p_out_ref, qd_out_ref, cost_ref, pos_out_ref, neg_out_ref,
+    pp_scratch, pp_sem,
     *, k: int, n_items: int, lr: float, reg: float,
     block_u: int, rows_pad: int, max_len: int, mm_dtype, n_blocks: int, n_tries: int,
 ):
     """Everything in one kernel: on-chip PRNG sampling (positive slot +
-    K-way rejected negative) straight out of the VMEM-resident padded
-    positives, then the packed gather/update/scatter of _fused_kernel."""
+    K-way rejected negative) straight out of the padded positives (streamed
+    HBM->VMEM per block), then the packed gather/update/scatter of
+    _fused_kernel."""
     pack = LANES // k
     pltpu.prng_seed(seed_ref[0])
     qp_mm = qp_ref[:].astype(mm_dtype)
 
+    def pp_dma(blk, slot):
+        return pltpu.make_async_copy(
+            pp_ref.at[pl.ds(blk * block_u, block_u), :],
+            pp_scratch.at[slot],
+            pp_sem.at[slot],
+        )
+
+    pp_dma(0, 0).start()
+
     def body(blk, carry):
         qd, cost = carry
         sl = pl.ds(blk * block_u, block_u)
+        slot = blk % 2
+
+        @pl.when(blk + 1 < n_blocks)
+        def _():
+            pp_dma(blk + 1, (blk + 1) % 2).start()
+
+        pp_dma(blk, slot).wait()
         pc = pc_ref[sl, :]  # [TB, 1]
-        pp = pp_ref[sl, :]  # [TB, L]
+        pp = pp_scratch[slot]  # [TB, L]
         active = (pc > 0).astype(jnp.float32)
         p = p_ref[sl, :]
 
@@ -293,12 +311,16 @@ def bpr_fully_fused_step(
     """One BPR sweep with in-kernel sampling. Returns
     (p_new, q_delta_packed, cost, pos, neg)."""
     n_users, k = p.shape
-    max_len = padded_pos.shape[1]
+    max_len = _round_up(padded_pos.shape[1], LANES)  # VMEM slice alignment
     rows = q_packed.shape[0]
     rows_pad = _round_up(rows, 8)
     u_pad = _round_up(n_users, block_u)
     qp = jnp.zeros((rows_pad, LANES), jnp.float32).at[:rows].set(q_packed)
-    pp_arr = jnp.full((u_pad, max_len), -1, jnp.int32).at[:n_users].set(padded_pos)
+    pp_arr = (
+        jnp.full((u_pad, max_len), -1, jnp.int32)
+        .at[:n_users, : padded_pos.shape[1]]
+        .set(padded_pos)
+    )
     pc_arr = jnp.zeros((u_pad, 1), jnp.int32).at[:n_users, 0].set(pos_counts)
     p_arr = jnp.zeros((u_pad, k), jnp.float32).at[:n_users].set(p)
 
@@ -311,7 +333,7 @@ def bpr_fully_fused_step(
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # padded positives stay in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -330,6 +352,10 @@ def bpr_fully_fused_step(
             jax.ShapeDtypeStruct((u_pad, 1), jnp.int32),
             jax.ShapeDtypeStruct((u_pad, 1), jnp.int32),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((2, block_u, max_len), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
         interpret=interpret,
     )(jnp.asarray(seed, jnp.int32).reshape(1), pp_arr, pc_arr, p_arr, qp)
     return p_new[:n_users], q_delta[:rows], cost[0, 0], pos[:n_users, 0], neg[:n_users, 0]
