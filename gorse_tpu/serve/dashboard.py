@@ -200,4 +200,16 @@ class MasterRestServer(RestServer):
         self.metrics.gauge_set("users_total", self.data.count_users())
         self.metrics.gauge_set("items_total", self.data.count_items())
         self.metrics.gauge_set("feedback_total", self.data.count_feedback())
+        # memory accounting (reference: common/sizeof memory_inuse gauges,
+        # master/tasks.go:211-222) — process RSS here
+        try:
+            with open("/proc/self/status") as f:
+                for line in f:
+                    if line.startswith("VmRSS:"):
+                        self.metrics.gauge_set(
+                            "memory_inuse_bytes", int(line.split()[1]) * 1024
+                        )
+                        break
+        except OSError:
+            pass
         return RawResponse(self.metrics.render().encode(), "text/plain; version=0.0.4")
