@@ -207,8 +207,21 @@ class BPR(MatrixFactorization):
         history = [(0, metrics["NDCG"])]
         logger.info("fit bpr 0/%d NDCG@%d=%.4f", self.n_epochs, config.top_k, metrics["NDCG"])
 
-        # fused Pallas path on TPU when k divides the lane width
-        use_fused = jax.default_backend() == "tpu" and 128 % self.n_factors == 0
+        # fused Pallas path on TPU when k divides the lane width AND the
+        # working set fits VMEM (the kernel keeps the user table, packed item
+        # table + delta, and a double-buffered positives block on-chip);
+        # larger problems stay on the XLA scatter path
+        k = self.n_factors
+        vmem_bytes = (
+            2 * train.count_users() * k * 4  # p in + out
+            + 2 * -(-train.count_items() * k // 128) * 128 * 4  # q_packed + delta
+            + 2 * 512 * -(-csr.padded.shape[1] // 128) * 128 * 4  # pp double buffer
+        )
+        use_fused = (
+            jax.default_backend() == "tpu"
+            and 128 % k == 0
+            and vmem_bytes < 10 * 1024 * 1024
+        )
         if use_fused:
             from ..ops.bpr_kernel import pack_items, unpack_items
 

@@ -149,14 +149,30 @@ class RestServer:
                     body=body,
                     headers=headers,
                 )
+                t0 = time.perf_counter()
                 try:
-                    return 200, handler(req)
+                    out = 200, handler(req)
                 except HTTPError as e:
-                    return e.status, {"error": e.message}
+                    out = e.status, {"error": e.message}
                 except Exception as e:  # noqa: BLE001 — surface as 500 like the reference
                     logger.exception("handler error")
-                    return 500, {"error": str(e)}
+                    out = 500, {"error": str(e)}
+                self._observe(method, pattern.pattern, out[0], time.perf_counter() - t0)
+                return out
         return 404, {"error": "not found"}
+
+    def _observe(self, method: str, route: str, status: int, seconds: float) -> None:
+        """Request metrics + event recording (reference:
+        gorse_server_rest_api_request_seconds, server/metrics.go:26)."""
+        from ..utils.events import get_recorder
+
+        get_recorder().record_api(method, route, status, seconds)
+        metrics = getattr(self, "metrics", None)
+        if metrics is not None:
+            metrics.counter_inc(
+                "rest_api_requests", labels={"method": method, "status": str(status)}
+            )
+            metrics.observe_seconds("rest_api_request", seconds, labels={"method": method})
 
     # ------------------------------------------------------------- handlers
 
