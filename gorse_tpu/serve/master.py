@@ -234,6 +234,16 @@ class Master:
     def _data_changed(self) -> bool:
         return True  # incremental data-digest optimization arrives with events
 
+    def _needs_refresh(self, digest_key: str, update_key: str, digest: str) -> bool:
+        """Incremental gating: recompute when the config digest changed or the
+        refresh period elapsed (reference: needUpdateItemToItem
+        master/tasks.go:824-857)."""
+        if self.cache.get(digest_key) != digest:
+            return True
+        last = float(self.cache.get(update_key) or 0)
+        period_s = self.config.recommend.cache_expire * 3600.0
+        return (time.time() - last) > period_s
+
     def update_item_to_item(self, data: LoadedData) -> None:
         """Reference: updateItemToItem master/tasks.go:742-857."""
         entries = list(self.config.recommend.item_to_item)
@@ -243,6 +253,12 @@ class Master:
         user_idf = data.dataset.user_idf()
         for entry in entries:
             cfg = ItemToItemConfig(name=entry.name, type=entry.type, column=entry.column)
+            if not self._needs_refresh(
+                key(ck.ITEM_TO_ITEM_DIGEST, entry.name, "_config"),
+                key(ck.ITEM_TO_ITEM_UPDATE_TIME, entry.name),
+                cfg.digest(),
+            ):
+                continue
             with self.progress.span(f"item_to_item/{entry.name}"):
                 engine = new_item_to_item(
                     cfg, self.config.recommend.cache_size,
@@ -262,6 +278,7 @@ class Master:
                     self.cache.set(
                         key(ck.ITEM_TO_ITEM_DIGEST, entry.name, item_id), cfg.digest()
                     )
+                self.cache.set(key(ck.ITEM_TO_ITEM_DIGEST, entry.name, "_config"), cfg.digest())
                 self.cache.set(key(ck.ITEM_TO_ITEM_UPDATE_TIME, entry.name), str(time.time()))
 
     def update_user_to_user(self, data: LoadedData) -> None:
@@ -274,6 +291,12 @@ class Master:
         users = list(self.data.get_users())
         for entry in entries:
             cfg = UserToUserConfig(name=entry.name, type=entry.type, column=entry.column)
+            if not self._needs_refresh(
+                key(ck.USER_TO_USER_DIGEST, entry.name, "_config"),
+                key(ck.USER_TO_USER_UPDATE_TIME, entry.name),
+                cfg.digest(),
+            ):
+                continue
             with self.progress.span(f"user_to_user/{entry.name}"):
                 engine = UserToUser(
                     cfg, self.config.recommend.cache_size,
@@ -293,6 +316,7 @@ class Master:
                     self.cache.set(
                         key(ck.USER_TO_USER_DIGEST, entry.name, user_id), cfg.digest()
                     )
+                self.cache.set(key(ck.USER_TO_USER_DIGEST, entry.name, "_config"), cfg.digest())
                 self.cache.set(key(ck.USER_TO_USER_UPDATE_TIME, entry.name), str(time.time()))
 
     def train_collaborative_filtering(self, data: LoadedData) -> None:

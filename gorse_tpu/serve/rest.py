@@ -150,13 +150,20 @@ class RestServer:
                     headers=headers,
                 )
                 t0 = time.perf_counter()
-                try:
-                    out = 200, handler(req)
-                except HTTPError as e:
-                    out = e.status, {"error": e.message}
-                except Exception as e:  # noqa: BLE001 — surface as 500 like the reference
-                    logger.exception("handler error")
-                    out = 500, {"error": str(e)}
+                from ..utils.tracing import tracer
+
+                with tracer().span(
+                    f"{method} {pattern.pattern}",
+                    traceparent=headers.get("traceparent"),
+                    method=method,
+                ):
+                    try:
+                        out = 200, handler(req)
+                    except HTTPError as e:
+                        out = e.status, {"error": e.message}
+                    except Exception as e:  # noqa: BLE001 — surface as 500 like the reference
+                        logger.exception("handler error")
+                        out = 500, {"error": str(e)}
                 self._observe(method, pattern.pattern, out[0], time.perf_counter() - t0)
                 return out
         return 404, {"error": "not found"}
@@ -530,6 +537,9 @@ class RestServer:
         rest = self
 
         class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"  # keep-alive: one thread serves many requests
+            disable_nagle_algorithm = True  # avoid 40ms delayed-ACK stalls
+
             def log_message(self, fmt, *args):  # quiet access log -> logger
                 logger.debug("%s %s", self.address_string(), fmt % args)
 
@@ -585,7 +595,10 @@ class RestServer:
             def do_DELETE(self):
                 self._handle("DELETE")
 
-        httpd = ThreadingHTTPServer((host, port), Handler)
+        class Server(ThreadingHTTPServer):
+            daemon_threads = True
+
+        httpd = Server((host, port), Handler)
         self._httpd = httpd
         thread = threading.Thread(target=httpd.serve_forever, daemon=True)
         thread.start()
