@@ -33,6 +33,9 @@ def master_main() -> None:
     args = parser.parse_args()
     _logging()
     config = load_config(args.config) if args.config else Config()
+    from ..utils.tracing import configure_from
+
+    configure_from(config)
     data = open_data_store(config.database.data_store)
     cache = open_cache_store(config.database.cache_store)
     blob = BlobStore(config.database.blob_store or "/tmp/gorse_tpu_blobs")

@@ -27,6 +27,9 @@ logger = logging.getLogger(__name__)
 class InOneNode:
     def __init__(self, config: Config | None = None, workdir: str | None = None) -> None:
         self.config = config or Config()
+        from ..utils.tracing import configure_from
+
+        configure_from(self.config)
         self.workdir = workdir or tempfile.mkdtemp(prefix="gorse_tpu_")
         self.data = open_data_store(self.config.database.data_store)
         self.cache = open_cache_store(self.config.database.cache_store)

@@ -235,9 +235,13 @@ class Master:
         return True  # incremental data-digest optimization arrives with events
 
     def _needs_refresh(self, digest_key: str, update_key: str, digest: str) -> bool:
-        """Incremental gating: recompute when the config digest changed or the
-        refresh period elapsed (reference: needUpdateItemToItem
-        master/tasks.go:824-857)."""
+        """Incremental gating: recompute when the config digest changed or
+        the refresh period elapsed. The digest includes the entity count, so
+        inserted items/users force a refresh on the next cycle — the batched
+        analog of the reference's per-item gate (needUpdateItemToItem
+        master/tasks.go:824-857; one batched device pass computes every
+        item's neighbors at once, so gating is per entry + corpus, not per
+        item)."""
         if self.cache.get(digest_key) != digest:
             return True
         last = float(self.cache.get(update_key) or 0)
@@ -249,16 +253,19 @@ class Master:
         entries = list(self.config.recommend.item_to_item)
         if not entries:
             return
-        tag_idf = data.dataset.item_label_idf()
-        user_idf = data.dataset.user_idf()
+        tag_idf = user_idf = None
         for entry in entries:
             cfg = ItemToItemConfig(name=entry.name, type=entry.type, column=entry.column)
+            corpus_digest = f"{cfg.digest()}|{data.dataset.count_items()}|{data.dataset.count_feedback()}"
             if not self._needs_refresh(
                 key(ck.ITEM_TO_ITEM_DIGEST, entry.name, "_config"),
                 key(ck.ITEM_TO_ITEM_UPDATE_TIME, entry.name),
-                cfg.digest(),
+                corpus_digest,
             ):
                 continue
+            if tag_idf is None:
+                tag_idf = data.dataset.item_label_idf()
+                user_idf = data.dataset.user_idf()
             with self.progress.span(f"item_to_item/{entry.name}"):
                 engine = new_item_to_item(
                     cfg, self.config.recommend.cache_size,
@@ -278,7 +285,7 @@ class Master:
                     self.cache.set(
                         key(ck.ITEM_TO_ITEM_DIGEST, entry.name, item_id), cfg.digest()
                     )
-                self.cache.set(key(ck.ITEM_TO_ITEM_DIGEST, entry.name, "_config"), cfg.digest())
+                self.cache.set(key(ck.ITEM_TO_ITEM_DIGEST, entry.name, "_config"), corpus_digest)
                 self.cache.set(key(ck.ITEM_TO_ITEM_UPDATE_TIME, entry.name), str(time.time()))
 
     def update_user_to_user(self, data: LoadedData) -> None:
@@ -286,17 +293,20 @@ class Master:
         entries = list(self.config.recommend.user_to_user)
         if not entries:
             return
-        item_idf = data.dataset.item_idf()
-        tag_idf = data.dataset.user_label_idf()
-        users = list(self.data.get_users())
+        item_idf = tag_idf = users = None
         for entry in entries:
             cfg = UserToUserConfig(name=entry.name, type=entry.type, column=entry.column)
+            corpus_digest = f"{cfg.digest()}|{data.dataset.count_users()}|{data.dataset.count_feedback()}"
             if not self._needs_refresh(
                 key(ck.USER_TO_USER_DIGEST, entry.name, "_config"),
                 key(ck.USER_TO_USER_UPDATE_TIME, entry.name),
-                cfg.digest(),
+                corpus_digest,
             ):
                 continue
+            if users is None:
+                item_idf = data.dataset.item_idf()
+                tag_idf = data.dataset.user_label_idf()
+                users = list(self.data.get_users())
             with self.progress.span(f"user_to_user/{entry.name}"):
                 engine = UserToUser(
                     cfg, self.config.recommend.cache_size,
@@ -316,7 +326,7 @@ class Master:
                     self.cache.set(
                         key(ck.USER_TO_USER_DIGEST, entry.name, user_id), cfg.digest()
                     )
-                self.cache.set(key(ck.USER_TO_USER_DIGEST, entry.name, "_config"), cfg.digest())
+                self.cache.set(key(ck.USER_TO_USER_DIGEST, entry.name, "_config"), corpus_digest)
                 self.cache.set(key(ck.USER_TO_USER_UPDATE_TIME, entry.name), str(time.time()))
 
     def train_collaborative_filtering(self, data: LoadedData) -> None:

@@ -156,7 +156,7 @@ class RestServer:
                     f"{method} {pattern.pattern}",
                     traceparent=headers.get("traceparent"),
                     method=method,
-                ):
+                ) as span:
                     try:
                         out = 200, handler(req)
                     except HTTPError as e:
@@ -164,6 +164,10 @@ class RestServer:
                     except Exception as e:  # noqa: BLE001 — surface as 500 like the reference
                         logger.exception("handler error")
                         out = 500, {"error": str(e)}
+                    if span is not None:
+                        span.set_attribute("status_code", out[0])
+                        if out[0] >= 500:
+                            span.status = f"error: {out[1].get('error', '')}"
                 self._observe(method, pattern.pattern, out[0], time.perf_counter() - t0)
                 return out
         return 404, {"error": "not found"}
@@ -544,6 +548,12 @@ class RestServer:
                 logger.debug("%s %s", self.address_string(), fmt % args)
 
             def _handle(self, method: str) -> None:
+                if "chunked" in (self.headers.get("Transfer-Encoding") or "").lower():
+                    # unread chunked bodies would desynchronize the
+                    # keep-alive stream; refuse and drop the connection
+                    self.close_connection = True
+                    self._reply(501, {"error": "chunked request bodies are not supported"})
+                    return
                 parsed = urllib.parse.urlparse(self.path)
                 query: dict = {}
                 query_multi: dict = {}
@@ -595,10 +605,7 @@ class RestServer:
             def do_DELETE(self):
                 self._handle("DELETE")
 
-        class Server(ThreadingHTTPServer):
-            daemon_threads = True
-
-        httpd = Server((host, port), Handler)
+        httpd = ThreadingHTTPServer((host, port), Handler)
         self._httpd = httpd
         thread = threading.Thread(target=httpd.serve_forever, daemon=True)
         thread.start()

@@ -12,6 +12,7 @@ from __future__ import annotations
 import contextlib
 import contextvars
 import logging
+import random
 import secrets
 import threading
 import time
@@ -72,6 +73,11 @@ class Tracer:
             yield None
             return
         parent = _current_span.get()
+        # head sampling: root spans without an upstream context are sampled
+        # at sample_ratio; children of sampled traces are always recorded
+        if parent is None and not traceparent and random.random() >= self.sample_ratio:
+            yield None
+            return
         if traceparent:
             parts = traceparent.split("-")
             trace_id = parts[1] if len(parts) >= 3 else secrets.token_hex(16)
@@ -107,6 +113,14 @@ def configure(enabled: bool, sample_ratio: float = 1.0) -> Tracer:
     global _tracer
     _tracer = Tracer(enabled=enabled, sample_ratio=sample_ratio)
     return _tracer
+
+
+def configure_from(config) -> Tracer:
+    """Install the tracer from a utils.config.Config (reference: provider
+    install at node start, master/master.go:119-125)."""
+    tc = config.tracing
+    ratio = tc.ratio if tc.sampler in ("ratio", "traceidratio") else 1.0
+    return configure(enabled=tc.enable, sample_ratio=ratio)
 
 
 def tracer() -> Tracer:

@@ -42,3 +42,28 @@ def test_error_status():
         pass
     assert "error" in t.export()[0]["status"]
     configure(enabled=False)
+
+
+def test_sample_ratio_zero_drops_roots():
+    t = configure(enabled=True, sample_ratio=0.0)
+    with t.span("root") as s:
+        assert s is None
+    assert t.export() == []
+    # upstream-context spans are always kept
+    with t.span("child", traceparent="00-" + "a" * 32 + "-" + "b" * 16 + "-01") as s:
+        assert s is not None
+    configure(enabled=False)
+
+
+def test_configure_from_config():
+    from gorse_tpu.utils.config import Config
+    from gorse_tpu.utils.tracing import configure_from, tracer
+
+    cfg = Config()
+    cfg.tracing.enable = True
+    cfg.tracing.sampler = "ratio"
+    cfg.tracing.ratio = 0.5
+    t = configure_from(cfg)
+    assert tracer() is t and t.enabled and t.sample_ratio == 0.5
+    cfg.tracing.enable = False
+    assert not configure_from(cfg).enabled
