@@ -242,6 +242,14 @@ class BPR(MatrixFactorization):
                 q_eval = unpack_items(q, n_items, self.n_factors) if use_fused else q
                 metrics = evaluate_mf(p, q_eval, *eval_cands, config.top_k)
                 history.append((epoch, metrics["NDCG"]))
+                if config.checkpoint_dir:
+                    np.savez(
+                        f"{config.checkpoint_dir}/bpr_epoch_{epoch}.npz",
+                        user_factors=np.asarray(p),
+                        item_factors=np.asarray(q_eval),
+                        epoch=epoch,
+                        ndcg=metrics["NDCG"],
+                    )
                 logger.info(
                     "fit bpr %d/%d fit=%.2fs cost=%.1f NDCG@%d=%.4f P@%d=%.4f R@%d=%.4f",
                     epoch, self.n_epochs, time.time() - t0, cost,

@@ -54,6 +54,7 @@ class FitConfig:
         candidates: int = 100,
         batch_size: int = 1024,
         seed: int = 0,
+        checkpoint_dir: str | None = None,
     ) -> None:
         self.verbose = verbose
         self.patience = patience
@@ -61,6 +62,9 @@ class FitConfig:
         self.candidates = candidates
         self.batch_size = batch_size
         self.seed = seed
+        # mid-training checkpoints every `verbose` epochs (the reference only
+        # persists final artifacts; long TPU fits warrant periodic saves)
+        self.checkpoint_dir = checkpoint_dir
 
     def __repr__(self) -> str:
         return (

@@ -157,5 +157,49 @@ class WorkerNode:
         t.start()
         return t
 
+    def serve_http(self, host: str = "127.0.0.1", port: int = 0):
+        """Health + metrics endpoint (reference: the worker's ServeHTTP,
+        worker/worker.go:379,460-495)."""
+        import json
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        from .metrics import MetricsRegistry
+
+        node = self
+        metrics = MetricsRegistry(namespace="gorse_tpu_worker")
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):
+                pass
+
+            def do_GET(self):
+                if self.path == "/api/health/live":
+                    body, ctype, status = b'{"status": "live"}', "application/json", 200
+                elif self.path == "/api/health/ready":
+                    ready = node.worker is not None and node.worker.data.ping()
+                    status = 200 if ready else 503
+                    body = json.dumps({"status": "ready" if ready else "not ready"}).encode()
+                    ctype = "application/json"
+                elif self.path == "/metrics":
+                    if node.worker is not None:
+                        spans = node.worker.progress.list()
+                        done = sum(1 for s in spans if s.get("Status") == "complete")
+                        metrics.gauge_set("tasks_complete", done)
+                    body, ctype, status = metrics.render().encode(), "text/plain", 200
+                else:
+                    body, ctype, status = b'{"error": "not found"}', "application/json", 404
+                self.send_response(status)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        httpd = ThreadingHTTPServer((host, port), Handler)
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        self._httpd = httpd
+        return httpd
+
     def shutdown(self) -> None:
         self._stop.set()
+        if getattr(self, "_httpd", None):
+            self._httpd.shutdown()

@@ -46,3 +46,17 @@ def test_bpr_early_stopping():
     model = BPR(Params(n_factors=4, n_epochs=50))
     score = model.fit(train, test, FitConfig(verbose=1, patience=3, candidates=20, batch_size=64))
     assert score.ndcg >= 0.0  # smoke: early stopping must not crash
+
+
+def test_bpr_mid_training_checkpoints(tmp_path):
+    from gorse_tpu.data import synthetic_cf
+
+    data = synthetic_cf(n_users=40, n_items=30, density=0.2, seed=12)
+    train, test = data.split_cf(seed=0)
+    model = BPR(Params(n_factors=4, n_epochs=4))
+    model.fit(train, test, FitConfig(verbose=2, candidates=10, checkpoint_dir=str(tmp_path)))
+    ckpts = sorted(tmp_path.glob("bpr_epoch_*.npz"))
+    assert len(ckpts) == 2  # epochs 2 and 4
+    arr = np.load(ckpts[-1])
+    assert arr["user_factors"].shape == (40, 4)
+    assert float(arr["ndcg"]) >= 0.0

@@ -98,3 +98,23 @@ def test_master_client_registration(master_env):
     meta = c.get_meta()
     assert "w-test" in meta["workers"]
     assert meta["cf_model_id"]
+
+
+def test_worker_http_health_and_metrics(master_env):
+    import json
+    import urllib.request
+
+    master, url, cache = master_env
+    w = WorkerNode(url, meta_timeout=0.1)
+    w.sync_once()
+    httpd = w.serve_http()
+    base = f"http://127.0.0.1:{httpd.server_port}"
+    try:
+        with urllib.request.urlopen(base + "/api/health/live") as r:
+            assert json.loads(r.read())["status"] == "live"
+        with urllib.request.urlopen(base + "/api/health/ready") as r:
+            assert json.loads(r.read())["status"] == "ready"
+        with urllib.request.urlopen(base + "/metrics") as r:
+            assert b"gorse_tpu_worker_tasks_complete" in r.read()
+    finally:
+        w.shutdown()
