@@ -191,22 +191,45 @@ class Dataset:
         return users[:k], items[:k]
 
     @staticmethod
-    def _pad(ragged: list[list[int]], pad_to: int | None = None) -> _PaddedCSR:
+    def _pad(
+        ragged: list[list[int]],
+        pad_to: int | None = None,
+        max_len: int | None = None,
+        seed: int = 0,
+    ) -> _PaddedCSR:
+        """Pad ragged rows to a rectangle (pad=-1).
+
+        ``max_len`` caps the width: rows longer than the cap contribute a
+        random subset (re-drawn per call/fit). Histories are heavy-tailed —
+        capping at a high percentile keeps device shapes small while leaving
+        the sampling distribution essentially unchanged for all but the
+        heaviest users.
+        """
         n = len(ragged)
         counts = np.fromiter((len(r) for r in ragged), dtype=np.int32, count=n)
-        max_len = int(counts.max()) if n else 0
-        width = max(pad_to or max_len, 1)
+        widest = int(counts.max()) if n else 0
+        cap = min(widest, max_len) if max_len else widest
+        width = max(pad_to or cap, cap, 1)
+        rng = np.random.default_rng(seed) if max_len and widest > max_len else None
         padded = np.full((n, width), -1, dtype=np.int32)
         for i, r in enumerate(ragged):
-            padded[i, : len(r)] = r
+            if rng is not None and len(r) > cap:
+                padded[i, :cap] = rng.choice(np.asarray(r, dtype=np.int32), size=cap, replace=False)
+                counts[i] = cap
+            else:
+                padded[i, : len(r)] = r
         return _PaddedCSR(padded=padded, counts=counts)
 
-    def padded_user_positives(self, pad_to: int | None = None) -> _PaddedCSR:
+    def padded_user_positives(
+        self, pad_to: int | None = None, max_len: int | None = None, seed: int = 0
+    ) -> _PaddedCSR:
         """Padded [U, L] matrix of each user's positive item ids (pad=-1)."""
-        return self._pad(self.user_feedback, pad_to)
+        return self._pad(self.user_feedback, pad_to, max_len, seed)
 
-    def padded_item_positives(self, pad_to: int | None = None) -> _PaddedCSR:
-        return self._pad(self.item_feedback, pad_to)
+    def padded_item_positives(
+        self, pad_to: int | None = None, max_len: int | None = None, seed: int = 0
+    ) -> _PaddedCSR:
+        return self._pad(self.item_feedback, pad_to, max_len, seed)
 
     # ---------------------------------------------------------------- splits
 

@@ -178,41 +178,33 @@ def bpr_fused_step(
 def _fully_fused_kernel(
     seed_ref, pp_ref, pc_ref, p_ref, qp_ref,
     p_out_ref, qd_out_ref, cost_ref, pos_out_ref, neg_out_ref,
-    pp_scratch, pp_sem,
+    qd_scratch, cost_scratch,
     *, k: int, n_items: int, lr: float, reg: float,
-    block_u: int, rows_pad: int, max_len: int, mm_dtype, n_blocks: int, n_tries: int,
+    block_u: int, rows_pad: int, max_len: int, mm_dtype, n_tries: int,
 ):
     """Everything in one kernel: on-chip PRNG sampling (positive slot +
-    K-way rejected negative) straight out of the padded positives (streamed
-    HBM->VMEM per block), then the packed gather/update/scatter of
-    _fused_kernel."""
+    K-way rejected negative) over the user block's padded positives, then the
+    packed gather/update/scatter of _fused_kernel. The grid walks user
+    blocks — only the current block's positives/factors are in VMEM (the
+    pipeline double-buffers them), so the kernel scales to any user count;
+    the packed item table + delta accumulator stay resident."""
     pack = LANES // k
-    pltpu.prng_seed(seed_ref[0])
+    blk = pl.program_id(0)
+
+    @pl.when(blk == 0)
+    def _():
+        pltpu.prng_seed(seed_ref[0])  # stream continues across grid steps
+        qd_scratch[:] = jnp.zeros_like(qd_scratch)
+        cost_scratch[0, 0] = 0.0
+
     qp_mm = qp_ref[:].astype(mm_dtype)
-
-    def pp_dma(blk, slot):
-        return pltpu.make_async_copy(
-            pp_ref.at[pl.ds(blk * block_u, block_u), :],
-            pp_scratch.at[slot],
-            pp_sem.at[slot],
-        )
-
-    pp_dma(0, 0).start()
-
-    def body(blk, carry):
-        qd, cost = carry
-        sl = pl.ds(blk * block_u, block_u)
-        slot = blk % 2
-
-        @pl.when(blk + 1 < n_blocks)
-        def _():
-            pp_dma(blk + 1, (blk + 1) % 2).start()
-
-        pp_dma(blk, slot).wait()
-        pc = pc_ref[sl, :]  # [TB, 1]
-        pp = pp_scratch[slot]  # [TB, L]
+    if True:
+        qd = qd_scratch[:]
+        cost = cost_scratch[0, 0]
+        pc = pc_ref[:]  # [TB, 1]
+        pp = pp_ref[:]  # [TB, L]
         active = (pc > 0).astype(jnp.float32)
-        p = p_ref[sl, :]
+        p = p_ref[:]
 
         # --- positive: uniform slot in [0, count), one-hot select from pp
         bits = pltpu.bitcast(pltpu.prng_random_bits((block_u, 1)), jnp.uint32)
@@ -237,8 +229,8 @@ def _fully_fused_kernel(
             neg = jnp.where(take, c, neg)
             ok = jnp.logical_or(ok, jnp.logical_not(collides))
         neg = jnp.where(ok, neg, first_draw)
-        pos_out_ref[sl, :] = pos
-        neg_out_ref[sl, :] = neg
+        pos_out_ref[:] = pos
+        neg_out_ref[:] = neg
 
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (block_u, rows_pad), 1)
         oh_pos = (row_ids == pos // pack).astype(mm_dtype)
@@ -263,7 +255,7 @@ def _fully_fused_kernel(
         d_qi = active * (lr * (grad * p - reg * qi))
         d_qj = active * (lr * (-grad * p - reg * qj))
         d_pu = active * (lr * (grad * (qi - qj) - reg * p))
-        p_out_ref[sl, :] = p + d_pu
+        p_out_ref[:] = p + d_pu
 
         if pack == 1:
             dp_pos, dp_neg = d_qi, d_qj
@@ -282,12 +274,13 @@ def _fully_fused_kernel(
             oh_neg, dp_neg.astype(mm_dtype), dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        return qd, cost
+        qd_scratch[:] = qd
+        cost_scratch[0, 0] = cost
 
-    qd0 = jnp.zeros((rows_pad, LANES), jnp.float32)
-    qd, cost = jax.lax.fori_loop(0, n_blocks, body, (qd0, jnp.float32(0.0)))
-    qd_out_ref[:] = qd
-    cost_ref[0, 0] = cost
+    @pl.when(blk == pl.num_programs(0) - 1)
+    def _():
+        qd_out_ref[:] = qd_scratch[:]
+        cost_ref[0, 0] = cost_scratch[0, 0]
 
 
 @functools.partial(
@@ -329,21 +322,22 @@ def bpr_fully_fused_step(
         functools.partial(
             _fully_fused_kernel, k=k, n_items=n_items, lr=lr, reg=reg,
             block_u=block_u, rows_pad=rows_pad, max_len=max_len,
-            mm_dtype=mm_dtype, n_blocks=n_blocks, n_tries=n_tries,
+            mm_dtype=mm_dtype, n_tries=n_tries,
         ),
+        grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # padded positives stay in HBM
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_u, max_len), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_u, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_u, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows_pad, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_u, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows_pad, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_u, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_u, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((u_pad, k), jnp.float32),
@@ -353,8 +347,8 @@ def bpr_fully_fused_step(
             jax.ShapeDtypeStruct((u_pad, 1), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, block_u, max_len), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((rows_pad, LANES), jnp.float32),
+            pltpu.SMEM((1, 1), jnp.float32),
         ],
         interpret=interpret,
     )(jnp.asarray(seed, jnp.int32).reshape(1), pp_arr, pc_arr, p_arr, qp)
