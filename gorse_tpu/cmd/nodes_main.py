@@ -43,6 +43,25 @@ def master_main() -> None:
     master = Master(config, data, cache, blob, meta)
     rest = MasterRestServer(master, api_key=config.master.admin_api_key)
     rest.serve(args.host or config.master.http_host, args.port or config.master.http_port)
+    # gRPC control plane: meta/progress/blob + storage proxy for node-local
+    # stores (reference: master/master.go:371-393), mTLS per config.
+    from ..protocol import serve_master_grpc
+
+    tls = None
+    if config.master.ssl_mode:
+        from ..utils.tls import TLSConfig
+
+        tls = TLSConfig(config.master.ssl_ca, config.master.ssl_cert, config.master.ssl_key)
+    local = config.database.data_store.startswith(("memory://", "sqlite://"))
+    serve_master_grpc(
+        master,
+        blob,
+        host=config.master.host,
+        port=config.master.port,
+        tls=tls,
+        data_store=data if local else None,
+        cache_store=cache if local else None,
+    )
     master.serve_background()
     if args.config:
         def on_change(new_cfg):

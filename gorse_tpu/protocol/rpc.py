@@ -29,11 +29,24 @@ _MASTER = "gorse_tpu.Master"
 _BLOB = "gorse_tpu.BlobStore"
 
 
-def serve_master_grpc(master, blob_store, host: str = "127.0.0.1", port: int = 0) -> tuple[grpc.Server, int]:
+def serve_master_grpc(
+    master,
+    blob_store,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    tls=None,
+    data_store=None,
+    cache_store=None,
+    vector_store=None,
+) -> tuple[grpc.Server, int]:
     """Register the Master + BlobStore services on a grpc server.
 
     ``master`` is serve.master.Master; ``blob_store`` is storage.blob.BlobStore.
-    Returns (server, bound_port).
+    Returns (server, bound_port). With ``tls`` (utils.tls.TLSConfig) the port
+    is mutually-authenticated (reference: master/master.go:374-383). Passing
+    ``data_store``/``cache_store``/``vector_store`` additionally registers the
+    storage proxy service (reference: master/master.go:391-393) so other nodes
+    can reach master-local stores via ``proxy://`` URLs.
     """
 
     def get_meta(request: pb.NodeInfo, context) -> pb.Meta:
@@ -147,7 +160,16 @@ def serve_master_grpc(master, blob_store, host: str = "127.0.0.1", port: int = 0
         ],  # reference: 512MB recv / MaxInt send (worker/worker.go:361)
     )
     server.add_generic_rpc_handlers((master_handlers, blob_handlers))
-    bound = server.add_insecure_port(f"{host}:{port}")
+    if data_store is not None or cache_store is not None or vector_store is not None:
+        from ..storage.proxy import add_storage_proxy
+
+        add_storage_proxy(server, data=data_store, cache=cache_store, vectors=vector_store)
+    from ..utils.tls import bind_port
+
+    bound = bind_port(server, f"{host}:{port}", tls)
+    if data_store is not None or cache_store is not None or vector_store is not None:
+        # let GetMeta rewrite node-local store URLs to this proxy endpoint
+        master.grpc_proxy_target = f"{host}:{bound}"
     server.start()
     logger.info("gRPC master listening on %s:%d", host, bound)
     return server, bound
@@ -156,13 +178,12 @@ def serve_master_grpc(master, blob_store, host: str = "127.0.0.1", port: int = 0
 class MasterGrpcClient:
     """gRPC MasterClient (reference: worker/worker.go grpc.Dial + GetMeta)."""
 
-    def __init__(self, target: str, node_type: str = "worker", node_id: str | None = None) -> None:
+    def __init__(self, target: str, node_type: str = "worker", node_id: str | None = None, tls=None) -> None:
         import uuid as uuid_mod
 
-        self.channel = grpc.insecure_channel(
-            target,
-            options=[("grpc.max_receive_message_length", 512 * 1024 * 1024)],
-        )
+        from ..utils.tls import make_channel
+
+        self.channel = make_channel(target, tls)
         self.node_type = node_type
         self.node_id = node_id or f"{node_type}-{uuid_mod.uuid4().hex[:8]}"
         self._get_meta = self.channel.unary_unary(
@@ -220,11 +241,10 @@ class BlobStoreClient:
     """Chunk-streamed blob transfer (reference: storage/blob/blob.go:86-290
     gRPC proxy path)."""
 
-    def __init__(self, target: str) -> None:
-        self.channel = grpc.insecure_channel(
-            target,
-            options=[("grpc.max_receive_message_length", 512 * 1024 * 1024)],
-        )
+    def __init__(self, target: str, tls=None) -> None:
+        from ..utils.tls import make_channel
+
+        self.channel = make_channel(target, tls)
         self._upload = self.channel.stream_unary(
             f"/{_BLOB}/Upload",
             request_serializer=pb.BlobChunk.SerializeToString,

@@ -91,8 +91,22 @@ class Master:
         JSON, active model ids, peer lists."""
         servers = [n.uuid for n in self.meta.list_nodes("server")]
         workers = [n.uuid for n in self.meta.list_nodes("worker")]
+        config_json = self.config.to_json()
+        # When this master proxies its node-local stores over gRPC, hand
+        # other nodes proxy:// URLs instead of paths only valid on this host
+        # (reference: worker/worker.go:164-223, server/server.go:177-226
+        # select the master's storage proxy for local engines).
+        target = getattr(self, "grpc_proxy_target", None)
+        if target:
+            cfg = json.loads(config_json)
+            db = cfg.get("database", {})
+            for store_key in ("data_store", "cache_store"):
+                url = db.get(store_key, "")
+                if url.startswith(("memory://", "sqlite://")) or url in ("memory", "sqlite"):
+                    db[store_key] = f"proxy://{target}"
+            config_json = json.dumps(cfg)
         return {
-            "config": self.config.to_json(),
+            "config": config_json,
             "cf_model_id": self.meta.get(COLLABORATIVE_FILTERING_MODEL) or "",
             "ctr_model_id": self.meta.get(CLICK_THROUGH_RATE_MODEL) or "",
             "servers": servers,

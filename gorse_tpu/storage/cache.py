@@ -410,4 +410,12 @@ def open_cache_store(url: str) -> CacheStore:
     if url.startswith("sqlite://"):
         path = url[len("sqlite://"):] or ":memory:"
         return SQLiteCacheStore(path)
+    if url.startswith("proxy://"):
+        from .proxy import ProxyCacheStore
+
+        return ProxyCacheStore(url[len("proxy://"):])
+    if url.startswith("redis://"):
+        from .redis import RedisCacheStore
+
+        return RedisCacheStore(url)
     raise ValueError(f"unsupported cache store URL {url!r}")

@@ -467,11 +467,16 @@ def open_data_store(url: str) -> DataStore:
     """Open a data store by URL (reference: storage/data scheme dispatch).
 
     Supported: ``memory://``, ``sqlite://<path>`` (``sqlite://`` -> in-memory
-    sqlite).
+    sqlite), ``proxy://host:port`` (master's gRPC storage proxy, reference:
+    storage/data/proxy.go).
     """
     if url.startswith("memory://") or url == "memory":
         return MemoryDataStore()
     if url.startswith("sqlite://"):
         path = url[len("sqlite://"):] or ":memory:"
         return SQLiteDataStore(path)
+    if url.startswith("proxy://"):
+        from .proxy import ProxyDataStore
+
+        return ProxyDataStore(url[len("proxy://"):])
     raise ValueError(f"unsupported data store URL {url!r}")

@@ -1,0 +1,195 @@
+"""Redis cache store backend.
+
+Covers the reference's Redis cache backend (storage/cache/redis.go): KV,
+dedup queues, scored document collections, and time series over Redis
+structures. Where the reference leans on redis-stack's RediSearch JSON index
+for SearchScores, this build lays documents out on plain Redis structures
+(sorted set per (collection, subset) for score order + a hash per document),
+so any Redis-compatible server works — including the embedded ``MiniRedis``
+test fixture (storage/resp.py).
+
+URL format: ``redis://[:password@]host:port[/db]``.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+from .cache import CacheStore, _match_categories
+from .resp import RespClient
+from .types import Score, TimeSeriesPoint
+
+
+def _parse_url(url: str) -> tuple[str, int, int, str | None]:
+    rest = url[len("redis://"):]
+    password = None
+    if "@" in rest:
+        auth, rest = rest.rsplit("@", 1)
+        password = auth.split(":", 1)[-1] or None
+    db = 0
+    if "/" in rest:
+        rest, db_s = rest.split("/", 1)
+        db = int(db_s or 0)
+    host, _, port_s = rest.partition(":")
+    return host or "127.0.0.1", int(port_s or 6379), db, password
+
+
+class RedisCacheStore(CacheStore):
+    """CacheStore over RESP (reference: storage/cache/redis.go)."""
+
+    def __init__(self, url: str) -> None:
+        host, port, db, password = _parse_url(url)
+        self._c = RespClient(host, port, db=db, password=password)
+
+    # --- key layout
+    @staticmethod
+    def _zs(collection: str, subset: str) -> str:
+        return f"zs:{collection}/{subset}"
+
+    @staticmethod
+    def _doc(collection: str, subset: str, doc_id: str) -> str:
+        return f"doc:{collection}/{subset}/{doc_id}"
+
+    # --- KV
+    def set(self, k, v) -> None:
+        self._c.call("SET", f"kv:{k}", v)
+
+    def get(self, k):
+        return self._c.call("GET", f"kv:{k}")
+
+    def delete(self, k) -> None:
+        self._c.call("DEL", f"kv:{k}")
+
+    # --- queues (dedup via companion set, matching the SQL backend's
+    # insert-if-absent semantics)
+    def push(self, name, value) -> None:
+        if self._c.call("SADD", f"qm:{name}", value):
+            self._c.call("RPUSH", f"q:{name}", value)
+
+    def pop(self, name):
+        v = self._c.call("LPOP", f"q:{name}")
+        if v is not None:
+            self._c.call("SREM", f"qm:{name}", v)
+        return v
+
+    def remain(self, name) -> int:
+        return self._c.call("LLEN", f"q:{name}")
+
+    # --- scored collections
+    def add_scores(self, collection, subset, scores) -> None:
+        cmds: list[tuple] = [("SADD", f"subs:{collection}", subset)]
+        for s in scores:
+            cmds.append(("ZADD", self._zs(collection, subset), s.score, s.id))
+            cmds.append((
+                "HSET", self._doc(collection, subset, s.id),
+                "categories", json.dumps(s.categories),
+                "timestamp", repr(s.timestamp),
+                "is_hidden", "0",
+            ))
+        self._c.pipeline(cmds)
+
+    def _subset_rows(self, collection: str, subset: str) -> list[Score]:
+        """All docs of a subset in descending score order, hidden included."""
+        flat = self._c.call("ZRANGE", self._zs(collection, subset), "0", "-1", "REV", "WITHSCORES") or []
+        ids = flat[0::2]
+        zscores = [float(x) for x in flat[1::2]]
+        docs = self._c.pipeline([("HGETALL", self._doc(collection, subset, i)) for i in ids])
+        out = []
+        for doc_id, zscore, fields in zip(ids, zscores, docs):
+            d = dict(zip(fields[0::2], fields[1::2])) if fields else {}
+            s = Score(
+                id=doc_id,
+                score=zscore,
+                categories=json.loads(d.get("categories") or "[]"),
+                timestamp=float(d.get("timestamp") or 0.0),
+            )
+            s._hidden = d.get("is_hidden") == "1"  # transient, backend-internal
+            out.append(s)
+        return out
+
+    def search_scores(self, collection, subset, categories=None, begin=0, end=-1):
+        matched = [
+            s
+            for s in self._subset_rows(collection, subset)
+            if not s._hidden and _match_categories(s.categories, categories)
+        ]
+        if end < 0:
+            end = len(matched)
+        return matched[begin:end]
+
+    def _subsets(self, collection: str) -> list[str]:
+        return self._c.call("SMEMBERS", f"subs:{collection}") or []
+
+    def _drop_doc(self, collection: str, subset: str, doc_id: str) -> list[tuple]:
+        return [
+            ("ZREM", self._zs(collection, subset), doc_id),
+            ("DEL", self._doc(collection, subset, doc_id)),
+        ]
+
+    def delete_scores(self, collection, subsets=None, before=None) -> None:
+        targets = self._subsets(collection) if subsets is None else subsets
+        cmds: list[tuple] = []
+        for subset in targets:
+            rows = self._subset_rows(collection, subset)
+            for s in rows:
+                if before is None or s.timestamp < before:
+                    cmds.extend(self._drop_doc(collection, subset, s.id))
+            if before is None:
+                cmds.append(("SREM", f"subs:{collection}", subset))
+        self._c.pipeline(cmds)
+
+    def update_scores(self, collections, subset, item_id, categories=None, is_hidden=None) -> None:
+        cmds: list[tuple] = []
+        for collection in collections:
+            targets = [subset] if subset is not None else self._subsets(collection)
+            for ss in targets:
+                doc = self._doc(collection, ss, item_id)
+                if not self._c.call("EXISTS", doc):
+                    continue
+                if is_hidden is not None:
+                    cmds.append(("HSET", doc, "is_hidden", "1" if is_hidden else "0"))
+                if categories is not None:
+                    cmds.append(("HSET", doc, "categories", json.dumps(categories)))
+        self._c.pipeline(cmds)
+
+    def scan_scores(self, collection):
+        for subset in self._subsets(collection):
+            for s in self._subset_rows(collection, subset):
+                yield subset, s
+
+    # --- time series (sorted set keyed by timestamp; unique member suffix
+    # allows equal-valued points)
+    def add_time_series_points(self, points) -> None:
+        cmds: list[tuple] = []
+        for p in points:
+            member = json.dumps([p.name, p.timestamp, p.value, uuid.uuid4().hex[:8]])
+            cmds.append(("ZADD", f"ts:{p.name}", p.timestamp, member))
+            cmds.append(("SADD", "tsn", p.name))
+        self._c.pipeline(cmds)
+
+    def get_time_series_points(self, name, begin, end):
+        members = self._c.call("ZRANGE", f"ts:{name}", "0", "-1") or []
+        out = []
+        for m in members:
+            n, ts, value, _ = json.loads(m)
+            if begin <= ts <= end:
+                out.append(TimeSeriesPoint(n, ts, value))
+        out.sort(key=lambda p: p.timestamp)
+        return out
+
+    def ping(self) -> bool:
+        try:
+            return self._c.call("PING") == "PONG"
+        except Exception:  # noqa: BLE001 — ping answers reachability
+            return False
+
+    def purge(self) -> None:
+        for prefix in ("kv", "q", "qm", "zs", "doc", "subs", "ts"):
+            keys = self._c.call("KEYS", f"{prefix}:*") or []
+            if keys:
+                self._c.call("DEL", *keys)
+        self._c.call("DEL", "tsn")
+
+    def close(self) -> None:
+        self._c.close()

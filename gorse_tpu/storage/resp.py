@@ -1,0 +1,304 @@
+"""Minimal RESP (REdis Serialization Protocol) client + embedded test server.
+
+The reference ships a Redis cache backend (storage/cache/redis.go) exercised
+in CI against a redis-stack service. This build speaks RESP directly over a
+socket — no third-party driver in the image — and, mirroring the reference's
+embedded-fake test pattern (common/mock/openai.go), provides ``MiniRedis``,
+an in-process server implementing the command subset the cache store uses, so
+the backend is tested hermetically. The client works against real Redis
+unchanged.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import socket
+import socketserver
+import threading
+
+
+class RespError(Exception):
+    pass
+
+
+class RespClient:
+    """Pipelining RESP2 client (SET/GET/ZADD/HSET/... command subset)."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 6379, db: int = 0, password: str | None = None) -> None:
+        self._sock = socket.create_connection((host, port), timeout=10)
+        self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        self._buf = b""
+        self._lock = threading.RLock()
+        if password:
+            self.call("AUTH", password)
+        if db:
+            self.call("SELECT", str(db))
+
+    # --- wire format
+    @staticmethod
+    def _encode(args: tuple) -> bytes:
+        out = [b"*%d\r\n" % len(args)]
+        for a in args:
+            if isinstance(a, str):
+                a = a.encode()
+            elif isinstance(a, (int, float)):
+                a = repr(a).encode()
+            out.append(b"$%d\r\n%s\r\n" % (len(a), a))
+        return b"".join(out)
+
+    def _read_line(self) -> bytes:
+        while b"\r\n" not in self._buf:
+            chunk = self._sock.recv(65536)
+            if not chunk:
+                raise ConnectionError("redis connection closed")
+            self._buf += chunk
+        line, self._buf = self._buf.split(b"\r\n", 1)
+        return line
+
+    def _read_exact(self, n: int) -> bytes:
+        while len(self._buf) < n + 2:
+            chunk = self._sock.recv(65536)
+            if not chunk:
+                raise ConnectionError("redis connection closed")
+            self._buf += chunk
+        data, self._buf = self._buf[:n], self._buf[n + 2:]
+        return data
+
+    def _read_reply(self):
+        line = self._read_line()
+        kind, rest = line[:1], line[1:]
+        if kind == b"+":
+            return rest.decode()
+        if kind == b"-":
+            raise RespError(rest.decode())
+        if kind == b":":
+            return int(rest)
+        if kind == b"$":
+            n = int(rest)
+            return None if n < 0 else self._read_exact(n).decode()
+        if kind == b"*":
+            n = int(rest)
+            return None if n < 0 else [self._read_reply() for _ in range(n)]
+        raise RespError(f"bad RESP type byte {kind!r}")
+
+    # --- public API
+    def call(self, *args):
+        with self._lock:
+            self._sock.sendall(self._encode(args))
+            return self._read_reply()
+
+    def pipeline(self, commands: list[tuple]) -> list:
+        """Send many commands in one round trip; returns replies in order."""
+        if not commands:
+            return []
+        with self._lock:
+            self._sock.sendall(b"".join(self._encode(c) for c in commands))
+            return [self._read_reply() for _ in commands]
+
+    def close(self) -> None:
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+
+
+class _MiniRedisState:
+    def __init__(self) -> None:
+        self.lock = threading.RLock()
+        self.strings: dict[str, str] = {}
+        self.lists: dict[str, list[str]] = {}
+        self.sets: dict[str, set[str]] = {}
+        self.zsets: dict[str, dict[str, float]] = {}
+        self.hashes: dict[str, dict[str, str]] = {}
+
+    def delete(self, key: str) -> int:
+        n = 0
+        for space in (self.strings, self.lists, self.sets, self.zsets, self.hashes):
+            if key in space:
+                del space[key]
+                n = 1
+        return n
+
+    def keys(self) -> set[str]:
+        out: set[str] = set()
+        for space in (self.strings, self.lists, self.sets, self.zsets, self.hashes):
+            out.update(space)
+        return out
+
+
+class MiniRedis:
+    """In-process Redis-compatible server (test fixture).
+
+    Implements: PING, AUTH, SELECT, SET, GET, DEL, EXISTS, KEYS, FLUSHDB,
+    FLUSHALL, RPUSH, LPOP, LLEN, SADD, SREM, SISMEMBER, SMEMBERS, ZADD, ZREM,
+    ZRANGE [REV] [WITHSCORES], ZCARD, HSET, HGET, HGETALL, HDEL.
+    """
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0) -> None:
+        state = self.state = _MiniRedisState()
+
+        class Handler(socketserver.StreamRequestHandler):
+            def handle(self) -> None:
+                while True:
+                    try:
+                        args = self._read_command()
+                    except (ConnectionError, ValueError):
+                        return
+                    if args is None:
+                        return
+                    try:
+                        reply = self._dispatch(args)
+                    except Exception as e:  # noqa: BLE001 — protocol error reply
+                        reply = RespError(str(e))
+                    try:
+                        self.wfile.write(self._encode(reply))
+                    except OSError:
+                        return
+
+            def _read_command(self):
+                head = self.rfile.readline()
+                if not head:
+                    return None
+                if not head.startswith(b"*"):
+                    raise ValueError("inline commands unsupported")
+                n = int(head[1:].strip())
+                args = []
+                for _ in range(n):
+                    size_line = self.rfile.readline()
+                    size = int(size_line[1:].strip())
+                    data = self.rfile.read(size)
+                    self.rfile.read(2)
+                    args.append(data.decode())
+                return args
+
+            @staticmethod
+            def _encode(v) -> bytes:
+                if isinstance(v, RespError):
+                    return b"-ERR %s\r\n" % str(v).encode()
+                if isinstance(v, bool):
+                    return b":%d\r\n" % int(v)
+                if isinstance(v, int):
+                    return b":%d\r\n" % v
+                if v is None:
+                    return b"$-1\r\n"
+                if isinstance(v, str):
+                    if v.startswith("+"):
+                        return b"%s\r\n" % v.encode()
+                    b = v.encode()
+                    return b"$%d\r\n%s\r\n" % (len(b), b)
+                if isinstance(v, list):
+                    return b"*%d\r\n" % len(v) + b"".join(Handler._encode(x) for x in v)
+                raise TypeError(type(v))
+
+            def _dispatch(self, args: list[str]):
+                cmd, rest = args[0].upper(), args[1:]
+                s = state
+                with s.lock:
+                    if cmd == "PING":
+                        return "+PONG"
+                    if cmd in ("AUTH", "SELECT"):
+                        return "+OK"
+                    if cmd == "SET":
+                        s.delete(rest[0])
+                        s.strings[rest[0]] = rest[1]
+                        return "+OK"
+                    if cmd == "GET":
+                        return s.strings.get(rest[0])
+                    if cmd == "DEL":
+                        return sum(s.delete(k) for k in rest)
+                    if cmd == "EXISTS":
+                        return sum(1 for k in rest if k in s.keys())
+                    if cmd == "KEYS":
+                        return sorted(k for k in s.keys() if fnmatch.fnmatchcase(k, rest[0]))
+                    if cmd in ("FLUSHDB", "FLUSHALL"):
+                        for space in (s.strings, s.lists, s.sets, s.zsets, s.hashes):
+                            space.clear()
+                        return "+OK"
+                    if cmd == "RPUSH":
+                        q = s.lists.setdefault(rest[0], [])
+                        q.extend(rest[1:])
+                        return len(q)
+                    if cmd == "LPOP":
+                        q = s.lists.get(rest[0])
+                        return q.pop(0) if q else None
+                    if cmd == "LLEN":
+                        return len(s.lists.get(rest[0], []))
+                    if cmd == "SADD":
+                        st = s.sets.setdefault(rest[0], set())
+                        added = sum(1 for m in rest[1:] if m not in st)
+                        st.update(rest[1:])
+                        return added
+                    if cmd == "SREM":
+                        st = s.sets.get(rest[0], set())
+                        removed = sum(1 for m in rest[1:] if m in st)
+                        st.difference_update(rest[1:])
+                        return removed
+                    if cmd == "SISMEMBER":
+                        return int(rest[1] in s.sets.get(rest[0], set()))
+                    if cmd == "SMEMBERS":
+                        return sorted(s.sets.get(rest[0], set()))
+                    if cmd == "ZADD":
+                        z = s.zsets.setdefault(rest[0], {})
+                        pairs = rest[1:]
+                        added = 0
+                        for i in range(0, len(pairs), 2):
+                            member = pairs[i + 1]
+                            added += member not in z
+                            z[member] = float(pairs[i])
+                        return added
+                    if cmd == "ZREM":
+                        z = s.zsets.get(rest[0], {})
+                        removed = sum(1 for m in rest[1:] if m in z)
+                        for m in rest[1:]:
+                            z.pop(m, None)
+                        return removed
+                    if cmd == "ZCARD":
+                        return len(s.zsets.get(rest[0], {}))
+                    if cmd == "ZRANGE":
+                        z = s.zsets.get(rest[0], {})
+                        opts = [o.upper() for o in rest[3:]]
+                        rows = sorted(z.items(), key=lambda kv: (kv[1], kv[0]))
+                        if "REV" in opts:
+                            rows = rows[::-1]
+                        start, stop = int(rest[1]), int(rest[2])
+                        stop = len(rows) if stop == -1 else stop + 1
+                        rows = rows[start:stop]
+                        if "WITHSCORES" in opts:
+                            return [x for m, sc in rows for x in (m, repr(sc))]
+                        return [m for m, _ in rows]
+                    if cmd == "HSET":
+                        h = s.hashes.setdefault(rest[0], {})
+                        pairs = rest[1:]
+                        added = 0
+                        for i in range(0, len(pairs), 2):
+                            added += pairs[i] not in h
+                            h[pairs[i]] = pairs[i + 1]
+                        return added
+                    if cmd == "HGET":
+                        return s.hashes.get(rest[0], {}).get(rest[1])
+                    if cmd == "HGETALL":
+                        return [x for kv in s.hashes.get(rest[0], {}).items() for x in kv]
+                    if cmd == "HDEL":
+                        h = s.hashes.get(rest[0], {})
+                        removed = sum(1 for f in rest[1:] if f in h)
+                        for f in rest[1:]:
+                            h.pop(f, None)
+                        return removed
+                    raise ValueError(f"unknown command '{cmd}'")
+
+        class Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._server = Server((host, port), Handler)
+        self.host, self.port = self._server.server_address
+        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+        self._thread.start()
+
+    @property
+    def url(self) -> str:
+        return f"redis://{self.host}:{self.port}"
+
+    def close(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()

@@ -177,4 +177,8 @@ def open_vector_store(url: str) -> VectorStore:
         return MemoryVectorStore()
     if url.startswith("sqlite://"):
         return SQLiteVectorStore(url[len("sqlite://"):] or ":memory:")
+    if url.startswith("proxy://"):
+        from .proxy import ProxyVectorStore
+
+        return ProxyVectorStore(url[len("proxy://"):])
     raise ValueError(f"unsupported vector store URL {url!r}")

@@ -44,6 +44,11 @@ class MasterConfig:
     dashboard_user_name: str = ""
     dashboard_password: str = ""
     admin_api_key: str = ""
+    # mutual TLS for the gRPC control plane (reference: config/config.go:141-145)
+    ssl_mode: bool = False
+    ssl_ca: str = ""
+    ssl_cert: str = ""
+    ssl_key: str = ""
 
 
 @dataclasses.dataclass
@@ -185,8 +190,8 @@ class Config:
         """Strict validation (reference: go-playground validators + custom
         data_store/item_expr checks)."""
         for url, kinds in (
-            (self.database.data_store, ("memory://", "sqlite://")),
-            (self.database.cache_store, ("memory://", "sqlite://")),
+            (self.database.data_store, ("memory://", "sqlite://", "proxy://")),
+            (self.database.cache_store, ("memory://", "sqlite://", "proxy://", "redis://")),
         ):
             if url and not any(url.startswith(k) or url == k.rstrip("://") for k in kinds):
                 raise ValueError(f"unsupported store URL {url!r}")

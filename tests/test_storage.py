@@ -21,14 +21,58 @@ from gorse_tpu.storage import (
 )
 
 
-@pytest.fixture(params=["memory", "sqlite"])
+def _proxy_pair(**stores):
+    """Spin an in-process gRPC storage proxy (reference: the storage proxy
+    services tested via in-process servers, storage/*/proxy_test.go)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import grpc
+
+    from gorse_tpu.storage import add_storage_proxy
+
+    server = grpc.server(ThreadPoolExecutor(max_workers=4))
+    add_storage_proxy(server, **stores)
+    port = server.add_insecure_port("127.0.0.1:0")
+    server.start()
+    return server, f"127.0.0.1:{port}"
+
+
+@pytest.fixture(params=["memory", "sqlite", "proxy"])
 def data_store(request):
-    return MemoryDataStore() if request.param == "memory" else SQLiteDataStore()
+    if request.param == "proxy":
+        from gorse_tpu.storage import ProxyDataStore
+
+        server, target = _proxy_pair(data=MemoryDataStore())
+        store = ProxyDataStore(target)
+        yield store
+        store.close()
+        server.stop(None)
+        return
+    yield MemoryDataStore() if request.param == "memory" else SQLiteDataStore()
 
 
-@pytest.fixture(params=["memory", "sqlite"])
+@pytest.fixture(params=["memory", "sqlite", "proxy", "redis"])
 def cache_store(request):
-    return MemoryCacheStore() if request.param == "memory" else SQLiteCacheStore()
+    if request.param == "proxy":
+        from gorse_tpu.storage import ProxyCacheStore
+
+        server, target = _proxy_pair(cache=MemoryCacheStore())
+        store = ProxyCacheStore(target)
+        yield store
+        store.close()
+        server.stop(None)
+        return
+    if request.param == "redis":
+        from gorse_tpu.storage.redis import RedisCacheStore
+        from gorse_tpu.storage.resp import MiniRedis
+
+        mini = MiniRedis()
+        store = RedisCacheStore(mini.url)
+        yield store
+        store.close()
+        mini.close()
+        return
+    yield MemoryCacheStore() if request.param == "memory" else SQLiteCacheStore()
 
 
 def test_users_crud(data_store):
