@@ -20,7 +20,14 @@ from ..storage.meta import RECOMMEND_CONFIG, Node
 from ..utils.config import Config, _from_dict
 from . import dump as dump_mod
 from .metrics import MetricsRegistry
-from .rest import HTTPError, RawResponse, RestServer
+from .oidc import OIDCClient, SessionManager
+from .rest import HTTPError, RawResponse, Redirect, RestServer
+
+_LOGIN_FORM = """<!doctype html><html><body><h1>gorse-tpu dashboard</h1>
+<form method="post" action="/login">
+<input name="user_name" placeholder="user name">
+<input name="password" type="password" placeholder="password">
+<button type="submit">Login</button></form>{msg}</body></html>"""
 
 
 class MasterRestServer(RestServer):
@@ -31,6 +38,15 @@ class MasterRestServer(RestServer):
     def __init__(self, master, api_key: str = "", metrics: MetricsRegistry | None = None) -> None:
         self.master = master
         self.metrics = metrics or MetricsRegistry()
+        # login sessions + optional OIDC single sign-on
+        # (reference: master/master.go:402-418, master/rest.go:271-287)
+        self.sessions = SessionManager()
+        oidc_cfg = master.config.oidc
+        self.oidc = (
+            OIDCClient(oidc_cfg.issuer, oidc_cfg.client_id, oidc_cfg.client_secret, oidc_cfg.redirect_url)
+            if oidc_cfg.enable
+            else None
+        )
         super().__init__(master.config, master.data, master.cache, api_key=api_key)
 
     def _register_routes(self) -> None:
@@ -60,6 +76,94 @@ class MasterRestServer(RestServer):
         # node sync (replaces the gRPC Master service, master/rpc.go:29-98)
         r("POST", "/api/admin/meta", self.post_meta)
         r("POST", "/api/admin/progress", self.post_progress)
+        # login (reference: master/rest.go:271-273,369-418)
+        r("GET", "/login", self.get_login)
+        r("POST", "/login", self.post_login)
+        r("GET", "/callback/oauth2", self.oauth2_callback)
+        r("GET", "/logout", self.get_logout)
+        r("GET", "/api/dashboard/userinfo", self.get_userinfo)
+
+    # ---------------------------------------------------------------- login
+
+    _public_paths = ("/login", "/callback/oauth2", "/logout")
+    _PROTECTED_PREFIXES = ("/api/dashboard", "/api/dump", "/api/restore", "/api/import", "/api/export")
+
+    def dispatch(self, method, path, query, body, headers):
+        # when dashboard login is configured, admin routes require a session
+        # (or the admin API key) even if no API key gates the public API
+        # (reference: master/rest.go:344-366)
+        hl = {k.lower(): v for k, v in headers.items()}
+        login_configured = bool(self.master.config.master.dashboard_user_name) or self.oidc is not None
+        if (
+            login_configured
+            and path.startswith(self._PROTECTED_PREFIXES)
+            and not self._session_ok(hl)
+            and not (self.api_key and hl.get("x-api-key") == self.api_key)
+        ):
+            return 401, {"error": "unauthorized"}
+        return super().dispatch(method, path, query, body, headers)
+
+    def _session_ok(self, headers: dict) -> bool:
+        return self.sessions.from_cookie_header(headers.get("cookie")) is not None
+
+    @staticmethod
+    def _session_cookie(token: str) -> str:
+        return f"{SessionManager.COOKIE}={token}; Path=/; HttpOnly"
+
+    def get_login(self, req):
+        if self.oidc is not None:
+            # OIDC enabled: send the browser to the provider (master/rest.go:355-358)
+            return Redirect(self.oidc.auth_url(self.oidc.new_state()))
+        msg = req.query.get("msg", "")
+        return RawResponse(
+            _LOGIN_FORM.format(msg=f"<p>{msg}</p>" if msg else "").encode(),
+            "text/html",
+        )
+
+    def post_login(self, req):
+        body = req.body or {}
+        cfg = self.master.config.master
+        if not cfg.dashboard_user_name:
+            raise HTTPError(400, "dashboard login is not configured")
+        if (
+            body.get("user_name") == cfg.dashboard_user_name
+            and body.get("password") == cfg.dashboard_password
+        ):
+            token = self.sessions.issue(
+                {"Name": cfg.dashboard_user_name, "AuthType": "basic"}
+            )
+            return Redirect("/", set_cookie=self._session_cookie(token))
+        return Redirect("/login?msg=incorrect")  # reference: master/rest.go:379
+
+    def oauth2_callback(self, req):
+        if self.oidc is None:
+            raise HTTPError(404, "OIDC is not enabled")
+        state = req.query.get("state", "")
+        if not self.oidc.check_state(state):
+            raise HTTPError(401, "invalid state")
+        try:
+            claims = self.oidc.exchange(req.query.get("code", ""))
+        except Exception as e:  # noqa: BLE001 — provider errors surface as 401
+            raise HTTPError(401, f"token exchange failed: {e}")
+        token = self.sessions.issue(
+            {
+                "Name": claims.get("name", claims.get("sub", "")),
+                "Email": claims.get("email", ""),
+                "AuthType": "oidc",
+            }
+        )
+        return Redirect("/", set_cookie=self._session_cookie(token))
+
+    def get_logout(self, req):
+        expired = f"{SessionManager.COOKIE}=; Path=/; Max-Age=0"
+        return Redirect("/login", set_cookie=expired)
+
+    def get_userinfo(self, req) -> dict:
+        """Reference: 'Get login user information' (master/rest.go:88)."""
+        info = self.sessions.from_cookie_header(req.headers.get("cookie"))
+        if info is None:
+            raise HTTPError(401, "not logged in")
+        return info
 
     # ------------------------------------------------------------ dashboard
 
@@ -212,4 +316,8 @@ class MasterRestServer(RestServer):
                         break
         except OSError:
             pass
+        for comp, nbytes in getattr(self.master, "memory_inuse", {}).items():
+            self.metrics.gauge_set(
+                "memory_inuse_bytes_component", nbytes, labels={"component": comp}
+            )
         return RawResponse(self.metrics.render().encode(), "text/plain; version=0.0.4")

@@ -454,6 +454,15 @@ class Master:
         if search:
             self.search_model(data, "cf")
         self.collect_garbage()
+        # deep memory accounting per component (reference: sizeof.DeepSize
+        # gauges, master/tasks.go:211-222), rendered at /metrics
+        from ..utils.sizeof import deep_size
+
+        self.memory_inuse = {
+            "dataset": deep_size(data),
+            "cf_index": deep_size(self.cf_index),
+            "ctr_model": deep_size(self.ctr_model),
+        }
         return data
 
     def trigger(self) -> None:

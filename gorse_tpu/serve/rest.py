@@ -42,9 +42,27 @@ class HTTPError(Exception):
 class RawResponse:
     """Non-JSON handler result (dump streams, /metrics text)."""
 
-    def __init__(self, body: bytes, content_type: str = "application/octet-stream") -> None:
+    def __init__(
+        self,
+        body: bytes,
+        content_type: str = "application/octet-stream",
+        headers: dict | None = None,
+        status: int = 200,
+    ) -> None:
         self.body = body
         self.content_type = content_type
+        self.headers = headers or {}
+        self.status = status
+
+
+class Redirect(RawResponse):
+    """302 redirect, optionally carrying Set-Cookie (login flows)."""
+
+    def __init__(self, location: str, set_cookie: str | None = None) -> None:
+        headers = {"Location": location}
+        if set_cookie:
+            headers["Set-Cookie"] = set_cookie
+        super().__init__(b"", "text/plain", headers, status=302)
 
 
 class RestServer:
@@ -132,9 +150,21 @@ class RestServer:
         r("POST", "/api/session/recommend", self.session_recommend)
         r("GET", "/api/measurements/{name}", self.get_measurements)
 
+    def _session_ok(self, headers: dict) -> bool:
+        """Cookie-session auth hook; the dashboard overrides this
+        (reference: session cookie check master/rest.go:344-366)."""
+        return False
+
+    _public_paths = ()
+
     def dispatch(self, method: str, path: str, query: dict, body, headers) -> tuple[int, object]:
         headers = {k.lower(): v for k, v in headers.items()}
-        if self.api_key and headers.get("x-api-key") != self.api_key:
+        if (
+            self.api_key
+            and headers.get("x-api-key") != self.api_key
+            and path not in self._public_paths
+            and not self._session_ok(headers)
+        ):
             matched = any(p.match(path) for m, p, _ in self._routes if m == method)
             if "/health/" not in path and path != "/metrics":
                 return (401, {"error": "unauthorized"}) if matched else (404, {"error": "not found"})
@@ -567,6 +597,14 @@ class RestServer:
                     ctype = (self.headers.get("Content-Type") or "application/json").split(";")[0]
                     if ctype in ("application/octet-stream", "text/csv"):
                         body = raw  # binary/CSV payloads pass through
+                    elif ctype == "application/x-www-form-urlencoded":
+                        # urllib sets this content type by default, so JSON
+                        # bodies still take precedence; real form posts
+                        # (login) fall through to form decoding
+                        try:
+                            body = json.loads(raw.decode())
+                        except (json.JSONDecodeError, UnicodeDecodeError):
+                            body = dict(urllib.parse.parse_qsl(raw.decode()))
                     else:
                         try:
                             body = json.loads(raw.decode())
@@ -580,13 +618,19 @@ class RestServer:
                 self._reply(status, payload)
 
             def _reply(self, status: int, payload) -> None:
+                extra = {}
                 if isinstance(payload, RawResponse):
                     data, ctype = payload.body, payload.content_type
+                    extra = payload.headers
+                    if payload.status != 200:
+                        status = payload.status
                 else:
                     data, ctype = json.dumps(payload).encode(), "application/json"
                 self.send_response(status)
                 self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(data)))
+                for k, v in extra.items():
+                    self.send_header(k, v)
                 self.end_headers()
                 self.wfile.write(data)
 

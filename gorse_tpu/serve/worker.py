@@ -71,6 +71,11 @@ class Worker:
         self.cf_model_id = ""
         self.ctr_model: AFM | None = None
         self.ctr_model_id = ""
+        from .item_cache import ItemCache
+
+        # worker-local item metadata with BF16 label compression
+        # (reference: ItemCache worker/pipeline.go:42-77)
+        self.items = ItemCache(data_store)
         if openai_client is None and config.openai.base_url:
             from ..llm.client import OpenAIClient
 
@@ -149,6 +154,7 @@ class Worker:
         ]
         if not todo:
             return 0
+        self.items.clear()  # fresh metadata per pipeline run
         with self.progress.span("recommend", total=len(todo)) as span:
             # STEP 1: collaborative scores for the whole shard in ONE batch
             if self.cf_index is not None:
@@ -203,7 +209,7 @@ class Worker:
         for fb in recommender.user_feedback:
             if fb.item_id in existing:
                 continue
-            item = self.data.get_item(fb.item_id)
+            item = self.items.get(fb.item_id)
             if item is None or item.is_hidden:
                 continue
             if match_any(cfg.data_source.positive_feedback_types, fb.feedback_type, fb.value):
@@ -234,10 +240,12 @@ class Worker:
         rows = []
         owners = []
         index = self.ctr_model.index
+        # one batched metadata fetch for the whole shard's candidates
+        self.items.prefetch([s.id for scores in candidates.values() for s in scores])
         for user_id, scores in candidates.items():
             user = self.data.get_user(user_id)
             for s in scores:
-                item = self.data.get_item(s.id)
+                item = self.items.get(s.id)
                 idx, val = [], []
                 u_enc = index.encode_user(user_id)
                 if u_enc >= 0:
@@ -285,13 +293,14 @@ class Worker:
                 if len(history) >= cfg.context_size:
                     break
                 if match_any(cfg.data_source.positive_feedback_types, fb.feedback_type, fb.value):
-                    item = self.data.get_item(fb.item_id)
+                    item = self.items.get(fb.item_id)
                     if item is not None:
                         history.append((fb.feedback_type, item))
+            self.items.prefetch([s.id for s in scores])
             items = {
                 s.id: it
                 for s in scores
-                if (it := self.data.get_item(s.id)) is not None
+                if (it := self.items.get(s.id)) is not None
             }
             out[user_id] = reranker.rank(user, history, scores, items)
         return out

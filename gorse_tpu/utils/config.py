@@ -176,6 +176,17 @@ class TracingConfig:
 
 
 @dataclasses.dataclass
+class OIDCConfig:
+    """Dashboard single sign-on (reference: config/config.go:415-421)."""
+
+    enable: bool = False
+    issuer: str = ""
+    client_id: str = ""
+    client_secret: str = ""
+    redirect_url: str = ""
+
+
+@dataclasses.dataclass
 class Config:
     database: DatabaseConfig = dataclasses.field(default_factory=DatabaseConfig)
     master: MasterConfig = dataclasses.field(default_factory=MasterConfig)
@@ -183,6 +194,7 @@ class Config:
     recommend: RecommendConfig = dataclasses.field(default_factory=RecommendConfig)
     openai: OpenAIConfig = dataclasses.field(default_factory=OpenAIConfig)
     tracing: TracingConfig = dataclasses.field(default_factory=TracingConfig)
+    oidc: OIDCConfig = dataclasses.field(default_factory=OIDCConfig)
 
     # ------------------------------------------------------------ validation
 
