@@ -40,7 +40,12 @@ def master_main() -> None:
     cache = open_cache_store(config.database.cache_store)
     blob = BlobStore(config.database.blob_store or "/tmp/gorse_tpu_blobs")
     meta = MetaStore(config.database.meta_store)
-    master = Master(config, data, cache, blob, meta)
+    vectors = None
+    if config.database.vector_store:
+        from ..storage.vectors import open_vector_store
+
+        vectors = open_vector_store(config.database.vector_store)
+    master = Master(config, data, cache, blob, meta, vector_store=vectors)
     rest = MasterRestServer(master, api_key=config.master.admin_api_key)
     rest.serve(args.host or config.master.http_host, args.port or config.master.http_port)
     # gRPC control plane: meta/progress/blob + storage proxy for node-local

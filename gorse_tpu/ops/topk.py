@@ -41,6 +41,43 @@ def dot_topk_xla(queries: jax.Array, items: jax.Array, k_top: int):
     return top_scores, top_idx.astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("k_top", "metric"))
+def sq_topk(
+    queries: jax.Array,
+    codes: jax.Array,
+    scale: jax.Array,
+    minv: jax.Array,
+    k_top: int,
+    norms2: jax.Array | None = None,
+    metric: str = "dot",
+):
+    """Top-k over scalar-quantized vectors, dequantized *inside* the matmul.
+
+    Rows are stored as uint8 codes with per-row affine params
+    (``v = minv + scale * codes``), so exact dot products follow from one
+    int8-input matmul plus rank-1 corrections:
+
+        q . v = scale * (q . codes) + minv * sum(q)
+
+    The codes upcast to bf16 on the MXU — 4x less HBM traffic than f32
+    rows. ``metric``: "dot" | "cosine" (rows pre-normalized at ingest) |
+    "euclidean" (needs ``norms2 = ||v||^2``; returns negative distances so
+    larger is always better).
+    """
+    q = queries.astype(jnp.float32)
+    partial = jnp.dot(
+        q, codes.astype(jnp.bfloat16).T, preferred_element_type=jnp.float32
+    )
+    dots = partial * scale[None, :] + jnp.sum(q, axis=1, keepdims=True) * minv[None, :]
+    if metric == "euclidean":
+        q2 = jnp.sum(q * q, axis=1, keepdims=True)
+        scores = -(q2 - 2.0 * dots + norms2[None, :])
+    else:
+        scores = dots
+    top_scores, top_idx = jax.lax.top_k(scores, k_top)
+    return top_scores, top_idx.astype(jnp.int32)
+
+
 def _topk_kernel(q_ref, item_ref, out_s_ref, out_i_ref, run_s, run_i, *, k_sel, block_n, n_items):
     """One grid step: fold item block ``pl.program_id(0)`` into the running top-k."""
     blk = pl.program_id(0)

@@ -36,7 +36,15 @@ class InOneNode:
         blob_dir = self.config.database.blob_store or f"{self.workdir}/blobs"
         self.blob = BlobStore(blob_dir)
         self.meta = MetaStore(self.config.database.meta_store)
-        self.master = Master(self.config, self.data, self.cache, self.blob, self.meta)
+        self.vectors = None
+        if self.config.database.vector_store:
+            from ..storage.vectors import open_vector_store
+
+            self.vectors = open_vector_store(self.config.database.vector_store)
+        self.master = Master(
+            self.config, self.data, self.cache, self.blob, self.meta,
+            vector_store=self.vectors,
+        )
         self.worker = Worker(self.config, self.data, self.cache, self.blob, node_id="in-one")
         from .dashboard import MasterRestServer
 

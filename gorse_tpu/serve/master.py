@@ -69,12 +69,14 @@ class Master:
         cache_store: CacheStore,
         blob_store: BlobStore,
         meta_store: MetaStore,
+        vector_store=None,
     ) -> None:
         self.config = config
         self.data = data_store
         self.cache = cache_store
         self.blob = blob_store
         self.meta = meta_store
+        self.vectors = vector_store
         self.progress = ProgressTracker()
         self.cf_model = None
         self.cf_index: MatrixFactorizationIndex | None = None
@@ -367,7 +369,39 @@ class Master:
         self.cf_index.save(self.blob.create(model_id))
         self.meta.put(COLLABORATIVE_FILTERING_MODEL, model_id)
         self.cache.set(ck.LAST_FIT_MATCHING_MODEL_TIME, str(time.time()))
+        self._sync_cf_vectors()
         logger.info("CF model %s trained: NDCG@10=%.4f", model_id, score.ndcg)
+
+    CF_COLLECTION = "collaborative_filtering"
+
+    def _sync_cf_vectors(self) -> None:
+        """Maintain the CF item-factor collection in the vector store
+        (reference: initCollaborativeFilteringVectorCollection + check,
+        master/master.go:424-478): recreate on dimension/quantization
+        mismatch, then upsert every item's factors."""
+        if self.vectors is None or self.cf_index is None:
+            return
+        factors = np.asarray(self.cf_index.item_factors)
+        dim = int(factors.shape[1])
+        db_cfg = self.config.database
+        want_q = db_cfg.vector_quantization_type
+        info = self.vectors.describe_collection(self.CF_COLLECTION)
+        if info is not None and (
+            info["dimension"] != dim or info.get("quantization", "") != want_q
+        ):
+            logger.warning(
+                "recreating CF vector collection: dim %s->%s quantization %r->%r",
+                info["dimension"], dim, info.get("quantization", ""), want_q,
+            )
+            self.vectors.drop_collection(self.CF_COLLECTION)
+            info = None
+        if info is None:
+            self.vectors.create_collection(
+                self.CF_COLLECTION, dim, distance="dot",
+                quantization=want_q, bits=db_cfg.vector_quantization_bits,
+            )
+        ids = [self.cf_index.item_index.to_name(i) for i in range(factors.shape[0])]
+        self.vectors.add(self.CF_COLLECTION, ids, factors)
 
     def train_click_through_rate(self, data: LoadedData) -> None:
         """Reference: trainClickThroughRatePrediction master/tasks.go:1111-1219."""

@@ -310,8 +310,14 @@ class ProxyVectorStore(_ProxyBase, VectorStore):
 
     _store = "vectors"
 
-    def create_collection(self, name, dimensions) -> None:
-        self._call("create_collection", name, dimensions)
+    def create_collection(self, name, dimensions, distance="dot", quantization="", bits=0) -> None:
+        self._call("create_collection", name, dimensions, distance, quantization, bits)
+
+    def describe_collection(self, name):
+        return self._call("describe_collection", name)
+
+    def list_collections(self) -> list[str]:
+        return self._call("list_collections")
 
     def has_collection(self, name) -> bool:
         return self._call("has_collection", name)

@@ -1,15 +1,23 @@
 """Vector store: named collections with top-k similarity queries.
 
-Covers the reference's storage/vectors/database.go (:85-96): collections of
-(id, vector) rows with add/delete/query-top-k, used for CF factor serving
+Covers the reference's storage/vectors/database.go (:34-96): collections of
+(id, vector) rows with add/delete/query-top-k plus collection metadata
+(dimension, distance, quantization config), used for CF factor serving
 (master/master.go:424-478). The reference plugs SQLite/Milvus/Qdrant/
-Weaviate behind this interface; here the memory and SQLite backends execute
-queries with the device top-k kernels (exact, not ANN — SURVEY.md §7 design
-stance), so a TPU serves as the "vector database" accelerator.
+Weaviate behind this interface and *delegates* quantization to the vector
+databases (its SQLite backend rejects it, storage/vectors/sqlite.go:115);
+here quantization is native: ``sq`` stores uint8 codes with per-row affine
+params and queries dequantize inside an MXU matmul (ops/topk.sq_topk), so
+the TPU itself is the quantized vector database. Exact blocked top-k
+replaces ANN (SURVEY.md §7 design stance).
+
+Distances: ``dot`` (default) | ``cosine`` (rows normalized at ingest) |
+``euclidean`` (scores are negative distances, larger = closer).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import sqlite3
 import threading
@@ -18,15 +26,55 @@ import numpy as np
 
 from .types import Score
 
+DISTANCES = ("dot", "cosine", "euclidean")
+QUANTIZATIONS = ("", "sq")  # pq/rq intentionally unsupported: exact sq covers
+# gorse-scale catalogs; see PARITY.md
+
+
+@dataclasses.dataclass
+class CollectionInfo:
+    """Reference: vectors.CollectionInfo (database.go:69-75)."""
+
+    name: str
+    dimension: int
+    distance: str = "dot"
+    quantization: str = ""
+    bits: int = 0
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+def _quantize_sq(vec: np.ndarray) -> tuple[np.ndarray, float, float]:
+    """Per-row affine scalar quantization: v ~= minv + scale * codes."""
+    lo, hi = float(vec.min()), float(vec.max())
+    scale = (hi - lo) / 255.0 if hi > lo else 1.0
+    codes = np.clip(np.rint((vec - lo) / scale), 0, 255).astype(np.uint8)
+    return codes, scale, lo
+
 
 class VectorStore:
     """Abstract vector store (storage/vectors/database.go:85-96)."""
 
-    def create_collection(self, name: str, dimensions: int) -> None:
+    def create_collection(
+        self,
+        name: str,
+        dimensions: int,
+        distance: str = "dot",
+        quantization: str = "",
+        bits: int = 0,
+    ) -> None:
+        raise NotImplementedError
+
+    def describe_collection(self, name: str) -> dict | None:
+        """Collection metadata dict, or None (reference: DescribeCollection)."""
+        raise NotImplementedError
+
+    def list_collections(self) -> list[str]:
         raise NotImplementedError
 
     def has_collection(self, name: str) -> bool:
-        raise NotImplementedError
+        return self.describe_collection(name) is not None
 
     def drop_collection(self, name: str) -> None:
         raise NotImplementedError
@@ -38,7 +86,7 @@ class VectorStore:
         raise NotImplementedError
 
     def query(self, collection: str, vectors: np.ndarray, k: int) -> list[list[Score]]:
-        """Top-k by dot product for each query vector."""
+        """Top-k by the collection's distance for each query vector."""
         raise NotImplementedError
 
     def ping(self) -> bool:
@@ -48,95 +96,168 @@ class VectorStore:
         pass
 
 
+class _Collection:
+    __slots__ = ("info", "rows", "scales", "mins", "norms2")
+
+    def __init__(self, info: CollectionInfo) -> None:
+        self.info = info
+        # id -> f32 vector ("" quantization) or uint8 codes ("sq")
+        self.rows: dict[str, np.ndarray] = {}
+        self.scales: dict[str, float] = {}
+        self.mins: dict[str, float] = {}
+        self.norms2: dict[str, float] = {}
+
+
 class MemoryVectorStore(VectorStore):
-    """In-memory vector store querying through the exact top-k kernel."""
+    """In-memory vector store querying through the device top-k kernels."""
 
     def __init__(self) -> None:
         self._lock = threading.RLock()
-        # name -> (dimensions, {id: vector})
-        self._collections: dict[str, tuple[int, dict[str, np.ndarray]]] = {}
+        self._collections: dict[str, _Collection] = {}
 
-    def create_collection(self, name: str, dimensions: int) -> None:
+    def create_collection(self, name, dimensions, distance="dot", quantization="", bits=0) -> None:
+        if distance not in DISTANCES:
+            raise ValueError(f"unsupported distance {distance!r}")
+        if quantization not in QUANTIZATIONS:
+            raise ValueError(f"unsupported quantization {quantization!r}")
+        if quantization == "sq" and bits not in (0, 8):
+            raise ValueError(f"sq supports 8 bits, got {bits}")
         with self._lock:
             if name not in self._collections:
-                self._collections[name] = (dimensions, {})
+                self._collections[name] = _Collection(
+                    CollectionInfo(name, dimensions, distance, quantization,
+                                   8 if quantization == "sq" else 0)
+                )
 
-    def has_collection(self, name: str) -> bool:
-        return name in self._collections
+    def describe_collection(self, name):
+        c = self._collections.get(name)
+        return c.info.to_dict() if c else None
+
+    def list_collections(self) -> list[str]:
+        return sorted(self._collections)
 
     def drop_collection(self, name: str) -> None:
         with self._lock:
             self._collections.pop(name, None)
 
     def dimensions(self, name: str) -> int:
-        return self._collections[name][0]
+        return self._collections[name].info.dimension
 
     def add(self, collection: str, ids: list[str], vectors: np.ndarray) -> None:
         with self._lock:
-            dim, rows = self._collections[collection]
+            c = self._collections[collection]
             vectors = np.asarray(vectors, dtype=np.float32)
-            assert vectors.shape[1] == dim, f"dimension mismatch: {vectors.shape[1]} != {dim}"
+            assert vectors.shape[1] == c.info.dimension, (
+                f"dimension mismatch: {vectors.shape[1]} != {c.info.dimension}"
+            )
             for i, vid in enumerate(ids):
-                rows[vid] = vectors[i]
+                vec = vectors[i]
+                if c.info.distance == "cosine":
+                    norm = float(np.linalg.norm(vec))
+                    if norm > 0:
+                        vec = vec / norm
+                if c.info.quantization == "sq":
+                    codes, scale, lo = _quantize_sq(vec)
+                    c.rows[vid] = codes
+                    c.scales[vid] = scale
+                    c.mins[vid] = lo
+                    approx = lo + scale * codes.astype(np.float32)
+                    c.norms2[vid] = float(approx @ approx)
+                else:
+                    c.rows[vid] = vec
+                    c.norms2[vid] = float(vec @ vec)
 
     def delete(self, collection: str, ids: list[str]) -> None:
         with self._lock:
-            _, rows = self._collections[collection]
+            c = self._collections[collection]
             for vid in ids:
-                rows.pop(vid, None)
+                c.rows.pop(vid, None)
+                c.scales.pop(vid, None)
+                c.mins.pop(vid, None)
+                c.norms2.pop(vid, None)
 
     def query(self, collection: str, vectors: np.ndarray, k: int) -> list[list[Score]]:
         import jax.numpy as jnp
 
-        from ..ops.topk import dot_topk_xla
+        from ..ops.topk import dot_topk_xla, sq_topk
 
         with self._lock:
-            _, rows = self._collections[collection]
-            if not rows:
+            c = self._collections[collection]
+            if not c.rows:
                 return [[] for _ in range(len(vectors))]
-            ids = list(rows)
-            matrix = np.stack([rows[i] for i in ids])
+            ids = list(c.rows)
+            matrix = np.stack([c.rows[i] for i in ids])
+            info = c.info
+            scales = np.asarray([c.scales[i] for i in ids], dtype=np.float32) if info.quantization == "sq" else None
+            mins = np.asarray([c.mins[i] for i in ids], dtype=np.float32) if info.quantization == "sq" else None
+            norms2 = np.asarray([c.norms2[i] for i in ids], dtype=np.float32)
+        q = np.asarray(vectors, dtype=np.float32)
+        if info.distance == "cosine":
+            qn = np.linalg.norm(q, axis=1, keepdims=True)
+            q = q / np.where(qn > 0, qn, 1.0)
         k_eff = min(k, len(ids))
-        scores, idxs = dot_topk_xla(
-            jnp.asarray(np.asarray(vectors, dtype=np.float32)), jnp.asarray(matrix), k_eff
-        )
+        if info.quantization == "sq":
+            scores, idxs = sq_topk(
+                jnp.asarray(q), jnp.asarray(matrix), jnp.asarray(scales),
+                jnp.asarray(mins), k_eff, norms2=jnp.asarray(norms2),
+                metric=info.distance,
+            )
+        elif info.distance == "euclidean":
+            import jax
+
+            dots = jnp.dot(jnp.asarray(q), jnp.asarray(matrix).T,
+                           preferred_element_type=jnp.float32)
+            q2 = jnp.sum(jnp.asarray(q) ** 2, axis=1, keepdims=True)
+            scores, idxs = jax.lax.top_k(-(q2 - 2.0 * dots + jnp.asarray(norms2)[None, :]), k_eff)
+        else:
+            scores, idxs = dot_topk_xla(jnp.asarray(q), jnp.asarray(matrix), k_eff)
         scores, idxs = np.asarray(scores), np.asarray(idxs)
         return [
             [Score(id=ids[int(j)], score=float(s)) for s, j in zip(scores[b], idxs[b])]
-            for b in range(len(vectors))
+            for b in range(len(q))
         ]
 
 
 class SQLiteVectorStore(MemoryVectorStore):
     """SQLite persistence with in-memory query acceleration: vectors are
-    durable rows; queries run on the device kernel over a cached matrix."""
+    durable rows; queries run on the device kernel over the cached view."""
 
     def __init__(self, path: str = ":memory:") -> None:
         super().__init__()
         self._conn = sqlite3.connect(path, check_same_thread=False)
         with self._lock:
             self._conn.execute(
-                "CREATE TABLE IF NOT EXISTS collections (name TEXT PRIMARY KEY, dimensions INTEGER)"
+                "CREATE TABLE IF NOT EXISTS collections ("
+                "name TEXT PRIMARY KEY, dimensions INTEGER,"
+                "distance TEXT DEFAULT 'dot', quantization TEXT DEFAULT '', bits INTEGER DEFAULT 0)"
             )
             self._conn.execute(
                 "CREATE TABLE IF NOT EXISTS vectors (collection TEXT, id TEXT, vector TEXT, PRIMARY KEY (collection, id))"
             )
+            # migrate pre-quantization schemas in place
+            cols = [r[1] for r in self._conn.execute("PRAGMA table_info(collections)")]
+            for col, decl in (("distance", "TEXT DEFAULT 'dot'"),
+                              ("quantization", "TEXT DEFAULT ''"),
+                              ("bits", "INTEGER DEFAULT 0")):
+                if col not in cols:
+                    self._conn.execute(f"ALTER TABLE collections ADD COLUMN {col} {decl}")
             self._conn.commit()
-            # warm the in-memory view
-            for name, dim in self._conn.execute("SELECT name, dimensions FROM collections"):
-                super().create_collection(name, dim)
+            # warm the in-memory view (raw f32 rows re-quantize on load)
+            for name, dim, distance, quantization, bits in self._conn.execute(
+                "SELECT name, dimensions, distance, quantization, bits FROM collections"
+            ):
+                super().create_collection(name, dim, distance or "dot", quantization or "", bits or 0)
                 for vid, vec in self._conn.execute(
                     "SELECT id, vector FROM vectors WHERE collection = ?", (name,)
                 ):
-                    self._collections[name][1][vid] = np.asarray(
-                        json.loads(vec), dtype=np.float32
-                    )
+                    super().add(name, [vid], np.asarray([json.loads(vec)], dtype=np.float32))
 
-    def create_collection(self, name: str, dimensions: int) -> None:
-        super().create_collection(name, dimensions)
+    def create_collection(self, name, dimensions, distance="dot", quantization="", bits=0) -> None:
+        super().create_collection(name, dimensions, distance, quantization, bits)
         with self._lock:
             self._conn.execute(
-                "INSERT OR IGNORE INTO collections VALUES (?, ?)", (name, dimensions)
+                "INSERT OR IGNORE INTO collections VALUES (?, ?, ?, ?, ?)",
+                (name, dimensions, distance, quantization, 8 if quantization == "sq" else 0),
             )
             self._conn.commit()
 

@@ -31,6 +31,10 @@ class DatabaseConfig:
     cache_store: str = "memory://"
     blob_store: str = ""  # directory path; empty -> <workdir>/blobs
     meta_store: str = ":memory:"
+    vector_store: str = ""  # empty -> CF served straight from the device index
+    # vector quantization (reference: config/config.go:106-108 VectorConfig)
+    vector_quantization_type: str = ""  # "" | "sq"
+    vector_quantization_bits: int = 0
 
 
 @dataclasses.dataclass
@@ -204,9 +208,14 @@ class Config:
         for url, kinds in (
             (self.database.data_store, ("memory://", "sqlite://", "proxy://")),
             (self.database.cache_store, ("memory://", "sqlite://", "proxy://", "redis://")),
+            (self.database.vector_store, ("memory://", "sqlite://", "proxy://")),
         ):
             if url and not any(url.startswith(k) or url == k.rstrip("://") for k in kinds):
                 raise ValueError(f"unsupported store URL {url!r}")
+        if self.database.vector_quantization_type not in ("", "sq"):
+            raise ValueError(
+                f"unsupported vector quantization {self.database.vector_quantization_type!r}"
+            )
         for spec in (
             self.recommend.data_source.positive_feedback_types
             + self.recommend.data_source.read_feedback_types
