@@ -16,6 +16,7 @@ import json
 import time
 
 from .. import __version__
+from ..storage import cache as ck_mod
 from ..storage.meta import RECOMMEND_CONFIG, Node
 from ..utils.config import Config, _from_dict
 from . import dump as dump_mod
@@ -76,12 +77,212 @@ class MasterRestServer(RestServer):
         # node sync (replaces the gRPC Master service, master/rpc.go:29-98)
         r("POST", "/api/admin/meta", self.post_meta)
         r("POST", "/api/admin/progress", self.post_progress)
+        # dashboard previews (reference: master/rest.go:81-279 dashboard
+        # routes returning entity details alongside scores)
+        r("GET", "/api/dashboard/users", self.get_dashboard_users)
+        r("GET", "/api/dashboard/user/{user-id}", self.get_dashboard_user)
+        r("GET", "/api/dashboard/user/{user-id}/feedback", self.get_dashboard_user_feedback)
+        r("GET", "/api/dashboard/user/{user-id}/feedback/{feedback-type}", self.get_dashboard_user_feedback)
+        r("GET", "/api/dashboard/recommend/{user-id}", self.get_dashboard_recommend)
+        r("GET", "/api/dashboard/recommend/{user-id}/{recommender}", self.get_dashboard_recommend)
+        r("GET", "/api/dashboard/recommend/{user-id}/{recommender}/{name}", self.get_dashboard_recommend)
+        r("GET", "/api/dashboard/latest", self.get_dashboard_latest)
+        r("GET", "/api/dashboard/non-personalized/{name}", self.get_dashboard_non_personalized)
+        r("GET", "/api/dashboard/item-to-item/{name}/{item-id}", self.get_dashboard_item_to_item)
+        r("GET", "/api/dashboard/user-to-user/{name}/{user-id}", self.get_dashboard_user_to_user)
+        r("GET", "/api/dashboard/external", self.get_dashboard_external)
+        r("GET", "/api/dashboard/ranker/prompt", self.get_ranker_prompt)
         # login (reference: master/rest.go:271-273,369-418)
         r("GET", "/login", self.get_login)
         r("POST", "/login", self.post_login)
         r("GET", "/callback/oauth2", self.oauth2_callback)
         r("GET", "/logout", self.get_logout)
         r("GET", "/api/dashboard/userinfo", self.get_userinfo)
+
+    # ------------------------------------------------------------- previews
+
+    def _scored_items(self, scores) -> list[dict]:
+        """Join cache scores with item details (reference: ScoredItem +
+        Master.GetItem, master/rest.go:1031-1050)."""
+        items = {it.item_id: it for it in self.data.batch_get_items([s.id for s in scores])}
+        out = []
+        for s in scores:
+            it = items.get(s.id)
+            d = it.to_dict() if it else {
+                "ItemId": s.id, "Comment": "** This item doesn't exist **",
+            }
+            d["Score"] = s.score
+            out.append(d)
+        return out
+
+    def _scored_users(self, scores) -> list[dict]:
+        out = []
+        for s in scores:
+            u = self.data.get_user(s.id)
+            d = u.to_dict() if u else {"UserId": s.id}
+            d["Score"] = s.score
+            out.append(d)
+        return out
+
+    def _page(self, req, rows: list) -> list:
+        from .rest import DEFAULT_N
+
+        offset = req.int_query("offset", 0)
+        n = req.int_query("n", DEFAULT_N)
+        return rows[offset:offset + n] if n > 0 else rows[offset:]
+
+    def _user_detail(self, user) -> dict:
+        """User + activity timestamps (reference: master/rest.go:804-831)."""
+        from ..storage.cache import key
+
+        d = user.to_dict()
+        d["LastActiveTime"] = self.cache.get(key(ck_mod.LAST_MODIFY_USER_TIME, user.user_id)) or ""
+        d["LastUpdateTime"] = self.cache.get(
+            key(ck_mod.LAST_UPDATE_USER_RECOMMEND_TIME, user.user_id)
+        ) or ""
+        return d
+
+    def get_dashboard_users(self, req) -> dict:
+        from .rest import DEFAULT_N
+
+        n = req.int_query("n", DEFAULT_N)
+        cursor = req.query.get("cursor", "")
+        users = list(self.data.get_users(begin_id=cursor, limit=n))
+        return {
+            "Cursor": users[-1].user_id if len(users) == n else "",
+            "Users": [self._user_detail(u) for u in users],
+        }
+
+    def get_dashboard_user(self, req) -> dict:
+        user = self.data.get_user(req.params["user_id"])
+        if user is None:
+            raise HTTPError(404, "user not found")
+        return self._user_detail(user)
+
+    def get_dashboard_user_feedback(self, req) -> list:
+        """Feedback rows joined with full item details
+        (reference: getTypedFeedbackByUser → Feedback{..., Item})."""
+        types = [req.params["feedback_type"]] if req.params.get("feedback_type") else None
+        feedback = self.data.get_user_feedback(req.params["user_id"], feedback_types=types)
+        items = {it.item_id: it for it in self.data.batch_get_items([f.item_id for f in feedback])}
+        out = []
+        for f in feedback:
+            it = items.get(f.item_id)
+            out.append({
+                "FeedbackType": f.feedback_type,
+                "UserId": f.user_id,
+                "Item": it.to_dict() if it else {
+                    "ItemId": f.item_id, "Comment": "** This item doesn't exist **",
+                },
+                "Timestamp": f.timestamp,
+                "Comment": f.comment,
+            })
+        return out
+
+    def get_dashboard_recommend(self, req) -> list:
+        """Recommendation preview with item details and per-source drill-down
+        (reference: master/rest.go:866-1030 getRecommend)."""
+        from ..logics.recommend import Recommender
+        from .rest import DEFAULT_N
+
+        n = req.int_query("n", DEFAULT_N)
+        user_id = req.params["user_id"]
+        recommender = Recommender(
+            self.master.config.recommend, self.cache, self.data, online=True, user_id=user_id
+        )
+        rtype = req.params.get("recommender") or ""
+        if rtype:
+            name = f"{rtype}/{req.params['name']}" if req.params.get("name") else rtype
+            scores, _ = recommender.recommend_sequential([], n, [name])
+        else:
+            scores = recommender.recommend(n)
+        return self._scored_items(scores[:n])
+
+    def get_dashboard_latest(self, req) -> list:
+        items = self._page(req, self.data.get_latest_items(limit=10**9))
+        return [dict(it.to_dict(), Score=float(it.timestamp)) for it in items]
+
+    def get_dashboard_non_personalized(self, req) -> list:
+        scores = self.cache.search_scores(ck_mod.NON_PERSONALIZED, req.params["name"])
+        return self._scored_items(self._page(req, scores))
+
+    def get_dashboard_item_to_item(self, req) -> list:
+        from ..storage.cache import key
+
+        scores = self.cache.search_scores(
+            ck_mod.ITEM_TO_ITEM, key(req.params["name"], req.params["item_id"])
+        )
+        return self._scored_items(self._page(req, scores))
+
+    def get_dashboard_user_to_user(self, req) -> list:
+        from ..storage.cache import key
+
+        scores = self.cache.search_scores(
+            ck_mod.USER_TO_USER, key(req.params["name"], req.params["user_id"])
+        )
+        return self._scored_users(self._page(req, scores))
+
+    def get_dashboard_external(self, req) -> list:
+        """External recommender preview (reference: getExternal
+        master/rest.go:1123-1156; script = base64 spec). The reference
+        evaluates JavaScript; this build accepts an HTTP endpoint URL or a
+        registered-callable name (logics/external.py divergence)."""
+        import base64
+
+        from ..logics.external import External, ExternalConfig
+
+        spec_b64 = req.query.get("script", "")
+        if not spec_b64:
+            raise HTTPError(400, "script is required")
+        try:
+            spec = base64.b64decode(spec_b64).decode()
+        except Exception:
+            raise HTTPError(400, "invalid script encoding")
+        if spec.startswith(("http://", "https://")):
+            cfg = ExternalConfig(name="preview", type="http", url=spec)
+        else:
+            cfg = ExternalConfig(name=spec.strip(), type="python")
+        return External(cfg).pull(req.query.get("user-id", ""))
+
+    def get_ranker_prompt(self, req) -> dict:
+        """Render the reranker prompt for inspection (reference:
+        getRankerPrompt master/rest.go:1157-1240): base64 jinja templates
+        over the user's history + current recommendations."""
+        import base64
+
+        from ..logics.chat import _jinja
+        from ..utils.expression import match_any
+
+        q_b64 = req.query.get("query-template", "")
+        d_b64 = req.query.get("document-template", "")
+        user_id = req.query.get("user-id", "")
+        if not q_b64 or not d_b64:
+            raise HTTPError(400, "query-template and document-template are required")
+        if not user_id:
+            raise HTTPError(400, "user-id is required")
+        user = self.data.get_user(user_id)
+        if user is None:
+            raise HTTPError(404, "user not found")
+        try:
+            query_tpl = _jinja.from_string(base64.b64decode(q_b64).decode())
+            doc_tpl = _jinja.from_string(base64.b64decode(d_b64).decode())
+        except Exception as e:  # noqa: BLE001 — template errors are client errors
+            raise HTTPError(400, f"invalid template: {e}")
+        cfg = self.master.config.recommend
+        feedback = []
+        for f in self.data.get_user_feedback(user_id):
+            if len(feedback) >= cfg.context_size:
+                break
+            if match_any(cfg.data_source.positive_feedback_types, f.feedback_type, f.value):
+                item = self.data.get_item(f.item_id)
+                if item is not None:
+                    feedback.append((f.feedback_type, item))
+        scores = self.cache.search_scores(ck_mod.RECOMMEND, user_id)
+        items = self.data.batch_get_items([s.id for s in scores])
+        return {
+            "query": query_tpl.render(user=user, feedback=feedback),
+            "documents": [doc_tpl.render(item=it) for it in items],
+        }
 
     # ---------------------------------------------------------------- login
 

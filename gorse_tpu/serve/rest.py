@@ -123,6 +123,7 @@ class RestServer:
         r("POST", "/api/feedback", lambda req: self.insert_feedback(req, overwrite=False))
         r("PUT", "/api/feedback", lambda req: self.insert_feedback(req, overwrite=True))
         r("GET", "/api/feedback", self.get_feedback)
+        r("GET", "/api/feedback/{feedback-type}", self.get_typed_feedback)
         r("GET", "/api/feedback/{user-id}/{item-id}", self.get_user_item_feedback)
         r("DELETE", "/api/feedback/{user-id}/{item-id}", self.delete_user_item_feedback)
         r("GET", "/api/feedback/{feedback-type}/{user-id}/{item-id}", self.get_typed_user_item_feedback)
@@ -391,6 +392,16 @@ class RestServer:
         n = req.int_query("n", DEFAULT_N)
         out = []
         for fb in self.data.get_feedback():
+            out.append(fb.to_dict())
+            if len(out) >= n:
+                break
+        return {"Feedback": out, "Cursor": ""}
+
+    def get_typed_feedback(self, req) -> dict:
+        """Reference: getTypedFeedback server/rest.go:1649-1669."""
+        n = req.int_query("n", DEFAULT_N)
+        out = []
+        for fb in self.data.get_feedback(feedback_types=[req.params["feedback_type"]]):
             out.append(fb.to_dict())
             if len(out) >= n:
                 break

@@ -208,3 +208,55 @@ def test_admin_meta_sync(node):
     ]})
     _, tasks = _get(base, "/api/dashboard/tasks")
     assert any(t.get("Node") == "w-remote" for t in tasks)
+
+
+def test_dashboard_previews(node):
+    """Dashboard preview routes return entity details alongside scores
+    (reference: master/rest.go dashboard routes)."""
+    import base64
+
+    n, base = node
+    # users list + detail with activity timestamps
+    status, users = _get(base, "/api/dashboard/users?n=3")
+    assert status == 200 and len(users["Users"]) == 3 and users["Cursor"]
+    status, user = _get(base, "/api/dashboard/user/u1")
+    assert status == 200 and user["UserId"] == "u1"
+    assert "LastActiveTime" in user and "LastUpdateTime" in user
+    # feedback with full item objects
+    status, fb = _get(base, "/api/dashboard/user/u1/feedback/like")
+    assert status == 200 and fb and fb[0]["Item"]["ItemId"].startswith("i")
+    # recommendation preview with item details
+    status, recs = _get(base, "/api/dashboard/recommend/u1?n=5")
+    assert status == 200 and len(recs) == 5
+    assert all("ItemId" in r and "Score" in r for r in recs)
+    # drill into a single source
+    status, recs = _get(base, "/api/dashboard/recommend/u1/collaborative?n=5")
+    assert status == 200 and len(recs) == 5
+    # latest preview scores by timestamp
+    status, latest = _get(base, "/api/dashboard/latest?n=4")
+    assert status == 200 and len(latest) == 4
+    assert latest[0]["Score"] >= latest[-1]["Score"]
+    # ranker prompt rendering
+    q = base64.b64encode(b"history: {% for t, item in feedback %}{{ item.item_id }} {% endfor %}").decode()
+    d = base64.b64encode(b"doc {{ item.item_id }}").decode()
+    status, prompt = _get(
+        base, f"/api/dashboard/ranker/prompt?query-template={q}&document-template={d}&user-id=u1"
+    )
+    assert status == 200 and prompt["query"].startswith("history: i")
+    assert prompt["documents"] and prompt["documents"][0].startswith("doc i")
+    # external preview with a registered callable
+    from gorse_tpu.logics.external import register_external
+
+    register_external("dash-preview", lambda uid: [f"{uid}-a", f"{uid}-b"])
+    spec = base64.b64encode(b"dash-preview").decode()
+    status, ext = _get(base, f"/api/dashboard/external?script={spec}&user-id=u1")
+    assert status == 200 and ext == ["u1-a", "u1-b"]
+
+
+def test_typed_feedback_route(node):
+    n, base = node
+    status, out = _get(base, "/api/feedback/like?n=5")
+    assert status == 200 and len(out["Feedback"]) == 5
+    assert all(f["FeedbackType"] == "like" for f in out["Feedback"])
+    status, out = _get(base, "/api/feedback/nosuch?n=5")
+    assert status == 200 and out["Feedback"] == []
