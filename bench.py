@@ -26,8 +26,8 @@ def main() -> None:
 
     from gorse_tpu.data import synthetic_cf
     from gorse_tpu.models import BPR, Params
-    from gorse_tpu.models.bpr import _bpr_epoch, _bpr_epoch_fused
-    from gorse_tpu.ops.bpr_kernel import pack_items
+    from gorse_tpu.models.bpr import _bpr_epoch, _bpr_epoch_fused, _bpr_epoch_resident
+    from gorse_tpu.ops.bpr_kernel import fits_epoch_resident, pack_items
 
     # ml-1m-shaped synthetic dataset
     data = synthetic_cf(n_users=6040, n_items=3706, rank=16, density=0.045, seed=0)
@@ -45,10 +45,15 @@ def main() -> None:
     kwargs = dict(n_steps=n_steps, n_items=train.count_items(), lr=0.05, reg=0.01)
 
     use_fused = jax.default_backend() == "tpu"
-    epoch_fn = _bpr_epoch_fused if use_fused else _bpr_epoch
     p, q = model.user_factors, model.item_factors
     if use_fused:
         q = pack_items(q)
+        resident = fits_epoch_resident(
+            train.count_users(), csr.padded.shape[1], q.shape[0], 16
+        )
+        epoch_fn = _bpr_epoch_resident if resident else _bpr_epoch_fused
+    else:
+        epoch_fn = _bpr_epoch
     key = jax.random.PRNGKey(0)
     # warmup + compile
     key, k0 = jax.random.split(key)

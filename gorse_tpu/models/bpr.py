@@ -156,6 +156,30 @@ def _bpr_epoch_fused(
     return user_factors, q_packed, jnp.sum(costs)
 
 
+def _bpr_epoch_resident(
+    user_factors: jax.Array,
+    q_packed: jax.Array,
+    padded_pos: jax.Array,
+    pos_counts: jax.Array,
+    key: jax.Array,
+    n_steps: int,
+    n_items: int,
+    lr: float,
+    reg: float,
+):
+    """Whole-epoch Pallas kernel: all state (positives, factors, packed item
+    table) VMEM-resident across every step of the epoch
+    (ops/bpr_kernel.bpr_epoch_fused). Fastest path when the problem fits
+    VMEM; gated by fits_epoch_resident()."""
+    from ..ops.bpr_kernel import bpr_epoch_fused
+
+    seed = jax.random.randint(key, (1,), 0, 2**31 - 1, dtype=jnp.int32)
+    return bpr_epoch_fused(
+        user_factors, q_packed, padded_pos, pos_counts, seed,
+        n_steps=n_steps, n_items=n_items, lr=lr, reg=reg,
+    )
+
+
 class BPR(MatrixFactorization):
     """BPR matrix factorization (reference: model/cf/model.go:352-557).
 
@@ -230,8 +254,13 @@ class BPR(MatrixFactorization):
             and packed_rows <= 1024
             and vmem_bytes < 10 * 1024 * 1024
         )
+        use_resident = False
         if use_fused:
-            from ..ops.bpr_kernel import pack_items, unpack_items
+            from ..ops.bpr_kernel import fits_epoch_resident, pack_items, unpack_items
+
+            use_resident = fits_epoch_resident(
+                train.count_users(), csr.padded.shape[1], packed_rows, k
+            )
 
         p, q = self.user_factors, self.item_factors
         if use_fused:
@@ -239,7 +268,11 @@ class BPR(MatrixFactorization):
         for epoch in range(1, self.n_epochs + 1):
             t0 = time.time()
             key, epoch_key = jax.random.split(key)
-            epoch_fn = _bpr_epoch_fused if use_fused else _bpr_epoch
+            epoch_fn = (
+                _bpr_epoch_resident
+                if use_resident
+                else _bpr_epoch_fused if use_fused else _bpr_epoch
+            )
             p, q, cost = epoch_fn(
                 p, q, padded_pos, pos_counts, epoch_key,
                 n_steps=n_steps, n_items=n_items,

@@ -283,6 +283,205 @@ def _fully_fused_kernel(
         cost_ref[0, 0] = cost_scratch[0, 0]
 
 
+def _epoch_resident_kernel(
+    seed_ref, pp_ref, pc_ref, p_ref, qp_ref,
+    p_out_ref, qp_out_ref, cost_ref,
+    qd_scratch,
+    *, k: int, n_items: int, lr: float, reg: float,
+    block_u: int, rows_pad: int, max_len: int, mm_dtype, n_tries: int,
+    n_steps: int, n_blocks: int,
+):
+    """A WHOLE epoch in one kernel invocation: positives, counts, user
+    factors, and the packed item table all stay resident in VMEM across an
+    internal (step, block) loop nest. Eliminates the per-step pallas_call
+    dispatch + pipeline prologue and the per-step HBM reload of the padded
+    positives (the dominant cost at ml-1m scale: ~165 dispatches and ~1 GB
+    of repeated positive-table traffic per epoch in the grid-form kernel).
+    Item deltas accumulate per sweep and fold into the resident table at
+    each step boundary, matching _fully_fused_kernel's semantics."""
+    pack = LANES // k
+    pltpu.prng_seed(seed_ref[0])
+    p_out_ref[:] = p_ref[:]
+    qp_out_ref[:] = qp_ref[:]
+
+    def step_body(_s, cost):
+        qd_scratch[:] = jnp.zeros_like(qd_scratch)
+        qp_mm = qp_out_ref[:].astype(mm_dtype)
+
+        def blk_body(b, carry):
+            qd, cost = carry
+            sl = pl.ds(b * block_u, block_u)
+            pp = pp_ref[sl, :]
+            count = pc_ref[sl, :]
+            active = (count > 0).astype(jnp.float32)
+            p = p_out_ref[sl, :]
+
+            bits = pltpu.bitcast(pltpu.prng_random_bits((block_u, 1)), jnp.uint32)
+            slot = (bits % jnp.maximum(count, 1).astype(jnp.uint32)).astype(jnp.int32)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (block_u, max_len), 1)
+            pos = jnp.sum(jnp.where(lane == slot, pp, 0), axis=1, keepdims=True)
+            pos = jnp.maximum(pos, 0)
+
+            neg = jnp.zeros((block_u, 1), jnp.int32)
+            first_draw = jnp.zeros((block_u, 1), jnp.int32)
+            ok = jnp.zeros((block_u, 1), jnp.bool_)
+            for t in range(n_tries):
+                cbits = pltpu.bitcast(pltpu.prng_random_bits((block_u, 1)), jnp.uint32)
+                c = (cbits % jnp.uint32(n_items)).astype(jnp.int32)
+                if t == 0:
+                    first_draw = c
+                collides = jnp.any(pp == c, axis=1, keepdims=True)
+                take = jnp.logical_and(jnp.logical_not(ok), jnp.logical_not(collides))
+                neg = jnp.where(take, c, neg)
+                ok = jnp.logical_or(ok, jnp.logical_not(collides))
+            neg = jnp.where(ok, neg, first_draw)
+
+            row_ids = jax.lax.broadcasted_iota(jnp.int32, (block_u, rows_pad), 1)
+            oh_pos = (row_ids == pos // pack).astype(mm_dtype)
+            oh_neg = (row_ids == neg // pack).astype(mm_dtype)
+            g_pos = jnp.dot(oh_pos, qp_mm, preferred_element_type=jnp.float32)
+            g_neg = jnp.dot(oh_neg, qp_mm, preferred_element_type=jnp.float32)
+
+            if pack == 1:
+                qi, qj = g_pos, g_neg
+            else:
+                lane_pos = pos % pack
+                lane_neg = neg % pack
+                qi = jnp.zeros((block_u, k), jnp.float32)
+                qj = jnp.zeros((block_u, k), jnp.float32)
+                for g in range(pack):
+                    qi = qi + jnp.where(lane_pos == g, g_pos[:, g * k:(g + 1) * k], 0.0)
+                    qj = qj + jnp.where(lane_neg == g, g_neg[:, g * k:(g + 1) * k], 0.0)
+
+            diff = jnp.sum(p * (qi - qj), axis=-1, keepdims=True)
+            cost = cost + jnp.sum(active * jnp.logaddexp(0.0, -diff))
+            grad = active * jax.nn.sigmoid(-diff)
+            d_qi = active * (lr * (grad * p - reg * qi))
+            d_qj = active * (lr * (-grad * p - reg * qj))
+            d_pu = active * (lr * (grad * (qi - qj) - reg * p))
+            p_out_ref[sl, :] = p + d_pu
+
+            if pack == 1:
+                dp_pos, dp_neg = d_qi, d_qj
+            else:
+                dp_pos = jnp.concatenate(
+                    [jnp.where(lane_pos == g, d_qi, 0.0) for g in range(pack)], axis=1
+                )
+                dp_neg = jnp.concatenate(
+                    [jnp.where(lane_neg == g, d_qj, 0.0) for g in range(pack)], axis=1
+                )
+            # scatter via matmuls in standard orientation: build the
+            # TRANSPOSED one-hots directly by iota-compare (a fresh compare
+            # is free; transposing the [TB, R] one-hot is not)
+            row_ids_t = jax.lax.broadcasted_iota(jnp.int32, (rows_pad, block_u), 0)
+            pos_t = jnp.transpose(pos // pack)  # [1, TB]
+            neg_t = jnp.transpose(neg // pack)
+            oh_pos_t = (row_ids_t == pos_t).astype(mm_dtype)  # [R, TB]
+            oh_neg_t = (row_ids_t == neg_t).astype(mm_dtype)
+            qd = qd + jnp.dot(
+                oh_pos_t, dp_pos.astype(mm_dtype), preferred_element_type=jnp.float32
+            )
+            qd = qd + jnp.dot(
+                oh_neg_t, dp_neg.astype(mm_dtype), preferred_element_type=jnp.float32
+            )
+            return qd, cost
+
+        qd0 = jnp.zeros((rows_pad, LANES), jnp.float32)
+        qd, cost = jax.lax.fori_loop(0, n_blocks, blk_body, (qd0, cost))
+        qp_out_ref[:] = qp_out_ref[:] + qd  # sweep boundary: fold deltas in
+        return cost
+
+    cost = jax.lax.fori_loop(0, n_steps, step_body, jnp.float32(0.0))
+    cost_ref[0, 0] = cost
+
+
+# conservative VMEM budget for the epoch-resident kernel (bytes); v5e scoped
+# vmem limit is 16 MiB — leave headroom for compiler temporaries
+_EPOCH_RESIDENT_VMEM_BUDGET = 11 * 1024 * 1024
+
+
+def epoch_resident_vmem_bytes(n_users: int, max_len: int, rows: int, k: int, block_u: int = 512) -> int:
+    """Estimated resident VMEM for bpr_epoch_fused (used by the fit guard)."""
+    u_pad = _round_up(n_users, block_u)
+    rows_pad = _round_up(rows, 8)
+    ml = _round_up(max_len, LANES)
+    return (
+        u_pad * ml * 4          # padded positives
+        + u_pad * 4              # counts (padded lane)
+        + 2 * u_pad * k * 4      # p in + out
+        + 3 * rows_pad * LANES * 4  # qp in + out + delta scratch
+    )
+
+
+def fits_epoch_resident(n_users: int, max_len: int, rows: int, k: int) -> bool:
+    return epoch_resident_vmem_bytes(n_users, max_len, rows, k) <= _EPOCH_RESIDENT_VMEM_BUDGET
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_steps", "n_items", "lr", "reg", "block_u", "interpret", "mm_dtype", "n_tries"),
+)
+def bpr_epoch_fused(
+    p: jax.Array,  # [U, k]
+    q_packed: jax.Array,  # [R, 128]
+    padded_pos: jax.Array,  # [U, L] int32, pad=-1
+    pos_counts: jax.Array,  # [U] int32
+    seed: jax.Array,  # [1] int32 per-epoch seed
+    n_steps: int,
+    n_items: int,
+    lr: float,
+    reg: float,
+    block_u: int = 512,
+    interpret: bool = False,
+    mm_dtype=jnp.bfloat16,
+    n_tries: int = 2,
+):
+    """A full BPR epoch (n_steps sweeps) in ONE kernel invocation.
+    Returns (p_new, q_packed_new, cost). Use fits_epoch_resident() first."""
+    n_users, k = p.shape
+    max_len = _round_up(padded_pos.shape[1], LANES)
+    rows = q_packed.shape[0]
+    rows_pad = _round_up(rows, 8)
+    u_pad = _round_up(n_users, block_u)
+    qp = jnp.zeros((rows_pad, LANES), jnp.float32).at[:rows].set(q_packed)
+    pp_arr = (
+        jnp.full((u_pad, max_len), -1, jnp.int32)
+        .at[:n_users, : padded_pos.shape[1]]
+        .set(padded_pos)
+    )
+    pc_arr = jnp.zeros((u_pad, 1), jnp.int32).at[:n_users, 0].set(pos_counts)
+    p_arr = jnp.zeros((u_pad, k), jnp.float32).at[:n_users].set(p)
+
+    p_new, qp_new, cost = pl.pallas_call(
+        functools.partial(
+            _epoch_resident_kernel, k=k, n_items=n_items, lr=lr, reg=reg,
+            block_u=block_u, rows_pad=rows_pad, max_len=max_len,
+            mm_dtype=mm_dtype, n_tries=n_tries,
+            n_steps=n_steps, n_blocks=u_pad // block_u,
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((u_pad, k), jnp.float32),
+            jax.ShapeDtypeStruct((rows_pad, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((rows_pad, LANES), jnp.float32)],
+        interpret=interpret,
+    )(jnp.asarray(seed, jnp.int32).reshape(1), pp_arr, pc_arr, p_arr, qp)
+    return p_new[:n_users], qp_new[:rows], cost[0, 0]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_items", "lr", "reg", "block_u", "interpret", "mm_dtype", "n_tries"),
@@ -299,7 +498,7 @@ def bpr_fully_fused_step(
     block_u: int = 512,
     interpret: bool = False,
     mm_dtype=jnp.float32,
-    n_tries: int = 4,
+    n_tries: int = 2,
 ):
     """One BPR sweep with in-kernel sampling. Returns
     (p_new, q_delta_packed, cost, pos, neg)."""
