@@ -44,6 +44,36 @@ class AdminClient:
         with urllib.request.urlopen(req) as resp:
             return json.loads(resp.read().decode())
 
+    def delete(self, path: str):
+        req = urllib.request.Request(self.url + path, method="DELETE", headers=self._headers())
+        with urllib.request.urlopen(req) as resp:
+            return json.loads(resp.read().decode())
+
+
+def _json_patch(doc: dict, patch: list[dict]) -> dict:
+    """Apply RFC6902 replace/add/remove ops (the subset the reference's
+    `pipeline patch` uses, cmd/gorse-cli/main.go:249-294)."""
+    for op in patch:
+        parts = [p.replace("~1", "/").replace("~0", "~") for p in op["path"].lstrip("/").split("/")]
+        target = doc
+        for key in parts[:-1]:
+            target = target[int(key)] if isinstance(target, list) else target.setdefault(key, {})
+        leaf = parts[-1]
+        kind = op.get("op", "replace")
+        if kind in ("replace", "add"):
+            if isinstance(target, list):
+                target[int(leaf)] = op["value"]
+            else:
+                target[leaf] = op["value"]
+        elif kind == "remove":
+            if isinstance(target, list):
+                target.pop(int(leaf))
+            else:
+                target.pop(leaf, None)
+        else:
+            raise ValueError(f"unsupported json-patch op {kind!r}")
+    return doc
+
 
 def _print(obj) -> None:
     if isinstance(obj, bytes):
@@ -67,9 +97,32 @@ def main(argv: list[str] | None = None) -> int:
     sub.add_parser("health")
 
     p = sub.add_parser("get", help="get users/items/feedback/recommendations")
-    p.add_argument("what", choices=["user", "item", "users", "items", "feedback"])
+    p.add_argument("what", choices=["user", "item", "users", "items", "feedback", "categories"])
     p.add_argument("id", nargs="?", default="")
     p.add_argument("-n", type=int, default=10)
+
+    # recommendation previews (reference: gorse-cli get item-to-item/...)
+    for preview in ("item-to-item", "user-to-user", "non-personalized"):
+        p = sub.add_parser(preview, help=f"{preview} recommendations")
+        p.add_argument("name")
+        if preview != "non-personalized":
+            p.add_argument("id")
+        p.add_argument("-n", type=int, default=10)
+    p = sub.add_parser("item-to-user", help="per-recommender preview for a user")
+    p.add_argument("user_id")
+    p.add_argument("recommender", nargs="?", default="")
+    p.add_argument("name", nargs="?", default="")
+    p.add_argument("-n", type=int, default=10)
+
+    # pipeline config management (reference: gorse-cli pipeline {schema,patch,reset})
+    p = sub.add_parser("pipeline", help="recommendation pipeline configuration")
+    psub = p.add_subparsers(dest="pipeline_cmd", required=True)
+    psub.add_parser("show")
+    psub.add_parser("schema")
+    pp = psub.add_parser("patch")
+    pp.add_argument("json_patch", help='RFC6902 ops, e.g. \'[{"op":"replace","path":"/cache_size","value":1000}]\'')
+    pr = psub.add_parser("reset")
+    pr.add_argument("-y", action="store_true", help="skip confirmation")
 
     p = sub.add_parser("recommend")
     p.add_argument("user_id")
@@ -117,8 +170,43 @@ def main(argv: list[str] | None = None) -> int:
             _print(client.get(f"/api/{args.what}/{args.id}"))
         elif args.what == "feedback":
             _print(client.get(f"/api/user/{args.id}/feedback" if args.id else "/api/feedback"))
+        elif args.what == "categories":
+            _print(client.get("/api/dashboard/categories"))
         else:
             _print(client.get(f"/api/{args.what}?n={args.n}"))
+    elif args.cmd == "item-to-item":
+        _print(client.get(f"/api/item-to-item/{args.name}/{args.id}?n={args.n}"))
+    elif args.cmd == "user-to-user":
+        _print(client.get(f"/api/user-to-user/{args.name}/{args.id}?n={args.n}"))
+    elif args.cmd == "non-personalized":
+        _print(client.get(f"/api/non-personalized/{args.name}?n={args.n}"))
+    elif args.cmd == "item-to-user":
+        path = f"/api/dashboard/recommend/{args.user_id}"
+        if args.recommender:
+            path += f"/{args.recommender}"
+            if args.name:
+                path += f"/{args.name}"
+        _print(client.get(f"{path}?n={args.n}"))
+    elif args.cmd == "pipeline":
+        if args.pipeline_cmd == "show":
+            _print(client.get("/api/dashboard/config"))
+        elif args.pipeline_cmd == "schema":
+            _print(client.get("/api/dashboard/config/schema"))
+        elif args.pipeline_cmd == "patch":
+            # patch paths are relative to the recommend section, as in the
+            # reference (`/cache_size`, `/data_source/item_ttl`, ...)
+            current = client.get("/api/dashboard/config")["recommend"]
+            patched = _json_patch(current, json.loads(args.json_patch))
+            _print(client.post("/api/dashboard/config", {"recommend": patched}))
+        elif args.pipeline_cmd == "reset":
+            if not args.y:
+                answer = input(
+                    "Reset pipeline configuration to file defaults? [y/N]: "
+                )
+                if answer.strip().lower() != "y":
+                    print("Pipeline reset canceled")
+                    return 0
+            _print(client.delete("/api/dashboard/config"))
     elif args.cmd == "recommend":
         path = f"/api/recommend/{args.user_id}"
         if args.category:

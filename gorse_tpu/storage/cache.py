@@ -418,4 +418,8 @@ def open_cache_store(url: str) -> CacheStore:
         from .redis import RedisCacheStore
 
         return RedisCacheStore(url)
+    if url.startswith("none://") or url in ("", "none"):
+        from .none import NoCacheStore
+
+        return NoCacheStore()
     raise ValueError(f"unsupported cache store URL {url!r}")

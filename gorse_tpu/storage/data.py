@@ -479,4 +479,8 @@ def open_data_store(url: str) -> DataStore:
         from .proxy import ProxyDataStore
 
         return ProxyDataStore(url[len("proxy://"):])
+    if url.startswith("none://") or url in ("", "none"):
+        from .none import NoDataStore
+
+        return NoDataStore()
     raise ValueError(f"unsupported data store URL {url!r}")

@@ -302,4 +302,8 @@ def open_vector_store(url: str) -> VectorStore:
         from .proxy import ProxyVectorStore
 
         return ProxyVectorStore(url[len("proxy://"):])
+    if url.startswith("none://") or url in ("", "none"):
+        from .none import NoVectorStore
+
+        return NoVectorStore()
     raise ValueError(f"unsupported vector store URL {url!r}")

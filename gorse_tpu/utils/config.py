@@ -206,9 +206,9 @@ class Config:
         """Strict validation (reference: go-playground validators + custom
         data_store/item_expr checks)."""
         for url, kinds in (
-            (self.database.data_store, ("memory://", "sqlite://", "proxy://")),
-            (self.database.cache_store, ("memory://", "sqlite://", "proxy://", "redis://")),
-            (self.database.vector_store, ("memory://", "sqlite://", "proxy://")),
+            (self.database.data_store, ("memory://", "sqlite://", "proxy://", "none://")),
+            (self.database.cache_store, ("memory://", "sqlite://", "proxy://", "redis://", "none://")),
+            (self.database.vector_store, ("memory://", "sqlite://", "proxy://", "none://")),
         ):
             if url and not any(url.startswith(k) or url == k.rstrip("://") for k in kinds):
                 raise ValueError(f"unsupported store URL {url!r}")

@@ -215,3 +215,25 @@ def test_open_by_url(tmp_path):
     assert open_cache_store(f"sqlite://{tmp_path}/cache.db") is not None
     with pytest.raises(ValueError):
         open_data_store("bogus://x")
+
+
+def test_no_database_stores():
+    """Unconfigured stores fail loudly (reference: NoDatabase backends,
+    storage/*/no_database.go; server/rest_test.go:1960-1983)."""
+    from gorse_tpu.storage.none import NoDatabaseError
+    from gorse_tpu.storage.vectors import open_vector_store
+
+    d = open_data_store("none://")
+    c = open_cache_store("none://")
+    v = open_vector_store("none://")
+    assert not d.ping() and not c.ping() and not v.ping()
+    with pytest.raises(NoDatabaseError, match="data"):
+        d.get_user("u")
+    with pytest.raises(NoDatabaseError, match="cache"):
+        c.set("k", "v")
+    with pytest.raises(NoDatabaseError, match="vector"):
+        v.create_collection("x", 4)
+    # close/purge are safe no-ops
+    for s in (d, c, v):
+        s.purge()
+        s.close()
