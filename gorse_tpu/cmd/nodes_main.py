@@ -20,8 +20,8 @@ def _logging():
 def master_main() -> None:
     from ..serve.dashboard import MasterRestServer
     from ..serve.master import Master
-    from ..storage.blob import BlobStore
     from ..storage.cache import open_cache_store
+    from ..storage.object import open_blob_store
     from ..storage.data import open_data_store
     from ..storage.meta import MetaStore
     from ..utils.config import Config, ConfigWatcher, load_config
@@ -38,7 +38,7 @@ def master_main() -> None:
     configure_from(config)
     data = open_data_store(config.database.data_store)
     cache = open_cache_store(config.database.cache_store)
-    blob = BlobStore(config.database.blob_store or "/tmp/gorse_tpu_blobs")
+    blob = open_blob_store(config.database.blob_store or "/tmp/gorse_tpu_blobs")
     meta = MetaStore(config.database.meta_store)
     vectors = None
     if config.database.vector_store:

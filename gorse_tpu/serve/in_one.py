@@ -34,7 +34,9 @@ class InOneNode:
         self.data = open_data_store(self.config.database.data_store)
         self.cache = open_cache_store(self.config.database.cache_store)
         blob_dir = self.config.database.blob_store or f"{self.workdir}/blobs"
-        self.blob = BlobStore(blob_dir)
+        from ..storage.object import open_blob_store
+
+        self.blob = open_blob_store(blob_dir)
         self.meta = MetaStore(self.config.database.meta_store)
         self.vectors = None
         if self.config.database.vector_store:

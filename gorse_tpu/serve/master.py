@@ -367,6 +367,7 @@ class Master:
         )
         model_id = self.blob.new_model_id()
         self.cf_index.save(self.blob.create(model_id))
+        self.blob.flush(model_id)
         self.meta.put(COLLABORATIVE_FILTERING_MODEL, model_id)
         self.cache.set(ck.LAST_FIT_MATCHING_MODEL_TIME, str(time.time()))
         self._sync_cf_vectors()
@@ -418,6 +419,7 @@ class Master:
         self.ctr_model = model
         model_id = self.blob.new_model_id()
         model.save(self.blob.create(model_id))
+        self.blob.flush(model_id)
         self.meta.put(CLICK_THROUGH_RATE_MODEL, model_id)
         self.cache.set(ck.LAST_FIT_RANKING_MODEL_TIME, str(time.time()))
         logger.info("CTR model %s trained: AUC=%.4f", model_id, score.auc)

@@ -20,6 +20,7 @@ import uuid as uuid_mod
 
 from .. import __version__
 from ..storage.blob import BlobStore
+from ..storage.object import open_blob_store
 from ..storage.cache import open_cache_store
 from ..storage.data import open_data_store
 from ..utils.config import Config
@@ -118,8 +119,10 @@ class WorkerNode:
     """Offline-pipeline node (reference: worker/worker.go Serve :349-414):
     syncs config/models from the master, recomputes its rendezvous shard."""
 
-    def __init__(self, master_url: str, meta_timeout: float = 10.0) -> None:
-        self.client = MasterClient(master_url, "worker")
+    def __init__(
+        self, master_url: str, meta_timeout: float = 10.0, node_id: str | None = None
+    ) -> None:
+        self.client = MasterClient(master_url, "worker", node_id=node_id)
         self.meta_timeout = meta_timeout
         self.config: Config | None = None
         self.worker: Worker | None = None
@@ -133,7 +136,7 @@ class WorkerNode:
             self.config = new_config
             data = open_data_store(new_config.database.data_store)
             cache = open_cache_store(new_config.database.cache_store)
-            blob = BlobStore(new_config.database.blob_store or "/tmp/gorse_tpu_blobs")
+            blob = open_blob_store(new_config.database.blob_store or "/tmp/gorse_tpu_blobs")
             self.worker = Worker(
                 new_config, data, cache, blob, node_id=self.client.node_id
             )

@@ -51,6 +51,18 @@ class BlobStore:
         if p.exists():
             shutil.rmtree(p)
 
+    def flush(self, name: str) -> None:
+        """Publish a blob written under ``create(name)``. POSIX blobs are
+        already durable; object-store backends upload here (the explicit
+        analog of the reference's async-upload done channel,
+        storage/blob/blob.go:86-290)."""
+
+    def ping(self) -> bool:
+        return self.root.is_dir()
+
+    def close(self) -> None:
+        pass
+
     @staticmethod
     def new_model_id() -> str:
         """Millisecond-timestamp model id (reference: UnixMilli keys)."""

@@ -65,8 +65,10 @@ def test_worker_node_syncs_over_http(master_env):
 
 def test_two_workers_split_users(master_env):
     master, url, cache = master_env
-    w1 = WorkerNode(url, meta_timeout=0.1)
-    w2 = WorkerNode(url, meta_timeout=0.1)
+    # pinned ids: a pair under which the 12 users rendezvous-split non-trivially
+    # (random ids can legitimately send all 12 to one node at these tiny scales)
+    w1 = WorkerNode(url, meta_timeout=0.1, node_id="worker-a")
+    w2 = WorkerNode(url, meta_timeout=0.1, node_id="worker-b")
     # both register first so the peer list contains both
     w1.client.get_meta()
     w2.client.get_meta()

@@ -1,0 +1,96 @@
+"""Object-store blob backends (S3/GCS/Azure) against signature-verifying mocks.
+
+Mirrors the reference's blob backend tests that run against CI service
+containers (rustfs/S3, Azurite — /root/reference/.github/workflows/
+build_test.yml:21-147); here the services are in-process and additionally
+verify SigV4 / SharedKey signatures.
+"""
+
+import pytest
+
+from gorse_tpu.storage.blob import BlobStore
+from gorse_tpu.storage.miniobj import MiniAzure, MiniGCS, MiniS3
+from gorse_tpu.storage.object import ObjectBlobStore, open_blob_store
+
+
+@pytest.fixture(params=["s3", "gcs", "azure"])
+def blob_pair(request, tmp_path):
+    """(writer store, fresh reader store, mock server) per backend."""
+    if request.param == "s3":
+        mini = MiniS3().start()
+        url = mini.url(prefix="models")
+    elif request.param == "gcs":
+        mini = MiniGCS().start()
+        url = mini.url(prefix="models")
+    else:
+        mini = MiniAzure().start()
+        url = mini.url(prefix="models")
+    writer = open_blob_store(f"{url}&spool={tmp_path / 'w'}" if "?" in url else url)
+    reader = open_blob_store(f"{url}&spool={tmp_path / 'r'}")
+    yield writer, reader, mini
+    writer.close()
+    reader.close()
+    mini.stop()
+
+
+def _write_blob(store: BlobStore, name: str, files: dict[str, bytes]) -> None:
+    d = store.create(name)
+    for rel, data in files.items():
+        p = d / rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_bytes(data)
+    store.flush(name)
+
+
+def test_roundtrip(blob_pair):
+    writer, reader, _ = blob_pair
+    files = {
+        "factors.npz": b"\x93NUMPY-fake" * 100,
+        "meta.json": b'{"n_factors": 16}',
+        "sub/dir/extra.bin": bytes(range(256)),
+    }
+    _write_blob(writer, "1700000000000", files)
+
+    assert reader.exists("1700000000000")
+    assert not reader.exists("1699999999999")
+    d = reader.open("1700000000000")
+    for rel, data in files.items():
+        assert (d / rel).read_bytes() == data
+    with pytest.raises(FileNotFoundError):
+        reader.open("1699999999999")
+
+
+def test_list_and_remove_paginated(blob_pair):
+    """>2 blobs, >2 files each — forces the mocks' 2-per-page listing loop."""
+    writer, reader, mini = blob_pair
+    names = [f"17000000000{i:02d}" for i in range(5)]
+    for n in names:
+        _write_blob(writer, n, {f"f{j}.bin": f"{n}/{j}".encode() for j in range(3)})
+    assert reader.list() == names
+    assert writer.ping()
+
+    writer.remove(names[0])
+    assert reader.list() == names[1:]
+    assert not reader.exists(names[0])
+    # the mock's object map holds only the remaining blobs' files
+    assert len(mini.objects) == 4 * 3
+
+
+def test_bad_credentials_rejected(tmp_path):
+    mini = MiniS3().start()
+    try:
+        good = mini.url()
+        bad = good.replace("miniosecret", "wrongsecret")
+        store = open_blob_store(f"{bad}&spool={tmp_path}")
+        with pytest.raises(IOError):
+            _write_blob(store, "m1", {"a": b"x"})
+    finally:
+        mini.stop()
+
+
+def test_factory_schemes(tmp_path):
+    posix = open_blob_store(str(tmp_path / "blobs"))
+    assert isinstance(posix, BlobStore) and not isinstance(posix, ObjectBlobStore)
+    posix.flush("noop")  # POSIX flush is a no-op
+    with pytest.raises(ValueError):
+        open_blob_store("ftp://nope")
