@@ -418,6 +418,10 @@ def open_cache_store(url: str) -> CacheStore:
         from .redis import RedisCacheStore
 
         return RedisCacheStore(url)
+    if url.startswith("mongodb://"):
+        from .mongo import MongoCacheStore
+
+        return MongoCacheStore(url)
     if url.startswith("none://") or url in ("", "none"):
         from .none import NoCacheStore
 

@@ -479,6 +479,14 @@ def open_data_store(url: str) -> DataStore:
         from .proxy import ProxyDataStore
 
         return ProxyDataStore(url[len("proxy://"):])
+    if url.split("://", 1)[0] in ("postgres", "postgresql", "mysql", "clickhouse"):
+        from .sqlstores import open_sql_data_store
+
+        return open_sql_data_store(url)
+    if url.startswith("mongodb://"):
+        from .mongo import MongoDataStore
+
+        return MongoDataStore(url)
     if url.startswith("none://") or url in ("", "none"):
         from .none import NoDataStore
 

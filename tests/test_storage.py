@@ -37,7 +37,9 @@ def _proxy_pair(**stores):
     return server, f"127.0.0.1:{port}"
 
 
-@pytest.fixture(params=["memory", "sqlite", "proxy"])
+@pytest.fixture(
+    params=["memory", "sqlite", "proxy", "postgres", "mysql", "clickhouse", "mongodb"]
+)
 def data_store(request):
     if request.param == "proxy":
         from gorse_tpu.storage import ProxyDataStore
@@ -48,11 +50,37 @@ def data_store(request):
         store.close()
         server.stop(None)
         return
+    if request.param in ("postgres", "mysql", "clickhouse", "mongodb"):
+        # wire-protocol clients against the protocol-speaking mocks
+        # (the reference's env-gated CI-service backend matrix, SURVEY §4.3)
+        from gorse_tpu.storage.minimongo import MiniMongo
+        from gorse_tpu.storage.minisql import MiniClickHouse, MiniMySQL, MiniPostgres
+
+        mini = {
+            "postgres": MiniPostgres,
+            "mysql": MiniMySQL,
+            "clickhouse": MiniClickHouse,
+            "mongodb": MiniMongo,
+        }[request.param]().start()
+        store = open_data_store(mini.url())
+        yield store
+        store.close()
+        mini.stop()
+        return
     yield MemoryDataStore() if request.param == "memory" else SQLiteDataStore()
 
 
-@pytest.fixture(params=["memory", "sqlite", "proxy", "redis"])
+@pytest.fixture(params=["memory", "sqlite", "proxy", "redis", "mongodb"])
 def cache_store(request):
+    if request.param == "mongodb":
+        from gorse_tpu.storage.minimongo import MiniMongo
+
+        mini = MiniMongo().start()
+        store = open_cache_store(mini.url())
+        yield store
+        store.close()
+        mini.stop()
+        return
     if request.param == "proxy":
         from gorse_tpu.storage import ProxyCacheStore
 
