@@ -1,0 +1,388 @@
+"""External vector-database backends: Qdrant, Weaviate, Milvus.
+
+Covers the reference's storage/vectors backends (storage/vectors/database.go
+dispatches to SQLite/Milvus/Qdrant/Weaviate) as pure-stdlib REST clients:
+
+- **Qdrant** — collections API + points upsert/delete/search-batch; string
+  document ids ride in payload (Qdrant point ids must be u64/UUID, so the
+  point id is UUID5 of the document id); ``sq`` quantization maps to Qdrant
+  scalar int8 quantization.
+- **Weaviate** — schema + batch objects + GraphQL ``nearVector`` queries;
+  collection metadata is stashed in the class description (Weaviate class
+  names are constrained, so classes are named ``C<hex>``).
+- **Milvus** — the RESTful v2 vectordb API (collections/entities endpoints).
+
+Score conventions match the native stores (vectors.py): dot/cosine higher is
+better; euclidean scores are negative distances.
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.parse
+import uuid
+
+import numpy as np
+
+from .object import _http_request
+from .types import Score
+from .vectors import DISTANCES, VectorStore
+
+__all__ = [
+    "MilvusVectorStore",
+    "QdrantVectorStore",
+    "WeaviateVectorStore",
+]
+
+
+def _doc_uuid(doc_id: str) -> str:
+    return str(uuid.uuid5(uuid.NAMESPACE_URL, doc_id))
+
+
+class _RESTClient:
+    def __init__(self, host: str, port: int, headers: dict[str, str], secure: bool = False):
+        self.host, self.port, self.secure = host, port, secure
+        self.headers = headers
+
+    def call(self, method: str, path: str, body: dict | None = None,
+             ok: tuple = (200,)) -> dict:
+        payload = json.dumps(body).encode() if body is not None else b""
+        headers = dict(self.headers)
+        headers["Host"] = f"{self.host}:{self.port}"
+        if payload:
+            headers["Content-Type"] = "application/json"
+        status, _, data = _http_request(
+            self.host, self.port, self.secure, method, path, headers, payload
+        )
+        if status not in ok:
+            raise IOError(f"{method} {path}: HTTP {status} {data[:300]!r}")
+        return json.loads(data) if data.strip() else {}
+
+
+# ---------------------------------------------------------------------------
+# Qdrant
+# ---------------------------------------------------------------------------
+
+_QDRANT_DIST = {"dot": "Dot", "cosine": "Cosine", "euclidean": "Euclid"}
+_QDRANT_DIST_INV = {v: k for k, v in _QDRANT_DIST.items()}
+
+
+class QdrantVectorStore(VectorStore):
+    def __init__(self, host: str, port: int = 6333, api_key: str = "",
+                 secure: bool = False) -> None:
+        headers = {"api-key": api_key} if api_key else {}
+        self.c = _RESTClient(host, port, headers, secure)
+
+    def create_collection(self, name, dimensions, distance="dot",
+                          quantization="", bits=0) -> None:
+        if distance not in DISTANCES:
+            raise ValueError(f"unknown distance {distance!r}")
+        body: dict = {
+            "vectors": {"size": int(dimensions), "distance": _QDRANT_DIST[distance]}
+        }
+        if quantization == "sq":
+            body["quantization_config"] = {"scalar": {"type": "int8"}}
+        self.c.call("PUT", f"/collections/{urllib.parse.quote(name)}", body)
+
+    def describe_collection(self, name):
+        try:
+            r = self.c.call("GET", f"/collections/{urllib.parse.quote(name)}")
+        except IOError:
+            return None
+        cfg = r["result"]["config"]["params"]["vectors"]
+        quant = r["result"]["config"].get("quantization_config") or {}
+        return {
+            "name": name,
+            "dimension": int(cfg["size"]),
+            "distance": _QDRANT_DIST_INV.get(cfg["distance"], "dot"),
+            "quantization": "sq" if "scalar" in quant else "",
+            "bits": 8 if "scalar" in quant else 0,
+        }
+
+    def list_collections(self) -> list[str]:
+        r = self.c.call("GET", "/collections")
+        return sorted(c["name"] for c in r["result"]["collections"])
+
+    def drop_collection(self, name) -> None:
+        self.c.call("DELETE", f"/collections/{urllib.parse.quote(name)}", ok=(200, 404))
+
+    def add(self, collection, ids, vectors) -> None:
+        vectors = np.asarray(vectors, dtype=np.float32)
+        points = [
+            {"id": _doc_uuid(i), "vector": v.tolist(), "payload": {"_id": i}}
+            for i, v in zip(ids, vectors)
+        ]
+        self.c.call(
+            "PUT",
+            f"/collections/{urllib.parse.quote(collection)}/points?wait=true",
+            {"points": points},
+        )
+
+    def delete(self, collection, ids) -> None:
+        self.c.call(
+            "POST",
+            f"/collections/{urllib.parse.quote(collection)}/points/delete?wait=true",
+            {"points": [_doc_uuid(i) for i in ids]},
+        )
+
+    def query(self, collection, vectors, k):
+        vectors = np.atleast_2d(np.asarray(vectors, dtype=np.float32))
+        info = self.describe_collection(collection) or {}
+        euclid = info.get("distance") == "euclidean"
+        r = self.c.call(
+            "POST",
+            f"/collections/{urllib.parse.quote(collection)}/points/search/batch",
+            {
+                "searches": [
+                    {"vector": v.tolist(), "limit": int(k), "with_payload": True}
+                    for v in vectors
+                ]
+            },
+        )
+        out = []
+        for batch in r["result"]:
+            hits = batch["result"] if isinstance(batch, dict) else batch
+            out.append(
+                [
+                    Score(h["payload"]["_id"], -h["score"] if euclid else h["score"])
+                    for h in hits
+                ]
+            )
+        return out
+
+    def ping(self) -> bool:
+        try:
+            self.c.call("GET", "/collections")
+            return True
+        except Exception:
+            return False
+
+
+# ---------------------------------------------------------------------------
+# Weaviate
+# ---------------------------------------------------------------------------
+
+_WEAVIATE_DIST = {"dot": "dot", "cosine": "cosine", "euclidean": "l2-squared"}
+
+
+def _class_name(collection: str) -> str:
+    return "C" + collection.encode().hex()
+
+
+class WeaviateVectorStore(VectorStore):
+    def __init__(self, host: str, port: int = 8080, api_key: str = "",
+                 secure: bool = False) -> None:
+        headers = {"Authorization": f"Bearer {api_key}"} if api_key else {}
+        self.c = _RESTClient(host, port, headers, secure)
+
+    def create_collection(self, name, dimensions, distance="dot",
+                          quantization="", bits=0) -> None:
+        if distance not in DISTANCES:
+            raise ValueError(f"unknown distance {distance!r}")
+        meta = {
+            "name": name, "dimension": int(dimensions), "distance": distance,
+            "quantization": quantization, "bits": int(bits),
+        }
+        self.c.call(
+            "POST",
+            "/v1/schema",
+            {
+                "class": _class_name(name),
+                "description": json.dumps(meta),
+                "vectorizer": "none",
+                "vectorIndexConfig": {"distance": _WEAVIATE_DIST[distance]},
+                "properties": [{"name": "docId", "dataType": ["text"]}],
+            },
+        )
+
+    def describe_collection(self, name):
+        try:
+            r = self.c.call("GET", f"/v1/schema/{_class_name(name)}")
+        except IOError:
+            return None
+        return json.loads(r["description"])
+
+    def list_collections(self) -> list[str]:
+        r = self.c.call("GET", "/v1/schema")
+        names = []
+        for cls in r.get("classes", []):
+            try:
+                names.append(json.loads(cls.get("description", ""))["name"])
+            except (ValueError, KeyError):
+                continue
+        return sorted(names)
+
+    def drop_collection(self, name) -> None:
+        self.c.call("DELETE", f"/v1/schema/{_class_name(name)}", ok=(200, 404))
+
+    def add(self, collection, ids, vectors) -> None:
+        vectors = np.asarray(vectors, dtype=np.float32)
+        cls = _class_name(collection)
+        objects = [
+            {
+                "class": cls,
+                "id": _doc_uuid(i),
+                "properties": {"docId": i},
+                "vector": v.tolist(),
+            }
+            for i, v in zip(ids, vectors)
+        ]
+        self.c.call("POST", "/v1/batch/objects", {"objects": objects})
+
+    def delete(self, collection, ids) -> None:
+        cls = _class_name(collection)
+        for i in ids:
+            self.c.call("DELETE", f"/v1/objects/{cls}/{_doc_uuid(i)}", ok=(204, 404))
+
+    def query(self, collection, vectors, k):
+        vectors = np.atleast_2d(np.asarray(vectors, dtype=np.float32))
+        info = self.describe_collection(collection) or {}
+        distance = info.get("distance", "dot")
+        cls = _class_name(collection)
+        out = []
+        for v in vectors:
+            gql = (
+                f"{{ Get {{ {cls}(nearVector: {{vector: {json.dumps(v.tolist())}}},"
+                f" limit: {int(k)}) {{ docId _additional {{ distance }} }} }} }}"
+            )
+            r = self.c.call("POST", "/v1/graphql", {"query": gql})
+            hits = r.get("data", {}).get("Get", {}).get(cls) or []
+            scores = []
+            for h in hits:
+                d = float(h["_additional"]["distance"])
+                if distance == "dot":
+                    score = -d  # weaviate dot distance = -dot product
+                elif distance == "cosine":
+                    score = 1.0 - d
+                else:
+                    score = -float(np.sqrt(max(d, 0.0)))  # l2-squared
+                scores.append(Score(h["docId"], score))
+            out.append(scores)
+        return out
+
+    def ping(self) -> bool:
+        try:
+            self.c.call("GET", "/v1/schema")
+            return True
+        except Exception:
+            return False
+
+
+# ---------------------------------------------------------------------------
+# Milvus (RESTful v2)
+# ---------------------------------------------------------------------------
+
+_MILVUS_METRIC = {"dot": "IP", "cosine": "COSINE", "euclidean": "L2"}
+_MILVUS_METRIC_INV = {v: k for k, v in _MILVUS_METRIC.items()}
+
+
+class MilvusVectorStore(VectorStore):
+    def __init__(self, host: str, port: int = 19530, token: str = "",
+                 secure: bool = False) -> None:
+        headers = {"Authorization": f"Bearer {token}"} if token else {}
+        self.c = _RESTClient(host, port, headers, secure)
+
+    def _call(self, path: str, body: dict) -> dict:
+        r = self.c.call("POST", f"/v2/vectordb{path}", body)
+        if r.get("code") not in (0, 200):
+            raise IOError(f"milvus {path}: {r}")
+        return r
+
+    def create_collection(self, name, dimensions, distance="dot",
+                          quantization="", bits=0) -> None:
+        if distance not in DISTANCES:
+            raise ValueError(f"unknown distance {distance!r}")
+        self._call(
+            "/collections/create",
+            {
+                "collectionName": name,
+                "dimension": int(dimensions),
+                "metricType": _MILVUS_METRIC[distance],
+                "idType": "VarChar",
+                "primaryFieldName": "id",
+                "vectorFieldName": "vector",
+                "params": {"max_length": "256"},
+            },
+        )
+
+    def describe_collection(self, name):
+        try:
+            r = self._call("/collections/describe", {"collectionName": name})
+        except IOError:
+            return None
+        d = r["data"]
+        dim = 0
+        for f in d.get("fields", []):
+            if f.get("name") == "vector":
+                dim = int((f.get("params") or {}).get("dim") or f.get("dimension", 0))
+        metric = "IP"
+        for idx in d.get("indexes", []):
+            metric = idx.get("metricType", metric)
+        return {
+            "name": name,
+            "dimension": dim,
+            "distance": _MILVUS_METRIC_INV.get(metric, "dot"),
+            "quantization": "",
+            "bits": 0,
+        }
+
+    def list_collections(self) -> list[str]:
+        r = self._call("/collections/list", {})
+        return sorted(r.get("data") or [])
+
+    def drop_collection(self, name) -> None:
+        try:
+            self._call("/collections/drop", {"collectionName": name})
+        except IOError:
+            pass
+
+    def add(self, collection, ids, vectors) -> None:
+        vectors = np.asarray(vectors, dtype=np.float32)
+        self._call(
+            "/entities/upsert",
+            {
+                "collectionName": collection,
+                "data": [
+                    {"id": i, "vector": v.tolist()} for i, v in zip(ids, vectors)
+                ],
+            },
+        )
+
+    def delete(self, collection, ids) -> None:
+        id_list = ", ".join(json.dumps(i) for i in ids)
+        self._call(
+            "/entities/delete",
+            {"collectionName": collection, "filter": f"id in [{id_list}]"},
+        )
+
+    def query(self, collection, vectors, k):
+        vectors = np.atleast_2d(np.asarray(vectors, dtype=np.float32))
+        info = self.describe_collection(collection) or {}
+        euclid = info.get("distance") == "euclidean"
+        out = []
+        for v in vectors:
+            r = self._call(
+                "/entities/search",
+                {
+                    "collectionName": collection,
+                    "data": [v.tolist()],
+                    "annsField": "vector",
+                    "limit": int(k),
+                    "outputFields": ["id"],
+                },
+            )
+            hits = r.get("data") or []
+            out.append(
+                [
+                    Score(h["id"], -h["distance"] if euclid else h["distance"])
+                    for h in hits
+                ]
+            )
+        return out
+
+    def ping(self) -> bool:
+        try:
+            self._call("/collections/list", {})
+            return True
+        except Exception:
+            return False

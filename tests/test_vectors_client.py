@@ -17,11 +17,35 @@ from gorse_tpu.storage.vectors import (
 from gorse_tpu.utils.config import Config
 
 
-@pytest.fixture(params=["memory", "sqlite"])
+@pytest.fixture(params=["memory", "sqlite", "qdrant", "weaviate", "milvus"])
 def vstore(request, tmp_path):
     if request.param == "memory":
-        return MemoryVectorStore()
-    return SQLiteVectorStore(str(tmp_path / "vec.db"))
+        yield MemoryVectorStore()
+        return
+    if request.param == "sqlite":
+        yield SQLiteVectorStore(str(tmp_path / "vec.db"))
+        return
+    # REST clients against engine-semantics mocks (the reference's env-gated
+    # Qdrant/Weaviate/Milvus CI services, build_test.yml)
+    from gorse_tpu.storage.minivector import MiniMilvus, MiniQdrant, MiniWeaviate
+    from gorse_tpu.storage.vectordb import (
+        MilvusVectorStore,
+        QdrantVectorStore,
+        WeaviateVectorStore,
+    )
+
+    if request.param == "qdrant":
+        mini = MiniQdrant().start()
+        store = QdrantVectorStore("127.0.0.1", mini.port, api_key=mini.api_key)
+    elif request.param == "weaviate":
+        mini = MiniWeaviate().start()
+        store = WeaviateVectorStore("127.0.0.1", mini.port, api_key=mini.api_key)
+    else:
+        mini = MiniMilvus().start()
+        store = MilvusVectorStore("127.0.0.1", mini.port, token=mini.token)
+    yield store
+    store.close()
+    mini.stop()
 
 
 def test_vector_store_crud_and_query(vstore):
@@ -61,7 +85,59 @@ def test_sqlite_vector_store_persists(tmp_path):
 def test_open_vector_store():
     assert open_vector_store("memory://") is not None
     with pytest.raises(ValueError):
-        open_vector_store("milvus://nope")
+        open_vector_store("pinecone://nope")
+
+
+def test_external_backends_distance_parity():
+    """cosine + euclidean orderings from the REST backends match the native
+    MemoryVectorStore exactly (the engines' native distance semantics differ;
+    vectordb.py converts them back to this framework's score convention)."""
+    from gorse_tpu.storage.minivector import MiniMilvus, MiniQdrant, MiniWeaviate
+    from gorse_tpu.storage.vectordb import (
+        MilvusVectorStore,
+        QdrantVectorStore,
+        WeaviateVectorStore,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(30, 6)).astype(np.float32)
+    ids = [f"v{i}" for i in range(30)]
+    q = rng.normal(size=(1, 6)).astype(np.float32)
+
+    minis = [MiniQdrant().start(), MiniWeaviate().start(), MiniMilvus().start()]
+    stores = [
+        QdrantVectorStore("127.0.0.1", minis[0].port, api_key=minis[0].api_key),
+        WeaviateVectorStore("127.0.0.1", minis[1].port, api_key=minis[1].api_key),
+        MilvusVectorStore("127.0.0.1", minis[2].port, token=minis[2].token),
+    ]
+    try:
+        for distance in ("cosine", "euclidean"):
+            ref = MemoryVectorStore()
+            ref.create_collection(f"c_{distance}", 6, distance=distance)
+            ref.add(f"c_{distance}", ids, vecs)
+            want = [s.id for s in ref.query(f"c_{distance}", q, k=5)[0]]
+            for store in stores:
+                store.create_collection(f"c_{distance}", 6, distance=distance)
+                store.add(f"c_{distance}", ids, vecs)
+                got = [s.id for s in store.query(f"c_{distance}", q, k=5)[0]]
+                assert got == want, (type(store).__name__, distance)
+    finally:
+        for m in minis:
+            m.stop()
+
+
+def test_external_backends_reject_bad_auth():
+    from gorse_tpu.storage.minivector import MiniQdrant
+    from gorse_tpu.storage.vectordb import QdrantVectorStore
+
+    mini = MiniQdrant().start()
+    try:
+        bad = QdrantVectorStore("127.0.0.1", mini.port, api_key="wrong")
+        with pytest.raises(IOError):
+            bad.create_collection("x", 4)
+        assert not bad.ping()
+    finally:
+        mini.stop()
 
 
 @pytest.fixture
