@@ -218,6 +218,96 @@ class MemoryVectorStore(VectorStore):
         ]
 
 
+class HNSWVectorStore(MemoryVectorStore):
+    """Vector store served by the native C++ HNSW index (native/hnsw.cpp) —
+    the CPU host-side ANN engine (reference: common/ann/hnsw.go used by the
+    embedding similarity paths). Rows are also kept in the base store so
+    metadata/describe work identically; queries go through the graph index.
+
+    Scores follow the store convention (dot/cosine: similarity; euclidean:
+    negative squared distance), so results are drop-in for the exact stores.
+    Quantization is rejected like the reference's sqlite backend
+    (storage/vectors/sqlite.go:115) — sq belongs to the device kernels.
+    """
+
+    _HNSW_SPACE = {"dot": "ip", "cosine": "cosine", "euclidean": "l2"}
+
+    def __init__(self, m: int = 16, ef_construction: int = 200, ef: int = 0) -> None:
+        super().__init__()
+        self.m, self.ef_construction, self.ef = m, ef_construction, ef
+        self._indexes: dict[str, object] = {}
+        self._labels: dict[str, dict[str, int]] = {}  # doc id -> label
+        self._by_label: dict[str, dict[int, str]] = {}
+
+    def create_collection(self, name, dimensions, distance="dot", quantization="", bits=0) -> None:
+        if quantization:
+            raise ValueError("HNSW store does not support quantization")
+        super().create_collection(name, dimensions, distance, quantization, bits)
+        if name not in self._indexes:
+            from ..native.hnsw import HNSWIndex
+
+            self._indexes[name] = HNSWIndex(
+                dimensions, space=self._HNSW_SPACE[distance],
+                m=self.m, ef_construction=self.ef_construction,
+            )
+            self._labels[name] = {}
+            self._by_label[name] = {}
+
+    def drop_collection(self, name) -> None:
+        super().drop_collection(name)
+        self._indexes.pop(name, None)
+        self._labels.pop(name, None)
+        self._by_label.pop(name, None)
+
+    def add(self, collection, ids, vectors) -> None:
+        super().add(collection, ids, vectors)
+        with self._lock:
+            labels, by_label = self._labels[collection], self._by_label[collection]
+            lab_arr = np.empty(len(ids), dtype=np.int64)
+            for i, doc_id in enumerate(ids):
+                lab = labels.get(doc_id)
+                if lab is None:
+                    lab = len(labels)
+                    labels[doc_id] = lab
+                    by_label[lab] = doc_id
+                lab_arr[i] = lab
+            vecs = np.asarray(vectors, dtype=np.float32)
+            if self._collections[collection].info.distance == "cosine":
+                norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+                vecs = vecs / np.where(norms > 0, norms, 1.0)
+            self._indexes[collection].add(lab_arr, vecs)
+
+    def delete(self, collection, ids) -> None:
+        super().delete(collection, ids)
+        with self._lock:
+            labels = self._labels.get(collection, {})
+            index = self._indexes.get(collection)
+            for doc_id in ids:
+                lab = labels.get(doc_id)
+                if lab is not None and index is not None:
+                    index.mark_deleted(lab)
+
+    def query(self, collection, vectors, k):
+        with self._lock:
+            index = self._indexes[collection]
+            by_label = self._by_label[collection]
+            info = self._collections[collection].info
+        q = np.atleast_2d(np.asarray(vectors, dtype=np.float32))
+        if info.distance == "cosine":
+            qn = np.linalg.norm(q, axis=1, keepdims=True)
+            q = q / np.where(qn > 0, qn, 1.0)
+        out_l, out_d = index.search(q, k, ef=self.ef)
+        results = []
+        for b in range(len(q)):
+            hits = []
+            for lab, d in zip(out_l[b], out_d[b]):
+                if lab < 0:
+                    continue
+                hits.append(Score(id=by_label[int(lab)], score=float(-d)))
+            results.append(hits)
+        return results
+
+
 class SQLiteVectorStore(MemoryVectorStore):
     """SQLite persistence with in-memory query acceleration: vectors are
     durable rows; queries run on the device kernel over the cached view."""
@@ -296,6 +386,8 @@ class SQLiteVectorStore(MemoryVectorStore):
 def open_vector_store(url: str) -> VectorStore:
     if url.startswith("memory://") or url == "memory":
         return MemoryVectorStore()
+    if url.startswith("hnsw://") or url == "hnsw":
+        return HNSWVectorStore()
     if url.startswith("sqlite://"):
         return SQLiteVectorStore(url[len("sqlite://"):] or ":memory:")
     if url.startswith("proxy://"):

@@ -17,13 +17,18 @@ from gorse_tpu.storage.vectors import (
 from gorse_tpu.utils.config import Config
 
 
-@pytest.fixture(params=["memory", "sqlite", "qdrant", "weaviate", "milvus"])
+@pytest.fixture(params=["memory", "sqlite", "hnsw", "qdrant", "weaviate", "milvus"])
 def vstore(request, tmp_path):
     if request.param == "memory":
         yield MemoryVectorStore()
         return
     if request.param == "sqlite":
         yield SQLiteVectorStore(str(tmp_path / "vec.db"))
+        return
+    if request.param == "hnsw":
+        from gorse_tpu.storage.vectors import HNSWVectorStore
+
+        yield HNSWVectorStore()
         return
     # REST clients against engine-semantics mocks (the reference's env-gated
     # Qdrant/Weaviate/Milvus CI services, build_test.yml)
