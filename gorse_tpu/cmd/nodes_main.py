@@ -58,7 +58,8 @@ def master_main() -> None:
 
         tls = TLSConfig(config.master.ssl_ca, config.master.ssl_cert, config.master.ssl_key)
     local = config.database.data_store.startswith(("memory://", "sqlite://"))
-    serve_master_grpc(
+    # keep a reference — the grpc.Server stops when garbage-collected
+    grpc_server, _grpc_port = serve_master_grpc(
         master,
         blob,
         host=config.master.host,

@@ -37,6 +37,8 @@ class MetaStore:
     """SQLite-backed meta store (the reference's only meta backend)."""
 
     def __init__(self, path: str = ":memory:", ttl_seconds: float = 60.0) -> None:
+        if path.startswith("sqlite://"):  # accept URL form like the other stores
+            path = path[len("sqlite://"):] or ":memory:"
         self._conn = sqlite3.connect(path, check_same_thread=False)
         self._lock = threading.RLock()
         self.ttl = ttl_seconds
