@@ -286,7 +286,7 @@ class MasterRestServer(RestServer):
 
     # ---------------------------------------------------------------- login
 
-    _public_paths = ("/login", "/callback/oauth2", "/logout")
+    _public_paths = ("/login", "/callback/oauth2", "/logout", "/apidocs.json")
     _PROTECTED_PREFIXES = ("/api/dashboard", "/api/dump", "/api/restore", "/api/import", "/api/export")
 
     def dispatch(self, method, path, query, body, headers):

@@ -81,7 +81,9 @@ class RestServer:
         self.cache = cache_store
         self.api_key = api_key
         self._routes: list[tuple[str, re.Pattern, callable]] = []
+        self._route_templates: list[tuple[str, str, callable]] = []
         self._register_routes()
+        self.route("GET", "/apidocs.json", lambda req: self.openapi_spec())
         self._httpd: ThreadingHTTPServer | None = None
 
     # ------------------------------------------------------------- routing
@@ -98,6 +100,47 @@ class RestServer:
             + "/?$"
         )
         self._routes.append((method, regex, handler))
+        self._route_templates.append((method, pattern, handler))
+
+    def openapi_spec(self) -> dict:
+        """OpenAPI 3.0 document generated from the route table (reference:
+        the go-restful-openapi spec served at /apidocs.json,
+        server/rest.go:80-88)."""
+        paths: dict[str, dict] = {}
+        for method, pattern, handler in self._route_templates:
+            if pattern == "/apidocs.json":
+                continue
+            params = [
+                {
+                    "name": name,
+                    "in": "path",
+                    "required": True,
+                    "schema": {"type": "string"},
+                }
+                for name in re.findall(r"\{([a-z\-]+)\}", pattern)
+            ]
+            op: dict = {
+                "summary": (getattr(handler, "__doc__", None) or "").strip().split("\n")[0],
+                "responses": {"200": {"description": "OK"}},
+            }
+            if params:
+                op["parameters"] = params
+            paths.setdefault(pattern, {})[method.lower()] = op
+        return {
+            "openapi": "3.0.3",
+            "info": {
+                "title": "gorse_tpu REST API",
+                "description": "TPU-native recommender engine API "
+                "(endpoint-compatible with gorse)",
+                "version": "1",
+            },
+            "components": {
+                "securitySchemes": {
+                    "ApiKey": {"type": "apiKey", "in": "header", "name": "X-API-Key"}
+                }
+            },
+            "paths": paths,
+        }
 
     def _register_routes(self) -> None:
         r = self.route
@@ -156,7 +199,8 @@ class RestServer:
         (reference: session cookie check master/rest.go:344-366)."""
         return False
 
-    _public_paths = ()
+    # the spec itself is public, like the reference's /apidocs (rest.go:88)
+    _public_paths = ("/apidocs.json",)
 
     def dispatch(self, method: str, path: str, query: dict, body, headers) -> tuple[int, object]:
         headers = {k.lower(): v for k, v in headers.items()}

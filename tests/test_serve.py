@@ -252,3 +252,21 @@ def test_in_one_write_back(http_node):
     assert status == 200
     fb = node.data.get_user_feedback("u2", feedback_types=["read"])
     assert {f.item_id for f in fb} == set(recs)
+
+
+def test_openapi_spec():
+    """/apidocs.json parity (reference: go-restful-openapi, rest.go:80-88)."""
+    from gorse_tpu.serve.rest import RestServer
+    from gorse_tpu.storage import MemoryCacheStore, MemoryDataStore
+    from gorse_tpu.utils.config import Config
+
+    server = RestServer(Config(), MemoryDataStore(), MemoryCacheStore(), api_key="sekret")
+    # public even with an API key configured
+    status, spec = server.dispatch("GET", "/apidocs.json", {}, None, {})
+    assert status == 200
+    assert spec["openapi"].startswith("3.")
+    n_ops = sum(len(ops) for ops in spec["paths"].values())
+    assert n_ops >= 42  # the reference registers 42 routes (server/rest.go)
+    assert "/api/recommend/{user-id}" in spec["paths"]
+    params = spec["paths"]["/api/recommend/{user-id}"]["get"]["parameters"]
+    assert params[0]["name"] == "user-id"
