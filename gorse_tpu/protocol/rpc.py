@@ -89,13 +89,21 @@ def serve_master_grpc(
 
     def upload(request_iterator, context) -> pb.UploadResponse:
         total = 0
+        names: set[str] = set()
+        started: set[tuple[str, str]] = set()
         for chunk in request_iterator:
             target = blob_store.create(chunk.name) / chunk.filename
             target.parent.mkdir(parents=True, exist_ok=True)
-            mode = "ab" if target.exists() else "wb"
+            # first chunk of each file truncates; later chunks append
+            key = (chunk.name, chunk.filename)
+            mode = "ab" if key in started else "wb"
+            started.add(key)
+            names.add(chunk.name)
             with open(target, mode) as f:
                 f.write(chunk.data)
             total += len(chunk.data)
+        for name in names:
+            blob_store.flush(name)  # object-store backends upload here
         return pb.UploadResponse(bytes_received=total)
 
     def download(request: pb.BlobRequest, context):

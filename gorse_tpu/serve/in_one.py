@@ -13,7 +13,7 @@ import logging
 import tempfile
 import threading
 
-from ..storage.blob import BlobStore
+from ..storage.object import open_blob_store
 from ..storage.cache import open_cache_store
 from ..storage.data import open_data_store
 from ..storage.meta import MetaStore
@@ -34,8 +34,6 @@ class InOneNode:
         self.data = open_data_store(self.config.database.data_store)
         self.cache = open_cache_store(self.config.database.cache_store)
         blob_dir = self.config.database.blob_store or f"{self.workdir}/blobs"
-        from ..storage.object import open_blob_store
-
         self.blob = open_blob_store(blob_dir)
         self.meta = MetaStore(self.config.database.meta_store)
         self.vectors = None

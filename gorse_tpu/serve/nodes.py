@@ -19,7 +19,6 @@ import urllib.request
 import uuid as uuid_mod
 
 from .. import __version__
-from ..storage.blob import BlobStore
 from ..storage.object import open_blob_store
 from ..storage.cache import open_cache_store
 from ..storage.data import open_data_store

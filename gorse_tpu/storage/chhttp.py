@@ -63,8 +63,11 @@ class ClickHouseConnection:
         """Run a statement; SELECTs get ``FORMAT JSONCompactEachRow`` appended
         (one JSON array per line → typed values for free)."""
         with self._lock:
-            is_select = sql.lstrip()[:6].upper() in ("SELECT", "SHOW T", "SHOW D")
-            if is_select and "FORMAT" not in sql.upper():
+            head = sql.lstrip()[:6].upper()
+            is_select = head in ("SELECT", "SHOW T", "SHOW D")
+            # suffix check, not substring: interpolated literals may contain
+            # the word FORMAT
+            if is_select and not sql.rstrip().upper().endswith("JSONCOMPACTEACHROW"):
                 sql += " FORMAT JSONCompactEachRow"
             body = self._request(sql)
         if not is_select:

@@ -37,6 +37,10 @@ def _match(doc: dict, q: dict) -> bool:
                     ok = v is not None and v <= rhs
                 elif op == "$in":
                     ok = v in rhs
+                elif op == "$nin":
+                    ok = v not in rhs
+                elif op == "$ne":
+                    ok = v != rhs
                 elif op == "$eq":
                     ok = v == rhs
                 else:
@@ -199,6 +203,19 @@ class _MongoHandler(socketserver.BaseRequestHandler):
                     coll[:] = keep
                     n += removed
                 return {"n": n, "ok": 1.0}
+            if cmd == "findAndModify":
+                coll = state.coll(db, doc["findAndModify"])
+                matched = [d for d in coll if _match(d, doc.get("query") or {})]
+                if doc.get("sort"):
+                    matched = _apply_sort(matched, doc["sort"])
+                if not matched:
+                    return {"value": None, "ok": 1.0}
+                victim = matched[0]
+                if doc.get("remove"):
+                    coll.remove(victim)
+                elif doc.get("update"):
+                    victim.update(doc["update"].get("$set", {}))
+                return {"value": victim, "ok": 1.0}
             if cmd == "count":
                 coll = state.coll(db, doc["count"])
                 q = doc.get("query") or {}

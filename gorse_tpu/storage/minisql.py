@@ -309,6 +309,9 @@ class MiniMySQL:
 # ---------------------------------------------------------------------------
 
 _CH_REWRITES = [
+    # the ClickHouse dialect doubles backslashes (C-style escape processing);
+    # sqlite literals are escape-free, so restore the intended text
+    (re.compile(r"\\\\"), r"\\"),
     (
         re.compile(r"\)\s*ENGINE = ReplacingMergeTree ORDER BY \(([^)]*)\)", re.I),
         r", PRIMARY KEY (\1))",

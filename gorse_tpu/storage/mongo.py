@@ -279,19 +279,33 @@ class MongoCacheStore(CacheStore):
         )
 
     def pop(self, name):
-        docs = self.conn.find_all(
-            self.db, "queue", {"name": name}, sort={"seq": 1}, limit=1
+        # atomic find-and-remove — two concurrent consumers never pop the
+        # same element (plain find-then-delete would race)
+        reply = self.conn.command(
+            self.db,
+            {
+                "findAndModify": "queue",
+                "query": {"name": name},
+                "sort": {"seq": 1},
+                "remove": True,
+            },
         )
-        if not docs:
-            return None
-        self._delete("queue", {"_id": docs[0]["_id"]})
-        return docs[0]["value"]
+        doc = reply.get("value")
+        return doc["value"] if doc else None
 
     def remain(self, name) -> int:
         return len(self.conn.find_all(self.db, "queue", {"name": name}))
 
     # -- scored collections -------------------------------------------------------
     def add_scores(self, collection, subset, scores) -> None:
+        # hidden items keep their flag when re-added (the hidden set is
+        # global, MemoryCacheStore._hidden)
+        hidden = {
+            d["_id"]
+            for d in self.conn.find_all(
+                self.db, "hidden", {"_id": {"$in": [s.id for s in scores]}}
+            )
+        }
         for s in scores:
             self._upsert(
                 "documents",
@@ -301,23 +315,24 @@ class MongoCacheStore(CacheStore):
                     "score": float(s.score),
                     "categories": list(s.categories),
                     "timestamp": float(s.timestamp),
+                    "hidden": s.id in hidden,
                 },
             )
 
-    def _hidden_set(self) -> set[str]:
-        return {d["_id"] for d in self.conn.find_all(self.db, "hidden", {})}
-
     def search_scores(self, collection, subset, categories=None, begin=0, end=-1):
-        docs = self.conn.find_all(self.db, "documents", {"c": collection, "s": subset})
-        hidden = self._hidden_set()
+        # hidden filter + sort run server-side; limit is pushed down when no
+        # category filter applies (category matching is per-document)
+        q = {"c": collection, "s": subset, "hidden": {"$ne": True}}
+        limit = end if (end >= 0 and not categories) else 0
+        docs = self.conn.find_all(
+            self.db, "documents", q, sort={"score": -1}, limit=limit
+        )
         matched = [
             Score(d["i"], float(d["score"]), list(d.get("categories") or []),
                   float(d.get("timestamp") or 0.0))
             for d in docs
-            if d["i"] not in hidden
-            and _match_categories(list(d.get("categories") or []), categories)
+            if _match_categories(list(d.get("categories") or []), categories)
         ]
-        matched.sort(key=lambda s: -s.score)
         if end < 0:
             end = len(matched)
         return matched[begin:end]
@@ -336,6 +351,20 @@ class MongoCacheStore(CacheStore):
                 self._upsert("hidden", item_id, {"i": item_id})
             else:
                 self._delete("hidden", {"_id": item_id})
+            # flag every document of the item so searches filter server-side
+            self.conn.command(
+                self.db,
+                {
+                    "update": "documents",
+                    "updates": [
+                        {
+                            "q": {"i": item_id},
+                            "u": {"$set": {"hidden": bool(is_hidden)}},
+                            "multi": True,
+                        }
+                    ],
+                },
+            )
         if categories is None or not collections:
             return
         q: dict = {"c": {"$in": list(collections)}, "i": item_id}

@@ -112,7 +112,9 @@ class MySQLConnection:
         self._lock = threading.Lock()
         self._seq = 0
         self._handshake(user, password, database)
-        self.query("SET SESSION sql_mode='NO_BACKSLASH_ESCAPES'")
+        # append, don't replace — wiping the default mode would drop
+        # STRICT_TRANS_TABLES and turn length overflows into silent truncation
+        self.query("SET SESSION sql_mode=CONCAT(@@sql_mode, ',NO_BACKSLASH_ESCAPES')")
 
     # -- framing -----------------------------------------------------------
     def _read_packet(self) -> bytes:

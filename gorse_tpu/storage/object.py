@@ -521,9 +521,9 @@ class ObjectBlobStore(BlobStore):
         super().__init__(root)
 
     def create(self, name: str) -> Path:
+        # non-destructive like the base store: callers (e.g. the gRPC upload
+        # handler, protocol/rpc.py) call create() once per CHUNK and append
         p = self.path(name)
-        if p.exists():
-            shutil.rmtree(p)
         p.mkdir(parents=True, exist_ok=True)
         return p
 
@@ -594,7 +594,11 @@ def open_blob_store(url: str) -> BlobStore:
             secure=secure, prefix=prefix,
         )
     elif u.scheme in ("gs", "gcs"):
-        endpoint = q.get("endpoint", "storage.googleapis.com")
+        endpoint = q.get("endpoint", "")
+        if not endpoint:
+            # real GCS only serves the JSON API over HTTPS — never send the
+            # bearer token in cleartext to the public endpoint
+            endpoint, secure = "storage.googleapis.com", True
         if "://" in endpoint:
             ep = urllib.parse.urlsplit(endpoint)
             host, port = ep.hostname or "localhost", ep.port or (443 if ep.scheme == "https" else 80)

@@ -35,18 +35,21 @@ __all__ = [
 ]
 
 
-def sql_literal(v) -> str:
+def sql_literal(v, escape_backslash: bool = False) -> str:
     if v is None:
         return "NULL"
     if isinstance(v, bool):
         return "1" if v else "0"
     if isinstance(v, (int, float)):
         return repr(v)
-    s = str(v).replace("\0", "").replace("'", "''")
+    s = str(v).replace("\0", "")
+    if escape_backslash:  # ClickHouse processes C-style escapes in literals
+        s = s.replace("\\", "\\\\")
+    s = s.replace("'", "''")
     return f"'{s}'"
 
 
-def sql_interpolate(sql: str, params: tuple | list = ()) -> str:
+def sql_interpolate(sql: str, params: tuple | list = (), escape_backslash: bool = False) -> str:
     """Replace ``?`` placeholders with escaped literals. Our statements never
     contain ``?`` inside string literals, so a straight split is safe."""
     parts = sql.split("?")
@@ -54,7 +57,7 @@ def sql_interpolate(sql: str, params: tuple | list = ()) -> str:
         raise ValueError(f"placeholder/param mismatch in {sql!r}")
     out = [parts[0]]
     for part, p in zip(parts[1:], params):
-        out.append(sql_literal(p))
+        out.append(sql_literal(p, escape_backslash))
         out.append(part)
     return "".join(out)
 
@@ -106,6 +109,8 @@ class Dialect:
 
     # ClickHouse pre-checks existence instead of relying on key conflicts
     needs_existence_check = False
+    # ClickHouse processes C-style escapes inside string literals
+    escape_backslash = False
 
 
 class PostgresDialect(Dialect):
@@ -141,6 +146,7 @@ class MySQLDialect(Dialect):
 class ClickHouseDialect(Dialect):
     name = "clickhouse"
     needs_existence_check = True
+    escape_backslash = True
 
     def create_tables(self) -> list[str]:
         return [
@@ -205,7 +211,7 @@ class GenericSQLDataStore(DataStore):
             conn.query(ddl)
 
     def _q(self, sql: str, params: tuple = ()) -> list[tuple]:
-        return self.conn.query(sql_interpolate(sql, params))
+        return self.conn.query(sql_interpolate(sql, params, self.d.escape_backslash))
 
     # -- users -------------------------------------------------------------
     def insert_users(self, users: Iterable[User]) -> None:
@@ -229,12 +235,8 @@ class GenericSQLDataStore(DataStore):
         )
 
     def delete_user(self, user_id: str) -> None:
-        self.conn.query(
-            sql_interpolate(self.d.delete("users", "user_id = ?"), (user_id,))
-        )
-        self.conn.query(
-            sql_interpolate(self.d.delete("feedback", "user_id = ?"), (user_id,))
-        )
+        self._q(self.d.delete("users", "user_id = ?"), (user_id,))
+        self._q(self.d.delete("feedback", "user_id = ?"), (user_id,))
 
     def get_users(self, begin_id: str = "", limit=None):
         sql = (
@@ -275,12 +277,8 @@ class GenericSQLDataStore(DataStore):
         return self._row_to_item(rows[0]) if rows else None
 
     def delete_item(self, item_id: str) -> None:
-        self.conn.query(
-            sql_interpolate(self.d.delete("items", "item_id = ?"), (item_id,))
-        )
-        self.conn.query(
-            sql_interpolate(self.d.delete("feedback", "item_id = ?"), (item_id,))
-        )
+        self._q(self.d.delete("items", "item_id = ?"), (item_id,))
+        self._q(self.d.delete("feedback", "item_id = ?"), (item_id,))
 
     def get_items(self, begin_id: str = "", limit=None):
         sql = (
@@ -385,7 +383,7 @@ class GenericSQLDataStore(DataStore):
                 tuple(args),
             )[0][0]
         )
-        self.conn.query(sql_interpolate(self.d.delete("feedback", where), tuple(args)))
+        self._q(self.d.delete("feedback", where), tuple(args))
         return n
 
     # -- counts / lifecycle --------------------------------------------------

@@ -12,8 +12,9 @@ dispatches to SQLite/Milvus/Qdrant/Weaviate) as pure-stdlib REST clients:
   names are constrained, so classes are named ``C<hex>``).
 - **Milvus** — the RESTful v2 vectordb API (collections/entities endpoints).
 
-Score conventions match the native stores (vectors.py): dot/cosine higher is
-better; euclidean scores are negative distances.
+Score conventions match the native stores (vectors.py) exactly: dot/cosine
+scores are similarities; euclidean scores are negative SQUARED distances
+(each client converts its engine's native convention back).
 """
 
 from __future__ import annotations
@@ -72,6 +73,7 @@ class QdrantVectorStore(VectorStore):
                  secure: bool = False) -> None:
         headers = {"api-key": api_key} if api_key else {}
         self.c = _RESTClient(host, port, headers, secure)
+        self._dist: dict[str, str] = {}  # collection -> distance (immutable)
 
     def create_collection(self, name, dimensions, distance="dot",
                           quantization="", bits=0) -> None:
@@ -83,6 +85,7 @@ class QdrantVectorStore(VectorStore):
         if quantization == "sq":
             body["quantization_config"] = {"scalar": {"type": "int8"}}
         self.c.call("PUT", f"/collections/{urllib.parse.quote(name)}", body)
+        self._dist[name] = distance
 
     def describe_collection(self, name):
         try:
@@ -105,6 +108,7 @@ class QdrantVectorStore(VectorStore):
 
     def drop_collection(self, name) -> None:
         self.c.call("DELETE", f"/collections/{urllib.parse.quote(name)}", ok=(200, 404))
+        self._dist.pop(name, None)
 
     def add(self, collection, ids, vectors) -> None:
         vectors = np.asarray(vectors, dtype=np.float32)
@@ -125,10 +129,15 @@ class QdrantVectorStore(VectorStore):
             {"points": [_doc_uuid(i) for i in ids]},
         )
 
+    def _distance(self, collection: str) -> str:
+        if collection not in self._dist:
+            info = self.describe_collection(collection) or {}
+            self._dist[collection] = info.get("distance", "dot")
+        return self._dist[collection]
+
     def query(self, collection, vectors, k):
         vectors = np.atleast_2d(np.asarray(vectors, dtype=np.float32))
-        info = self.describe_collection(collection) or {}
-        euclid = info.get("distance") == "euclidean"
+        euclid = self._distance(collection) == "euclidean"
         r = self.c.call(
             "POST",
             f"/collections/{urllib.parse.quote(collection)}/points/search/batch",
@@ -144,7 +153,12 @@ class QdrantVectorStore(VectorStore):
             hits = batch["result"] if isinstance(batch, dict) else batch
             out.append(
                 [
-                    Score(h["payload"]["_id"], -h["score"] if euclid else h["score"])
+                    # qdrant Euclid returns plain distances; the framework
+                    # convention (vectors.py) is negative SQUARED distance
+                    Score(
+                        h["payload"]["_id"],
+                        -(h["score"] ** 2) if euclid else h["score"],
+                    )
                     for h in hits
                 ]
             )
@@ -174,11 +188,13 @@ class WeaviateVectorStore(VectorStore):
                  secure: bool = False) -> None:
         headers = {"Authorization": f"Bearer {api_key}"} if api_key else {}
         self.c = _RESTClient(host, port, headers, secure)
+        self._dist: dict[str, str] = {}
 
     def create_collection(self, name, dimensions, distance="dot",
                           quantization="", bits=0) -> None:
         if distance not in DISTANCES:
             raise ValueError(f"unknown distance {distance!r}")
+        self._dist[name] = distance
         meta = {
             "name": name, "dimension": int(dimensions), "distance": distance,
             "quantization": quantization, "bits": int(bits),
@@ -214,6 +230,7 @@ class WeaviateVectorStore(VectorStore):
 
     def drop_collection(self, name) -> None:
         self.c.call("DELETE", f"/v1/schema/{_class_name(name)}", ok=(200, 404))
+        self._dist.pop(name, None)
 
     def add(self, collection, ids, vectors) -> None:
         vectors = np.asarray(vectors, dtype=np.float32)
@@ -236,8 +253,10 @@ class WeaviateVectorStore(VectorStore):
 
     def query(self, collection, vectors, k):
         vectors = np.atleast_2d(np.asarray(vectors, dtype=np.float32))
-        info = self.describe_collection(collection) or {}
-        distance = info.get("distance", "dot")
+        if collection not in self._dist:
+            info = self.describe_collection(collection) or {}
+            self._dist[collection] = info.get("distance", "dot")
+        distance = self._dist[collection]
         cls = _class_name(collection)
         out = []
         for v in vectors:
@@ -255,7 +274,9 @@ class WeaviateVectorStore(VectorStore):
                 elif distance == "cosine":
                     score = 1.0 - d
                 else:
-                    score = -float(np.sqrt(max(d, 0.0)))  # l2-squared
+                    # l2-squared distance already matches the framework's
+                    # negative-squared-distance convention (vectors.py)
+                    score = -d
                 scores.append(Score(h["docId"], score))
             out.append(scores)
         return out
@@ -281,6 +302,7 @@ class MilvusVectorStore(VectorStore):
                  secure: bool = False) -> None:
         headers = {"Authorization": f"Bearer {token}"} if token else {}
         self.c = _RESTClient(host, port, headers, secure)
+        self._dist: dict[str, str] = {}
 
     def _call(self, path: str, body: dict) -> dict:
         r = self.c.call("POST", f"/v2/vectordb{path}", body)
@@ -304,6 +326,7 @@ class MilvusVectorStore(VectorStore):
                 "params": {"max_length": "256"},
             },
         )
+        self._dist[name] = distance
 
     def describe_collection(self, name):
         try:
@@ -335,6 +358,7 @@ class MilvusVectorStore(VectorStore):
             self._call("/collections/drop", {"collectionName": name})
         except IOError:
             pass
+        self._dist.pop(name, None)
 
     def add(self, collection, ids, vectors) -> None:
         vectors = np.asarray(vectors, dtype=np.float32)
@@ -357,8 +381,10 @@ class MilvusVectorStore(VectorStore):
 
     def query(self, collection, vectors, k):
         vectors = np.atleast_2d(np.asarray(vectors, dtype=np.float32))
-        info = self.describe_collection(collection) or {}
-        euclid = info.get("distance") == "euclidean"
+        if collection not in self._dist:
+            info = self.describe_collection(collection) or {}
+            self._dist[collection] = info.get("distance", "dot")
+        euclid = self._dist[collection] == "euclidean"
         out = []
         for v in vectors:
             r = self._call(

@@ -94,3 +94,38 @@ def test_factory_schemes(tmp_path):
     posix.flush("noop")  # POSIX flush is a no-op
     with pytest.raises(ValueError):
         open_blob_store("ftp://nope")
+
+
+def test_grpc_upload_to_object_store(tmp_path):
+    """Multi-chunk gRPC blob upload lands in the object store (regression:
+    ObjectBlobStore.create used to wipe the blob dir per chunk, and the
+    upload handler never flushed to the backend)."""
+    import numpy as np
+
+    from gorse_tpu.protocol import BlobStoreClient, serve_master_grpc
+    from gorse_tpu.serve.master import Master
+    from gorse_tpu.storage import MemoryCacheStore, MemoryDataStore, MetaStore
+    from gorse_tpu.utils.config import Config
+
+    mini = MiniS3().start()
+    blob = open_blob_store(f"{mini.url()}&spool={tmp_path / 'spool'}")
+    master = Master(Config(), MemoryDataStore(), MemoryCacheStore(), blob, MetaStore())
+    server, port = serve_master_grpc(master, blob, port=0)
+    try:
+        src = tmp_path / "src"
+        src.mkdir()
+        big = np.random.default_rng(0).bytes(3 * (1 << 20) + 17)  # > 1 chunk
+        (src / "weights.bin").write_bytes(big)
+        (src / "meta.json").write_text('{"k": 16}')
+        client = BlobStoreClient(f"127.0.0.1:{port}")
+        client.upload("m999", src)
+        # the artifact is now IN S3 (not just the spool)
+        assert any(k.startswith("m999/") for k in mini.objects)
+        reader = open_blob_store(f"{mini.url()}&spool={tmp_path / 'r'}")
+        d = reader.open("m999")
+        assert (d / "weights.bin").read_bytes() == big
+        assert (d / "meta.json").read_text() == '{"k": 16}'
+        client.close()
+    finally:
+        server.stop(0)
+        mini.stop()

@@ -120,12 +120,21 @@ def test_external_backends_distance_parity():
             ref = MemoryVectorStore()
             ref.create_collection(f"c_{distance}", 6, distance=distance)
             ref.add(f"c_{distance}", ids, vecs)
-            want = [s.id for s in ref.query(f"c_{distance}", q, k=5)[0]]
+            want = ref.query(f"c_{distance}", q, k=5)[0]
             for store in stores:
                 store.create_collection(f"c_{distance}", 6, distance=distance)
                 store.add(f"c_{distance}", ids, vecs)
-                got = [s.id for s in store.query(f"c_{distance}", q, k=5)[0]]
-                assert got == want, (type(store).__name__, distance)
+                got = store.query(f"c_{distance}", q, k=5)[0]
+                assert [s.id for s in got] == [s.id for s in want], (
+                    type(store).__name__, distance,
+                )
+                # score VALUES match the native convention too (euclidean =
+                # negative squared distance), not just the ordering
+                np.testing.assert_allclose(
+                    [s.score for s in got], [s.score for s in want],
+                    rtol=2e-3, atol=1e-4,
+                    err_msg=f"{type(store).__name__} {distance}",
+                )
     finally:
         for m in minis:
             m.stop()
