@@ -1,6 +1,11 @@
 from .mesh import make_mesh, mf_shardings
 from .ratelimit import RateLimiters, TokenBucket
-from .sharded import make_sharded_bpr_epoch, make_sharded_topk, shard_bpr_inputs
+from .sharded import (
+    make_sharded_bpr_epoch,
+    make_sharded_bpr_epoch_fused,
+    make_sharded_topk,
+    shard_bpr_inputs,
+)
 
 __all__ = [
     "make_mesh",
@@ -8,6 +13,7 @@ __all__ = [
     "RateLimiters",
     "TokenBucket",
     "make_sharded_bpr_epoch",
+    "make_sharded_bpr_epoch_fused",
     "make_sharded_topk",
     "shard_bpr_inputs",
 ]

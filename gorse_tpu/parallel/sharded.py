@@ -32,24 +32,23 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 _NEG_TRIES = 4
 
 
-def _per_user_uniforms(step_key: jax.Array, uids: jax.Array, n: int) -> jax.Array:
-    """[U, n] uniforms keyed by (step_key, global user id) — identical no
-    matter how the user axis is sharded."""
+def _per_user_uniforms(
+    step_key: jax.Array, uids: jax.Array, n: int, n_users_total: int
+) -> jax.Array:
+    """[U_local, n] uniforms for this shard's users, identical no matter how
+    the user axis is sharded: every device generates the same global
+    [U_total, n] table in ONE vectorized threefry call and slices its
+    contiguous rows (per-user fold_in would cost a threefry per user and
+    dominated the sharded step time)."""
+    all_rand = jax.random.uniform(step_key, (n_users_total, n))
+    u_local = uids.shape[0]
+    return jax.lax.dynamic_slice(all_rand, (uids[0], 0), (u_local, n))
 
-    def one(uid):
-        return jax.random.uniform(jax.random.fold_in(step_key, uid), (n,))
 
-    return jax.vmap(one)(uids)
-
-
-def _bpr_step_math(p, q, padded_pos, pos_counts, uids, step_key, n_items, lr, reg):
-    """Shard-local BPR step on a user shard; returns (p, q_delta, cost).
-
-    Same update rule as models/bpr._bpr_epoch, with counter-based sampling.
-    """
-    u_local = p.shape[0]
-    rand = _per_user_uniforms(step_key, uids, 1 + _NEG_TRIES)  # [U, 5]
-    active = (pos_counts > 0)[:, None]
+def _sample_pair(padded_pos, pos_counts, uids, step_key, n_items, n_users_total):
+    """(step, global-user)-keyed sampling of one (pos, neg) pair per user —
+    identical under any sharding of the user axis."""
+    rand = _per_user_uniforms(step_key, uids, 1 + _NEG_TRIES, n_users_total)
     slot = (rand[:, 0] * jnp.maximum(pos_counts, 1)).astype(jnp.int32)
     pos = jnp.take_along_axis(padded_pos, slot[:, None], axis=1)[:, 0]
     pos = jnp.maximum(pos, 0)
@@ -57,6 +56,19 @@ def _bpr_step_math(p, q, padded_pos, pos_counts, uids, step_key, n_items, lr, re
     collide = jnp.any(padded_pos[:, None, :] == cand[:, :, None], axis=-1)
     first_ok = jnp.argmax(~collide, axis=1)
     neg = jnp.take_along_axis(cand, first_ok[:, None], axis=1)[:, 0]
+    return pos, neg
+
+
+def _bpr_step_math(
+    p, q, padded_pos, pos_counts, uids, step_key, n_items, lr, reg, n_users_total
+):
+    """Shard-local BPR step on a user shard; returns (p, q_delta, cost).
+
+    Same update rule as models/bpr._bpr_epoch, with sharding-invariant
+    sampling.
+    """
+    active = (pos_counts > 0)[:, None]
+    pos, neg = _sample_pair(padded_pos, pos_counts, uids, step_key, n_items, n_users_total)
     qi = q[pos]
     qj = q[neg]
     diff = jnp.sum(p * (qi - qj), axis=-1)
@@ -74,12 +86,17 @@ def make_sharded_bpr_epoch(mesh: Mesh, n_steps: int, n_items: int, lr: float, re
     users across ALL devices; the ``model`` axis is folded in)."""
     axes = tuple(mesh.axis_names)
 
+    n_shards = mesh.size
+
     def epoch(p, q, padded_pos, pos_counts, uids, key):
         def local_epoch(p, q, padded_pos, pos_counts, uids, key):
+            n_users_total = padded_pos.shape[0] * n_shards
+
             def step(carry, step_key):
                 p, q = carry
                 p, q_delta, cost = _bpr_step_math(
-                    p, q, padded_pos, pos_counts, uids, step_key, n_items, lr, reg
+                    p, q, padded_pos, pos_counts, uids, step_key, n_items, lr, reg,
+                    n_users_total,
                 )
                 q_delta = jax.lax.psum(q_delta, axes)  # combine item updates
                 return (p, q + q_delta), cost
@@ -95,6 +112,64 @@ def make_sharded_bpr_epoch(mesh: Mesh, n_steps: int, n_items: int, lr: float, re
             in_specs=(P(axes, None), P(), P(axes, None), P(axes), P(axes), P()),
             out_specs=(P(axes, None), P(), P()),
         )(p, q, padded_pos, pos_counts, uids, key)
+
+    return jax.jit(epoch, donate_argnums=(0, 1))
+
+
+def make_sharded_bpr_epoch_fused(
+    mesh: Mesh,
+    n_steps: int,
+    n_items: int,
+    lr: float,
+    reg: float,
+    interpret: bool = False,
+    mm_dtype=jnp.float32,
+):
+    """Sharded BPR epoch whose per-device update math runs in the fused
+    Pallas kernel (ops/bpr_kernel.bpr_fused_step): counter-based sampling
+    keeps samples bit-identical to the XLA sharded epoch, the packed-one-hot
+    MXU kernel does the gathers/updates/scatters on each device's user shard,
+    and one psum of the packed item-delta per step combines devices.
+
+    The item table travels packed ([R, 128], ops/bpr_kernel.pack_items), so
+    the collective payload equals the dense [I, k] delta. ``interpret=True``
+    runs the kernel in interpret mode for CPU meshes (tests, dryrun).
+    """
+    from ..ops.bpr_kernel import LANES, _round_up, bpr_fused_step
+
+    axes = tuple(mesh.axis_names)
+
+    n_shards = mesh.size
+
+    def epoch(p, q_packed, padded_pos, pos_counts, uids, key):
+        def local_epoch(p, q_packed, padded_pos, pos_counts, uids, key):
+            n_users_total = padded_pos.shape[0] * n_shards
+
+            def step(carry, step_key):
+                p, qp = carry
+                pos, neg = _sample_pair(
+                    padded_pos, pos_counts, uids, step_key, n_items, n_users_total
+                )
+                p_new, q_delta, cost = bpr_fused_step(
+                    p, qp, pos, neg, pos_counts > 0, lr, reg,
+                    interpret=interpret, mm_dtype=mm_dtype,
+                )
+                q_delta = jax.lax.psum(q_delta, axes)
+                return (p_new, qp + q_delta), cost
+
+            keys = jax.random.split(key, n_steps)
+            (p, q_packed), costs = jax.lax.scan(step, (p, q_packed), keys)
+            total = jax.lax.psum(jnp.sum(costs), axes)
+            return p, q_packed, total[None]
+
+        return jax.shard_map(
+            local_epoch,
+            mesh=mesh,
+            in_specs=(P(axes, None), P(), P(axes, None), P(axes), P(axes), P()),
+            out_specs=(P(axes, None), P(), P()),
+            # pallas_call's out_shape carries no varying-mesh-axes info
+            check_vma=False,
+        )(p, q_packed, padded_pos, pos_counts, uids, key)
 
     return jax.jit(epoch, donate_argnums=(0, 1))
 

@@ -80,3 +80,49 @@ def test_sharded_topk_matches_dense(setup):
         np.testing.assert_allclose(
             scores[b, np.asarray(i)[b]], scores[b, order], rtol=1e-5
         )
+
+
+def test_sharded_fused_kernel_matches_xla_path():
+    """The fused-Pallas sharded epoch (make_sharded_bpr_epoch_fused,
+    interpret mode on the CPU mesh) produces the same result as the XLA
+    sharded epoch: sampling is counter-based so the samples are identical,
+    and the kernel computes the same update in f32."""
+    import jax.numpy as jnp
+
+    from gorse_tpu.ops.bpr_kernel import pack_items, unpack_items
+    from gorse_tpu.parallel import make_mesh
+    from gorse_tpu.parallel.sharded import (
+        make_sharded_bpr_epoch,
+        make_sharded_bpr_epoch_fused,
+        shard_bpr_inputs,
+    )
+
+    n_users, n_items, k = 96, 64, 16
+    rng = np.random.default_rng(3)
+    counts = rng.integers(1, 12, size=n_users).astype(np.int32)
+    padded = np.full((n_users, 16), -1, dtype=np.int32)
+    for u in range(n_users):
+        padded[u, : counts[u]] = rng.choice(n_items, size=counts[u], replace=False)
+    p0 = rng.normal(scale=0.01, size=(n_users, k)).astype(np.float32)
+    q0 = rng.normal(scale=0.01, size=(n_items, k)).astype(np.float32)
+    key = jax.random.PRNGKey(7)
+
+    mesh = make_mesh(4)
+    p, q, pp, pc, uids, _ = shard_bpr_inputs(mesh, p0, q0, padded, counts)
+    epoch_xla = make_sharded_bpr_epoch(mesh, n_steps=5, n_items=n_items, lr=0.05, reg=0.01)
+    p_x, q_x, cost_x = epoch_xla(p, q, pp, pc, uids, key)
+
+    p, q, pp, pc, uids, _ = shard_bpr_inputs(mesh, p0, q0, padded, counts)
+    qp = jax.device_put(
+        pack_items(jnp.asarray(q0)),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()),
+    )
+    epoch_fused = make_sharded_bpr_epoch_fused(
+        mesh, n_steps=5, n_items=n_items, lr=0.05, reg=0.01, interpret=True
+    )
+    p_f, qp_f, cost_f = epoch_fused(p, qp, pp, pc, uids, key)
+    q_f = unpack_items(qp_f, n_items, k)
+
+    np.testing.assert_allclose(np.asarray(cost_f), np.asarray(cost_x), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(p_f), np.asarray(p_x), rtol=2e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(q_f), np.asarray(q_x), rtol=2e-5, atol=1e-7)
