@@ -63,15 +63,22 @@ def main() -> None:
     # Epochs chain on-device via the (p, q) data dependency; the final
     # float() forces one host transfer so the tunnel's async dispatch can't
     # fake completion (block_until_ready alone returns early through axon).
-    n_epochs = 20
-    t0 = time.perf_counter()
-    for _ in range(n_epochs):
-        key, ke = jax.random.split(key)
-        p, q, cost = epoch_fn(p, q, padded_pos, pos_counts, ke, **kwargs)
-    _ = float(cost)
-    dt = time.perf_counter() - t0
+    # The MARGINAL rate between two epoch counts (min over repetitions)
+    # cancels the tunnel's fixed dispatch+readback cost and its slow bursts.
+    def timed(n_epochs: int) -> float:
+        nonlocal key, p, q
+        t0 = time.perf_counter()
+        for _ in range(n_epochs):
+            key, ke = jax.random.split(key)
+            p, q, cost = epoch_fn(p, q, padded_pos, pos_counts, ke, **kwargs)
+        _ = float(cost)
+        return time.perf_counter() - t0
 
-    examples_per_s = n_epochs * n_steps * n_active / dt
+    lo_epochs, hi_epochs = 5, 25
+    timed(lo_epochs), timed(hi_epochs)  # warm both trace paths
+    d_lo = min(timed(lo_epochs) for _ in range(3))
+    d_hi = min(timed(hi_epochs) for _ in range(3))
+    examples_per_s = (hi_epochs - lo_epochs) * n_steps * n_active / max(d_hi - d_lo, 1e-9)
     print(json.dumps({
         "metric": "bpr_train_examples_per_s",
         "value": round(examples_per_s),
