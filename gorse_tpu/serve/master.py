@@ -141,6 +141,20 @@ class Master:
         the CTR dataset."""
         with self.progress.span("load_dataset"):
             cfg = self.config.recommend
+            # async search-column maintenance (reference: the detached
+            # DataClient.Reconcile at load start, master/tasks.go:56-65)
+            if not getattr(self, "_reconciling", False):
+                self._reconciling = True
+
+                def _reconcile():
+                    try:
+                        self.data.reconcile(cfg.search.columns)
+                    except Exception:  # noqa: BLE001
+                        logger.exception("failed to reconcile data store")
+                    finally:
+                        self._reconciling = False
+
+                threading.Thread(target=_reconcile, daemon=True).start()
             dataset = Dataset()
             items = list(self.data.get_items())
             item_categories = []

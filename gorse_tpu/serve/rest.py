@@ -384,6 +384,17 @@ class RestServer:
 
     def get_items(self, req) -> dict:
         n = req.int_query("n", DEFAULT_N)
+        query = req.query.get("q", "")
+        if query:
+            # full-text search (reference: server/rest.go:1419-1433)
+            if not self.config.recommend.search.columns:
+                raise HTTPError(
+                    400,
+                    "item search is not supported because"
+                    " [recommend.search].columns is empty",
+                )
+            items = self.data.search_items(query, n)
+            return {"Items": [i.to_dict() for i in items], "Cursor": ""}
         cursor = req.query.get("cursor", "")
         items = list(self.data.get_items(begin_id=cursor, limit=n))
         next_cursor = items[-1].item_id if len(items) == n else ""

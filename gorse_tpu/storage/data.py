@@ -100,6 +100,24 @@ class DataStore:
     def delete_user_item_feedback(self, user_id: str, item_id: str, feedback_types: list[str] | None = None) -> int:
         raise NotImplementedError
 
+    def reconcile(self, search_columns: list[str]) -> None:
+        """Maintain full-text search state for ``search_items`` (reference:
+        data.Database.Reconcile, storage/data/database.go:249 — builds the
+        search-document columns/indexes from config.SearchConfig)."""
+        self._search_columns = list(search_columns)
+
+    def search_items(self, query: str, n: int) -> list[Item]:
+        """Ranked full-text item search over the reconciled columns
+        (reference: SearchItems, storage/data/database.go:258). Default is
+        the engine-independent tokenized scan (storage/search.py); backends
+        with native FTS override."""
+        from .search import token_search
+
+        columns = getattr(self, "_search_columns", [])
+        if not columns:
+            return []
+        return token_search(self.get_items(), query, n, columns)
+
     def count_users(self) -> int:
         return sum(1 for _ in self.get_users())
 
@@ -317,6 +335,7 @@ class SQLiteDataStore(DataStore):
             )
 
     def insert_items(self, items) -> None:
+        items = list(items)
         with self._lock:
             self._conn.executemany(
                 "INSERT OR REPLACE INTO items VALUES (?, ?, ?, ?, ?, ?)",
@@ -328,7 +347,75 @@ class SQLiteDataStore(DataStore):
                     for i in items
                 ],
             )
+            self._fts_upsert(items)
             self._conn.commit()
+
+    # -- full-text search (FTS5, the reference's sqlite branch:
+    #    storage/data/sql.go:532-560,993-1010) ------------------------------
+    _search_columns: list[str] = []
+    _fts_ready = False
+
+    def _fts_upsert(self, items) -> None:
+        if not self._fts_ready:
+            return
+        from .search import search_document
+
+        self._conn.executemany(
+            "DELETE FROM items_fts WHERE item_id = ?", [(i.item_id,) for i in items]
+        )
+        self._conn.executemany(
+            "INSERT INTO items_fts VALUES (?, ?)",
+            [(i.item_id, search_document(i, self._search_columns)) for i in items],
+        )
+
+    def reconcile(self, search_columns: list[str]) -> None:
+        from .search import search_document
+
+        self._search_columns = list(search_columns)
+        with self._lock:
+            self._conn.execute("DROP TABLE IF EXISTS items_fts")
+            self._fts_ready = False
+            if not self._search_columns:
+                self._conn.commit()
+                return
+            self._conn.execute(
+                "CREATE VIRTUAL TABLE items_fts USING fts5(item_id UNINDEXED, doc)"
+            )
+            rows = [
+                (i.item_id, search_document(i, self._search_columns))
+                for i in self.get_items()
+            ]
+            self._conn.executemany("INSERT INTO items_fts VALUES (?, ?)", rows)
+            self._fts_ready = True
+            self._conn.commit()
+
+    def search_items(self, query: str, n: int):
+        from .search import tokenize
+
+        if not self._search_columns:
+            return []
+        if not self._fts_ready:  # columns set but index not built yet
+            return super().search_items(query, n)
+        tokens = tokenize(query)
+        if not tokens:
+            return []
+        # sanitized FTS5 query: quoted terms, prefix match on the last
+        fts = " ".join(
+            f'"{t}"*' if i == len(tokens) - 1 else f'"{t}"'
+            for i, t in enumerate(tokens)
+        )
+        with self._lock:
+            rows = self._conn.execute(
+                "SELECT item_id FROM items_fts WHERE items_fts MATCH ?"
+                " ORDER BY bm25(items_fts) LIMIT ?",
+                (fts, int(n)),
+            ).fetchall()
+        out = []
+        for (item_id,) in rows:
+            item = self.get_item(item_id)
+            if item is not None:
+                out.append(item)
+        return out
 
     def get_item(self, item_id):
         with self._lock:
@@ -350,6 +437,8 @@ class SQLiteDataStore(DataStore):
         with self._lock:
             self._conn.execute("DELETE FROM items WHERE item_id = ?", (item_id,))
             self._conn.execute("DELETE FROM feedback WHERE item_id = ?", (item_id,))
+            if self._fts_ready:
+                self._conn.execute("DELETE FROM items_fts WHERE item_id = ?", (item_id,))
             self._conn.commit()
 
     def get_items(self, begin_id: str = "", limit=None):
@@ -457,6 +546,8 @@ class SQLiteDataStore(DataStore):
         with self._lock:
             for t in ("users", "items", "feedback"):
                 self._conn.execute(f"DELETE FROM {t}")
+            if self._fts_ready:
+                self._conn.execute("DELETE FROM items_fts")
             self._conn.commit()
 
     def close(self) -> None:

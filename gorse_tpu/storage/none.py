@@ -46,7 +46,7 @@ NoDataStore = type(
             "batch_get_items", "get_latest_items", "insert_feedback",
             "get_user_feedback", "get_item_feedback", "get_feedback",
             "delete_user_item_feedback", "count_users", "count_items",
-            "count_feedback",
+            "count_feedback", "reconcile", "search_items",
         ),
     ),
 )

@@ -223,6 +223,12 @@ class ProxyDataStore(_ProxyBase, DataStore):
     def batch_get_items(self, item_ids, skip_hidden=False, after=None):
         return self._call("batch_get_items", item_ids, skip_hidden, after)
 
+    def reconcile(self, search_columns) -> None:
+        self._call("reconcile", list(search_columns))
+
+    def search_items(self, query: str, n: int):
+        return self._call("search_items", query, n)
+
     def get_latest_items(self, limit, categories=None, after=None):
         return self._call("get_latest_items", limit, categories, after)
 

@@ -140,12 +140,22 @@ class ExternalConfigEntry:
 
 
 @dataclasses.dataclass
+class SearchConfig:
+    """Full-text item-search columns (reference: config.SearchConfig,
+    config/config.go:264 — item expressions like item_id/comment/labels.title
+    maintained by the data store's Reconcile)."""
+
+    columns: list[str] = dataclasses.field(default_factory=list)
+
+
+@dataclasses.dataclass
 class RecommendConfig:
     cache_size: int = 100
     cache_expire: float = 72.0  # hours
     context_size: int = 10
     active_user_ttl: int = 0  # days; skip recomputation for inactive users
     data_source: DataSourceConfig = dataclasses.field(default_factory=DataSourceConfig)
+    search: SearchConfig = dataclasses.field(default_factory=SearchConfig)
     non_personalized: list[NonPersonalizedConfigEntry] = dataclasses.field(default_factory=list)
     item_to_item: list[ItemToItemConfigEntry] = dataclasses.field(default_factory=list)
     user_to_user: list[UserToUserConfigEntry] = dataclasses.field(default_factory=list)

@@ -270,3 +270,27 @@ def test_openapi_spec():
     assert "/api/recommend/{user-id}" in spec["paths"]
     params = spec["paths"]["/api/recommend/{user-id}"]["get"]["parameters"]
     assert params[0]["name"] == "user-id"
+
+
+def test_items_search_endpoint():
+    """GET /api/items?q=... (reference: server/rest.go:1419-1433 — 400 when
+    [recommend.search].columns is empty, ranked hits otherwise)."""
+    from gorse_tpu.serve.rest import RestServer
+    from gorse_tpu.storage import Item, MemoryCacheStore, MemoryDataStore
+    from gorse_tpu.utils.config import Config
+
+    config = Config()
+    data = MemoryDataStore()
+    data.insert_items([
+        Item("m1", comment="a space opera"),
+        Item("m2", comment="courtroom drama"),
+    ])
+    server = RestServer(config, data, MemoryCacheStore())
+    status, body = server.dispatch("GET", "/api/items", {"q": "space"}, None, {})
+    assert status == 400  # no search columns configured
+
+    config.recommend.search.columns = ["comment"]
+    data.reconcile(config.recommend.search.columns)
+    status, body = server.dispatch("GET", "/api/items", {"q": "space"}, None, {})
+    assert status == 200
+    assert [i["ItemId"] for i in body["Items"]] == ["m1"]

@@ -265,3 +265,27 @@ def test_no_database_stores():
     for s in (d, c, v):
         s.purge()
         s.close()
+
+
+def test_item_search(data_store):
+    """Full-text item search after Reconcile (reference: Reconcile +
+    SearchItems, storage/data/database.go:249,258; sqlite FTS5 branch
+    sql.go:532-560)."""
+    data_store.insert_items([
+        Item("film1", comment="a space opera classic", labels={"title": "Star Battles"}),
+        Item("film2", comment="romantic drama", labels={"title": "The Notebook Returns"}),
+        Item("film3", comment="space documentary", labels={"title": "Cosmos Explained"}),
+    ])
+    # without reconciled columns, search yields nothing
+    assert data_store.search_items("space", 10) == []
+    data_store.reconcile(["comment", "labels.title"])
+    hits = [i.item_id for i in data_store.search_items("space", 10)]
+    assert set(hits) == {"film1", "film3"}
+    assert [i.item_id for i in data_store.search_items("notebook", 10)] == ["film2"]
+    # prefix match on the trailing token (search-as-you-type)
+    assert "film3" in [i.item_id for i in data_store.search_items("cosm", 10)]
+    # item_id not among the reconciled columns -> no match on it
+    assert data_store.search_items("film2", 10) == []
+    # deletions drop out of the index
+    data_store.delete_item("film3")
+    assert [i.item_id for i in data_store.search_items("space", 10)] == ["film1"]
