@@ -53,6 +53,7 @@ class MasterRestServer(RestServer):
     def _register_routes(self) -> None:
         super()._register_routes()
         r = self.route
+        r("GET", "/", self.get_ui)
         r("GET", "/metrics", self.get_metrics)
         # dashboard (reference: master/rest.go:81-279)
         r("GET", "/api/dashboard/cluster", self.get_cluster)
@@ -286,7 +287,17 @@ class MasterRestServer(RestServer):
 
     # ---------------------------------------------------------------- login
 
-    _public_paths = ("/login", "/callback/oauth2", "/logout", "/apidocs.json")
+    _public_paths = ("/", "/login", "/callback/oauth2", "/logout", "/apidocs.json")
+
+    def get_ui(self, req):
+        """The embedded single-file dashboard UI (reference: the gorse
+        dashboard frontend served by the master)."""
+        from pathlib import Path
+
+        from .rest import RawResponse
+
+        html = (Path(__file__).parent / "dashboard.html").read_bytes()
+        return RawResponse(html, "text/html; charset=utf-8")
     _PROTECTED_PREFIXES = ("/api/dashboard", "/api/dump", "/api/restore", "/api/import", "/api/export")
 
     def dispatch(self, method, path, query, body, headers):

@@ -260,3 +260,23 @@ def test_typed_feedback_route(node):
     assert all(f["FeedbackType"] == "like" for f in out["Feedback"])
     status, out = _get(base, "/api/feedback/nosuch?n=5")
     assert status == 200 and out["Feedback"] == []
+
+
+def test_dashboard_ui_served(node):
+    """GET / serves the embedded single-file UI, public even with an API key
+    (the reference serves the dashboard frontend from the master)."""
+    rest = node[0].rest
+    rest.api_key = "sekret"
+    try:
+        status, body = rest.dispatch("GET", "/", {}, None, {})
+    finally:
+        rest.api_key = ""
+    assert status == 200
+    html = body.body.decode()
+    assert "<!DOCTYPE html>" in html and "gorse_tpu dashboard" in html
+    # the UI binds these endpoints; they must all exist in the route table
+    for path in (
+        "/api/dashboard/stats", "/api/dashboard/cluster", "/api/dashboard/tasks",
+        "/api/dashboard/users", "/api/dashboard/config", "/api/dashboard/schedule",
+    ):
+        assert any(p == path for _, p, _ in rest._route_templates), path
