@@ -78,7 +78,11 @@ def main() -> None:
     timed(lo_epochs), timed(hi_epochs)  # warm both trace paths
     d_lo = min(timed(lo_epochs) for _ in range(3))
     d_hi = min(timed(hi_epochs) for _ in range(3))
-    examples_per_s = (hi_epochs - lo_epochs) * n_steps * n_active / max(d_hi - d_lo, 1e-9)
+    if d_hi <= d_lo:  # timing noise inverted the marginal — fall back to the
+        # conservative total rate of the longer run instead of emitting garbage
+        examples_per_s = hi_epochs * n_steps * n_active / d_hi
+    else:
+        examples_per_s = (hi_epochs - lo_epochs) * n_steps * n_active / (d_hi - d_lo)
     print(json.dumps({
         "metric": "bpr_train_examples_per_s",
         "value": round(examples_per_s),

@@ -135,7 +135,7 @@ def make_sharded_bpr_epoch_fused(
     the collective payload equals the dense [I, k] delta. ``interpret=True``
     runs the kernel in interpret mode for CPU meshes (tests, dryrun).
     """
-    from ..ops.bpr_kernel import LANES, _round_up, bpr_fused_step
+    from ..ops.bpr_kernel import bpr_fused_step
 
     axes = tuple(mesh.axis_names)
 

@@ -294,8 +294,6 @@ class MasterRestServer(RestServer):
         dashboard frontend served by the master)."""
         from pathlib import Path
 
-        from .rest import RawResponse
-
         html = (Path(__file__).parent / "dashboard.html").read_bytes()
         return RawResponse(html, "text/html; charset=utf-8")
     _PROTECTED_PREFIXES = ("/api/dashboard", "/api/dump", "/api/restore", "/api/import", "/api/export")

@@ -393,7 +393,9 @@ class RestServer:
                     "item search is not supported because"
                     " [recommend.search].columns is empty",
                 )
-            items = self.data.search_items(query, n)
+            items = self.data.search_items(
+                query, n, columns=self.config.recommend.search.columns
+            )
             return {"Items": [i.to_dict() for i in items], "Cursor": ""}
         cursor = req.query.get("cursor", "")
         items = list(self.data.get_items(begin_id=cursor, limit=n))

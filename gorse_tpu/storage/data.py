@@ -106,14 +106,17 @@ class DataStore:
         search-document columns/indexes from config.SearchConfig)."""
         self._search_columns = list(search_columns)
 
-    def search_items(self, query: str, n: int) -> list[Item]:
-        """Ranked full-text item search over the reconciled columns
-        (reference: SearchItems, storage/data/database.go:258). Default is
-        the engine-independent tokenized scan (storage/search.py); backends
-        with native FTS override."""
+    def search_items(self, query: str, n: int, columns: list[str] | None = None) -> list[Item]:
+        """Ranked full-text item search (reference: SearchItems,
+        storage/data/database.go:258). ``columns`` (usually the caller's
+        ``[recommend.search].columns`` config) makes search work from ANY
+        process — server nodes and freshly started masters never called
+        reconcile(); falls back to the columns reconcile() recorded. Default
+        engine is the tokenized scan (storage/search.py); backends with
+        native FTS override."""
         from .search import token_search
 
-        columns = getattr(self, "_search_columns", [])
+        columns = columns or getattr(self, "_search_columns", [])
         if not columns:
             return []
         return token_search(self.get_items(), query, n, columns)
@@ -371,6 +374,8 @@ class SQLiteDataStore(DataStore):
     def reconcile(self, search_columns: list[str]) -> None:
         from .search import search_document
 
+        if list(search_columns) == self._search_columns and self._fts_ready:
+            return  # unchanged config: keep the incrementally-maintained index
         self._search_columns = list(search_columns)
         with self._lock:
             self._conn.execute("DROP TABLE IF EXISTS items_fts")
@@ -389,13 +394,15 @@ class SQLiteDataStore(DataStore):
             self._fts_ready = True
             self._conn.commit()
 
-    def search_items(self, query: str, n: int):
+    def search_items(self, query: str, n: int, columns: list[str] | None = None):
         from .search import tokenize
 
-        if not self._search_columns:
+        wanted = columns or self._search_columns
+        if not wanted:
             return []
-        if not self._fts_ready:  # columns set but index not built yet
-            return super().search_items(query, n)
+        if not self._fts_ready or list(wanted) != self._search_columns:
+            # index absent or built for different columns: correct slow path
+            return super().search_items(query, n, wanted)
         tokens = tokenize(query)
         if not tokens:
             return []
@@ -405,17 +412,15 @@ class SQLiteDataStore(DataStore):
             for i, t in enumerate(tokens)
         )
         with self._lock:
+            # one statement: join the ranked FTS hits back to item rows
             rows = self._conn.execute(
-                "SELECT item_id FROM items_fts WHERE items_fts MATCH ?"
+                "SELECT i.item_id, i.is_hidden, i.categories, i.timestamp,"
+                " i.labels, i.comment FROM items_fts f JOIN items i"
+                " ON i.item_id = f.item_id WHERE items_fts MATCH ?"
                 " ORDER BY bm25(items_fts) LIMIT ?",
                 (fts, int(n)),
             ).fetchall()
-        out = []
-        for (item_id,) in rows:
-            item = self.get_item(item_id)
-            if item is not None:
-                out.append(item)
-        return out
+        return [self._row_to_item(r) for r in rows]
 
     def get_item(self, item_id):
         with self._lock:
@@ -473,6 +478,8 @@ class SQLiteDataStore(DataStore):
                         "INSERT OR IGNORE INTO items VALUES (?, 0, '[]', 0, 'null', '')",
                         (f.item_id,),
                     )
+                    # keep the FTS index consistent with auto-inserted items
+                    self._fts_upsert([Item(f.item_id)])
                 op = "INSERT OR REPLACE" if overwrite else "INSERT OR IGNORE"
                 self._conn.execute(
                     f"{op} INTO feedback VALUES (?, ?, ?, ?, ?, ?)",

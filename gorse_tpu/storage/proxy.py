@@ -226,8 +226,8 @@ class ProxyDataStore(_ProxyBase, DataStore):
     def reconcile(self, search_columns) -> None:
         self._call("reconcile", list(search_columns))
 
-    def search_items(self, query: str, n: int):
-        return self._call("search_items", query, n)
+    def search_items(self, query: str, n: int, columns=None):
+        return self._call("search_items", query, n, columns)
 
     def get_latest_items(self, limit, categories=None, after=None):
         return self._call("get_latest_items", limit, categories, after)

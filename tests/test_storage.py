@@ -289,3 +289,23 @@ def test_item_search(data_store):
     # deletions drop out of the index
     data_store.delete_item("film3")
     assert [i.item_id for i in data_store.search_items("space", 10)] == ["film1"]
+
+
+def test_item_search_without_reconcile(tmp_path):
+    """Server nodes never call reconcile(); passing the config columns at
+    query time must work against a store another process populated
+    (regression: search state was per-Python-instance)."""
+    path = str(tmp_path / "shared.db")
+    writer = SQLiteDataStore(path)
+    writer.insert_items([Item("m1", comment="space opera")])
+    writer.reconcile(["comment"])
+    writer.close()
+
+    reader = SQLiteDataStore(path)  # fresh process analog: no reconcile call
+    hits = reader.search_items("space", 5, columns=["comment"])
+    assert [i.item_id for i in hits] == ["m1"]
+    # feedback-auto-inserted items are searchable too once columns cover ids
+    writer2 = SQLiteDataStore(path)
+    writer2.reconcile(["item_id", "comment"])
+    writer2.insert_feedback([Feedback("like", "u1", "brandnew42")])
+    assert [i.item_id for i in writer2.search_items("brandnew42", 5)] == ["brandnew42"]
