@@ -92,6 +92,109 @@ def evaluate_retrieval(args) -> dict:
     }
 
 
+def evaluate_reranker(args) -> dict:
+    """LLM-reranker offline evaluation (reference: EvaluateReranker,
+    cmd/gorse-bench/main.go:209): per test user, candidates = the held-out
+    positive + sampled negatives; AUC of the reranked position vs random.
+    Defaults to the embedded deterministic fake-OpenAI server; point
+    --api-url at a real OpenAI-compatible endpoint to benchmark a model."""
+    import numpy as np
+
+    from ..data import load_built_in
+    from ..llm.client import OpenAIClient
+    from ..logics.chat import LLMReranker
+    from ..storage.types import Item, Score, User
+
+    train, test = load_built_in(args.dataset)
+    mock = None
+    if args.api_url:
+        client = OpenAIClient(args.api_url, args.api_key, chat_model=args.model)
+    else:
+        from ..llm.mock import MockOpenAIServer
+
+        mock = MockOpenAIServer().start()
+        client = OpenAIClient(mock.base_url, mock.auth_token)
+    reranker = LLMReranker(client, prompt=args.prompt)
+    rng = np.random.default_rng(0)
+    aucs = []
+    users = [u for u in range(test.count_users()) if test.user_feedback[u]][: args.users]
+    for u in users:
+        pos = test.user_feedback[u][0]
+        negs = [
+            int(i) for i in rng.choice(train.count_items(), size=args.candidates)
+            if i not in set(train.user_feedback[u])
+        ][: args.candidates - 1]
+        cand_ids = [pos] + negs
+        rng.shuffle(cand_ids)
+        candidates = [Score(train.item_dict.to_name(int(i)), 0.0) for i in cand_ids]
+        items = {s.id: Item(s.id) for s in candidates}
+        feedback = [
+            ("like", Item(train.item_dict.to_name(int(i))))
+            for i in train.user_feedback[u][: args.context]
+        ]
+        ranked = reranker.rank(User(train.user_dict.to_name(u)), feedback, candidates, items)
+        ranked_ids = [s.id for s in ranked]
+        pos_name = train.item_dict.to_name(int(pos))
+        if pos_name in ranked_ids:
+            rank = ranked_ids.index(pos_name)
+            aucs.append(1.0 - rank / max(len(ranked_ids) - 1, 1))
+    if mock is not None:
+        mock.close()
+    return {
+        "dataset": args.dataset,
+        "api": args.api_url or "mock://deterministic",
+        "users": len(users),
+        "AUC": round(float(np.mean(aucs)) if aucs else 0.0, 4),
+        "note": "AUC 0.5 = random ordering",
+    }
+
+
+def evaluate_embedding(args) -> dict:
+    """Embedding-similarity quality (reference: EvaluateEmbedding,
+    cmd/gorse-bench/main.go:322): embed each item's text via the (mock or
+    real) embedding API, take top-k embedding neighbors, and report recall
+    against co-consumption neighbors (users-IDF ground truth)."""
+    import numpy as np
+
+    from ..data import load_built_in
+    from ..llm.client import OpenAIClient
+    from ..ops.similarity import embedding_neighbors, idf_neighbors, incidence_matrix
+
+    train, _ = load_built_in(args.dataset)
+    mock = None
+    if args.api_url:
+        client = OpenAIClient(args.api_url, args.api_key, embedding_model=args.model)
+    else:
+        from ..llm.mock import MockOpenAIServer
+
+        mock = MockOpenAIServer(dimensions=args.dim).start()
+        client = OpenAIClient(mock.base_url, mock.auth_token)
+    n_items = train.count_items()
+    vecs = np.stack(
+        [client.embedding(f"item {train.item_dict.to_name(i)}") for i in range(n_items)]
+    ).astype(np.float32)
+    _, emb_idx = embedding_neighbors(vecs, k_top=args.k, metric="euclidean")
+    # ground truth: co-consumption neighbors (the users-IDF similarity)
+    inc = incidence_matrix(
+        [train.item_feedback[i] for i in range(n_items)], train.count_users()
+    )
+    _, gt_idx = idf_neighbors(inc, train.user_idf(), k_top=args.k)
+    emb_idx, gt_idx = np.asarray(emb_idx), np.asarray(gt_idx)
+    recalls = [
+        len(set(emb_idx[i]) & set(gt_idx[i])) / args.k for i in range(n_items)
+    ]
+    if mock is not None:
+        mock.close()
+    return {
+        "dataset": args.dataset,
+        "api": args.api_url or "mock://hash-embeddings",
+        "items": n_items,
+        "k": args.k,
+        "recall_vs_coconsumption": round(float(np.mean(recalls)), 4),
+        "note": "mock embeddings are content hashes; real models score higher",
+    }
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="gorse-tpu-bench")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -115,6 +218,24 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--reg", type=float, default=1e-4)
     p.add_argument("--verbose", type=int, default=10)
 
+    p = sub.add_parser("reranker", help="evaluate an LLM reranker")
+    p.add_argument("--dataset", default="synthetic://200,150,8,0.08,0")
+    p.add_argument("--api-url", default="", help="OpenAI-compatible endpoint (default: embedded mock)")
+    p.add_argument("--api-key", default="")
+    p.add_argument("--model", default="")
+    p.add_argument("--prompt", default="")
+    p.add_argument("--users", type=int, default=20)
+    p.add_argument("--candidates", type=int, default=10)
+    p.add_argument("--context", type=int, default=5)
+
+    p = sub.add_parser("embedding", help="evaluate embedding similarity quality")
+    p.add_argument("--dataset", default="synthetic://200,150,8,0.08,0")
+    p.add_argument("--api-url", default="", help="OpenAI-compatible endpoint (default: embedded mock)")
+    p.add_argument("--api-key", default="")
+    p.add_argument("--model", default="")
+    p.add_argument("--dim", type=int, default=64)
+    p.add_argument("--k", type=int, default=10)
+
     p = sub.add_parser("retrieval", help="benchmark exact top-k retrieval")
     p.add_argument("--items", type=int, default=100000)
     p.add_argument("--dim", type=int, default=64)
@@ -123,12 +244,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--kernel", choices=["pallas", "xla"], default="pallas")
 
     args = parser.parse_args(argv)
-    if args.cmd == "cf":
-        out = evaluate_cf(args)
-    elif args.cmd == "ctr":
-        out = evaluate_ctr(args)
-    else:
-        out = evaluate_retrieval(args)
+    evals = {
+        "cf": evaluate_cf,
+        "ctr": evaluate_ctr,
+        "reranker": evaluate_reranker,
+        "embedding": evaluate_embedding,
+        "retrieval": evaluate_retrieval,
+    }
+    out = evals[args.cmd](args)
     print(json.dumps(out))
     return 0
 

@@ -82,3 +82,25 @@ def test_cli_pipeline(node, capsys):
     cfg2 = json.loads(_run(capsys, base, "pipeline", "show"))
     assert cfg2["recommend"]["cache_size"] == old + 7
     _run(capsys, base, "pipeline", "reset", "-y")
+
+
+def test_bench_reranker_and_embedding(capsys):
+    """gorse-tpu-bench reranker/embedding (reference: EvaluateReranker /
+    EvaluateEmbedding, cmd/gorse-bench/main.go:209,322) run offline against
+    the embedded fake-OpenAI server and print one JSON line."""
+    import json
+
+    from gorse_tpu.cmd.bench import main as bench_main
+
+    assert bench_main([
+        "reranker", "--dataset", "synthetic://60,40,4,0.1,0",
+        "--users", "4", "--candidates", "5", "--context", "3",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["users"] == 4 and "AUC" in out
+
+    assert bench_main([
+        "embedding", "--dataset", "synthetic://60,40,4,0.1,0", "--k", "3", "--dim", "16",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["items"] == 40 and 0.0 <= out["recall_vs_coconsumption"] <= 1.0
