@@ -73,7 +73,16 @@ recommenders = ["collaborative"]
 recommenders = ["latest"]
 """
     )
-    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    import gorse_tpu
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(gorse_tpu.__file__)))
+    pythonpath = repo_root + os.pathsep + os.environ.get("PYTHONPATH", "")
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        PALLAS_AXON_POOL_IPS="",
+        PYTHONPATH=pythonpath.rstrip(os.pathsep),
+    )
     procs: list[subprocess.Popen] = []
     logs = open(tmp_path / "cluster.log", "wb")
 
