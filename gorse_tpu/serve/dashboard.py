@@ -225,12 +225,14 @@ class MasterRestServer(RestServer):
 
     def get_dashboard_external(self, req) -> list:
         """External recommender preview (reference: getExternal
-        master/rest.go:1123-1156; script = base64 spec). The reference
-        evaluates JavaScript; this build accepts an HTTP endpoint URL or a
-        registered-callable name (logics/external.py divergence)."""
+        master/rest.go:1123-1156; script = base64-encoded JavaScript,
+        evaluated with the requested user id). Shortcuts: a bare HTTP URL is
+        treated as an endpoint source, a bare registered-callable name as a
+        Python source; anything else runs as a JS script in the embedded
+        mini-JS interpreter (logics/external.py)."""
         import base64
 
-        from ..logics.external import External, ExternalConfig
+        from ..logics.external import _REGISTRY, External, ExternalConfig
 
         spec_b64 = req.query.get("script", "")
         if not spec_b64:
@@ -239,11 +241,17 @@ class MasterRestServer(RestServer):
             spec = base64.b64decode(spec_b64).decode()
         except Exception:
             raise HTTPError(400, "invalid script encoding")
-        if spec.startswith(("http://", "https://")):
-            cfg = ExternalConfig(name="preview", type="http", url=spec)
+        stripped = spec.strip()
+        if stripped.startswith(("http://", "https://")) and "\n" not in stripped:
+            cfg = ExternalConfig(name="preview", type="http", url=stripped)
+        elif stripped in _REGISTRY:
+            cfg = ExternalConfig(name=stripped, type="python")
         else:
-            cfg = ExternalConfig(name=spec.strip(), type="python")
-        return External(cfg).pull(req.query.get("user-id", ""))
+            cfg = ExternalConfig(name="preview", type="js", script=spec)
+        try:
+            return External(cfg).pull(req.query.get("user-id", ""))
+        except Exception as e:  # surface script errors to the dashboard
+            raise HTTPError(400, f"external script failed: {e}")
 
     def get_ranker_prompt(self, req) -> dict:
         """Render the reranker prompt for inspection (reference:

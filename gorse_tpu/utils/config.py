@@ -130,13 +130,24 @@ class ReplacementConfig:
 
 @dataclasses.dataclass
 class ExternalConfigEntry:
+    """Reference: config.ExternalConfig{Name, Script} (config/config.go:367-370).
+    ``script`` is the reference's JavaScript hook, run by the embedded mini-JS
+    interpreter; ``http``/``python`` are transport shortcuts."""
+
     name: str
-    type: str = "python"
+    type: str = ""  # js | python | http; defaults to js when script is set
     url: str = ""
+    script: str = ""
     timeout: float = 5.0
 
+    def __post_init__(self) -> None:
+        if not self.type:
+            self.type = "js" if self.script else "python"
+
     def digest(self) -> str:
-        return hashlib.md5(f"{self.name}|{self.type}|{self.url}".encode()).hexdigest()
+        return hashlib.md5(
+            f"{self.name}|{self.type}|{self.url}|{self.script}".encode()
+        ).hexdigest()
 
 
 @dataclasses.dataclass
