@@ -69,26 +69,46 @@ def evaluate_retrieval(args) -> dict:
     import jax.numpy as jnp
     import numpy as np
 
-    from ..ops.topk import dot_topk, dot_topk_xla
+    from ..ops.topk import PreparedItems, dot_topk, dot_topk_xla, prepare_items
 
     rng = np.random.default_rng(0)
     items = jnp.asarray(rng.normal(size=(args.items, args.dim)).astype(np.float32))
-    queries = [
-        jnp.asarray(rng.normal(size=(args.batch, args.dim)).astype(np.float32))
-        for _ in range(8)
-    ]
-    fn = dot_topk if args.kernel == "pallas" else dot_topk_xla
-    fn(queries[0], items, args.k)  # compile
-    t0 = time.perf_counter()
-    outs = [fn(q, items, args.k) for q in queries]
-    _ = float(jnp.sum(outs[-1][0]))  # force completion through the tunnel
-    dt = time.perf_counter() - t0
+    mm_dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    prep = prepare_items(items, mm_dtype) if args.kernel == "pallas" else None
+    # Chain all query batches inside ONE jitted program and force a scalar
+    # readback: per-dispatch latency through the device tunnel is erratic
+    # (ms..s) and would otherwise swamp the device time being measured.
+    n_batches = args.batches
+    qs = jnp.asarray(
+        rng.normal(size=(n_batches, args.batch, args.dim)).astype(np.float32)
+    )
+
+    @jax.jit
+    def run_all(qs, table):
+        def one(q):
+            if args.kernel == "pallas":
+                p = PreparedItems(table, args.items, args.dim)
+                return dot_topk(q, p, args.k)
+            return dot_topk_xla(q, table, args.k)
+
+        s, i = jax.lax.map(one, qs)
+        return jnp.sum(s) + jnp.sum(i.astype(jnp.float32))
+
+    table = prep.table if prep is not None else items
+    float(run_all(qs, table))  # compile + warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run_all(qs, table))
+        best = min(best, time.perf_counter() - t0)
     return {
         "kernel": args.kernel,
+        "dtype": args.dtype,
         "items": args.items,
         "batch": args.batch,
         "k": args.k,
-        "queries_per_s": round(8 * args.batch / dt),
+        "batches_chained": n_batches,
+        "queries_per_s": round(n_batches * args.batch / best),
     }
 
 
@@ -242,6 +262,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--batch", type=int, default=256)
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--kernel", choices=["pallas", "xla"], default="pallas")
+    p.add_argument("--dtype", choices=["f32", "bf16"], default="f32")
+    p.add_argument("--batches", type=int, default=32, help="query batches chained per dispatch")
 
     args = parser.parse_args(argv)
     evals = {

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.dict import FreqDict
-from ..ops.topk import topk_excluding
+from ..ops.topk import prepare_items, topk_excluding
 from ..storage.types import Score
 
 
@@ -35,6 +35,8 @@ class MatrixFactorizationIndex:
     ) -> None:
         self.user_factors = jnp.asarray(user_factors)
         self.item_factors = jnp.asarray(item_factors)
+        # transposed table built once so serving calls skip the relayout
+        self._prepared_items = prepare_items(self.item_factors)
         self.user_index = user_index
         self.item_index = item_index
         self.item_categories = item_categories or [[] for _ in range(item_factors.shape[0])]
@@ -79,7 +81,9 @@ class MatrixFactorizationIndex:
                 ex_arr = jnp.asarray(ex)
         n_eff = min(n, self.item_factors.shape[0])
         scores, idxs = topk_excluding(
-            queries, self.item_factors, n_eff, ex_arr,
+            queries,
+            self._prepared_items if use_pallas else self.item_factors,
+            n_eff, ex_arr,
             use_pallas=use_pallas, interpret=interpret,
         )
         scores = np.asarray(scores)

@@ -4,7 +4,13 @@ kernel parity Pallas-interpret vs jnp reference on CPU)."""
 import numpy as np
 import jax.numpy as jnp
 
-from gorse_tpu.ops.topk import dot_topk, dot_topk_xla, topk_excluding
+from gorse_tpu.ops.topk import (
+    PreparedItems,
+    dot_topk,
+    dot_topk_xla,
+    prepare_items,
+    topk_excluding,
+)
 
 
 def _check_parity(b, n, d, k, seed):
@@ -41,6 +47,46 @@ def test_topk_k_larger_than_block_boundary_cases():
     s, i = dot_topk(jnp.asarray(q), jnp.asarray(items), 20, interpret=True)
     full = np.sort(q @ items.T, axis=1)[:, ::-1]
     np.testing.assert_allclose(np.asarray(s), full, rtol=1e-5, atol=1e-5)
+
+
+def test_topk_prepared_items_reuse():
+    # the serving path: build the transposed table once, query it repeatedly
+    rng = np.random.default_rng(5)
+    q = rng.normal(size=(4, 24)).astype(np.float32)
+    items = rng.normal(size=(500, 24)).astype(np.float32)
+    prep = prepare_items(jnp.asarray(items))
+    assert isinstance(prep, PreparedItems)
+    assert prep.n_items == 500 and prep.dim == 24
+    ref_s, ref_i = dot_topk_xla(jnp.asarray(q), jnp.asarray(items), 7)
+    got_s, got_i = dot_topk(jnp.asarray(q), prep, 7, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(ref_s), rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref_i))
+
+
+def test_topk_prepared_bf16_near_exact():
+    # bf16 table (the reference itself serves BF16 embeddings): scores match
+    # within bf16 rounding and the top sets broadly agree
+    rng = np.random.default_rng(6)
+    q = rng.normal(size=(4, 32)).astype(np.float32)
+    items = rng.normal(size=(300, 32)).astype(np.float32)
+    prep = prepare_items(jnp.asarray(items), jnp.bfloat16)
+    ref_s, _ = dot_topk_xla(jnp.asarray(q), jnp.asarray(items), 10)
+    got_s, got_i = dot_topk(jnp.asarray(q), prep, 10, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(ref_s), rtol=0.05, atol=0.15)
+    # recomputing the f32 scores of the returned indices stays close to ref
+    rec = np.take_along_axis(q @ items.T, np.asarray(got_i), axis=1)
+    np.testing.assert_allclose(rec, np.asarray(ref_s), rtol=0.05, atol=0.15)
+
+
+def test_topk_excluding_prepared():
+    rng = np.random.default_rng(7)
+    q = rng.normal(size=(3, 16)).astype(np.float32)
+    items = rng.normal(size=(150, 16)).astype(np.float32)
+    prep = prepare_items(jnp.asarray(items))
+    s_p, i_p = topk_excluding(jnp.asarray(q), prep, 5, use_pallas=True, interpret=True)
+    s_x, i_x = topk_excluding(jnp.asarray(q), prep, 5, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_x), rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_x))
 
 
 def test_topk_excluding():
