@@ -113,6 +113,87 @@ def sq_topk(
     return top_scores, top_idx.astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("k_top", "metric"))
+def pq_topk(
+    queries: jax.Array,   # [B, d]
+    codes: jax.Array,     # [N, M] uint8 subquantizer codes
+    codebooks: jax.Array, # [M, C, ds] f32 centroids, d = M * ds
+    norms2: jax.Array,    # [N] squared norms of the dequantized rows
+    k_top: int,
+    metric: str = "dot",
+):
+    """Top-k over product-quantized vectors.
+
+    Rows live in HBM as ``M`` uint8 codes (32/bits x compression at rest,
+    matching the reference's PQ ratios, storage/vectors/qdrant.go:179-195).
+    The query path dequantizes each subspace with one vectorized codebook
+    gather and scores on the MXU — asymmetric-distance via dequant+matmul
+    rather than a per-query LUT scan, because on TPU the [B, N] matmul is
+    MXU-bound while an LUT gather over N codes is a VPU/gather bottleneck.
+
+    Approximate by construction (quantization error), like the reference's
+    delegated PQ backends. ``metric`` as in :func:`sq_topk`.
+    """
+    # [M, C, ds] gathered at codes[:, m] -> [N, M, ds] -> [N, d]
+    vhat = jax.vmap(lambda cb, c: cb[c], in_axes=(0, 1), out_axes=1)(
+        codebooks, codes.astype(jnp.int32)
+    )
+    n = codes.shape[0]
+    vhat = vhat.reshape(n, -1).astype(jnp.bfloat16)
+    q = queries.astype(jnp.float32)
+    dots = jnp.dot(q, vhat.T, preferred_element_type=jnp.float32)
+    if metric == "euclidean":
+        q2 = jnp.sum(q * q, axis=1, keepdims=True)
+        scores = -(q2 - 2.0 * dots + norms2[None, :])
+    else:
+        scores = dots
+    top_scores, top_idx = jax.lax.top_k(scores, k_top)
+    return top_scores, top_idx.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("k_top", "bits", "dim", "metric"))
+def rq_topk(
+    queries: jax.Array,  # [B, d]
+    packed: jax.Array,   # [N, ceil(d*bits/8)] packed b-bit codes
+    scale: jax.Array,    # [N] per-row dequant scale
+    minv: jax.Array,     # [N] per-row dequant offset
+    rot: jax.Array,      # [d, d] orthogonal rotation
+    norms2: jax.Array,   # [N] squared norms of the dequantized rows
+    k_top: int,
+    bits: int,
+    dim: int,
+    metric: str = "dot",
+):
+    """Top-k over rotational (RaBitQ-style) quantized vectors.
+
+    Encoding rotates each row by a shared orthogonal matrix, then scalar-
+    quantizes the rotated coordinates to ``bits`` in {1, 2, 4} with per-row
+    affine params — the rotation spreads coordinate variance so very few
+    bits suffice (the reference's ``rq`` / TurboQuant / RaBitQ family,
+    storage/vectors/database.go:41). Because the rotation is orthogonal,
+    ``q . v = (Rq) . (Rv)``, so scoring is the sq affine-correction trick in
+    the rotated basis: unpack sub-byte codes on the VPU, one bf16 matmul on
+    the MXU, plus rank-1 corrections. 8x-32x less HBM than f32 rows.
+    """
+    per_byte = 8 // bits
+    mask = (1 << bits) - 1
+    shifts = (jnp.arange(per_byte, dtype=jnp.uint8) * bits)[None, None, :]
+    vals = (packed[:, :, None] >> shifts) & mask          # [N, P, per_byte]
+    codes = vals.reshape(packed.shape[0], -1)[:, :dim]    # [N, d]
+    rq = jnp.dot(queries.astype(jnp.float32), rot.T,
+                 preferred_element_type=jnp.float32)      # [B, d]
+    partial = jnp.dot(rq, codes.astype(jnp.bfloat16).T,
+                      preferred_element_type=jnp.float32)
+    dots = partial * scale[None, :] + jnp.sum(rq, axis=1, keepdims=True) * minv[None, :]
+    if metric == "euclidean":
+        q2 = jnp.sum(queries.astype(jnp.float32) ** 2, axis=1, keepdims=True)
+        scores = -(q2 - 2.0 * dots + norms2[None, :])
+    else:
+        scores = dots
+    top_scores, top_idx = jax.lax.top_k(scores, k_top)
+    return top_scores, top_idx.astype(jnp.int32)
+
+
 def _topk_kernel(
     q_ref, item_ref, out_s_ref, out_i_ref, run_s, run_i, sc, *, k_sel, block_n, n_items
 ):

@@ -314,6 +314,7 @@ class _MilvusHandler(_JSONHandler):
                 be.collections[body["collectionName"]] = {
                     "dim": int(body["dimension"]),
                     "metric": body.get("metricType", "IP"),
+                    "indexes": body.get("indexParams") or [],
                     "rows": {},
                 }
                 return self._reply(200, {"code": 0, "data": {}})
@@ -339,9 +340,8 @@ class _MilvusHandler(_JSONHandler):
                                     "params": {"dim": c["dim"]},
                                 },
                             ],
-                            "indexes": [
-                                {"fieldName": "vector", "metricType": c["metric"]}
-                            ],
+                            "indexes": c.get("indexes")
+                            or [{"fieldName": "vector", "metricType": c["metric"]}],
                         },
                     },
                 )

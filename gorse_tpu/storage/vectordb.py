@@ -66,6 +66,50 @@ class _RESTClient:
 
 _QDRANT_DIST = {"dot": "Dot", "cosine": "Cosine", "euclidean": "Euclid"}
 _QDRANT_DIST_INV = {v: k for k, v in _QDRANT_DIST.items()}
+# pq bits/dimension -> Qdrant product-quantization compression ratio
+# (reference: storage/vectors/qdrant.go:179-195)
+_QDRANT_PQ_COMPRESSION = {8: "x4", 4: "x8", 2: "x16", 1: "x32"}
+_QDRANT_PQ_COMPRESSION_INV = {v: k for k, v in _QDRANT_PQ_COMPRESSION.items()}
+
+
+def _qdrant_quantization_config(quantization: str, bits: int) -> dict | None:
+    """Reference: qdrantQuantizationConfig (storage/vectors/qdrant.go:153-199);
+    rq maps to Qdrant's binary/TurboQuant family with 1/2/4-bit codes."""
+    if not quantization:
+        return None
+    if quantization == "sq":
+        if bits not in (0, 8):
+            raise ValueError(f"sq quantization bits {bits} for Qdrant")
+        return {"scalar": {"type": "int8"}}
+    if quantization == "pq":
+        cfg: dict = {}
+        if bits:
+            if bits not in _QDRANT_PQ_COMPRESSION:
+                raise ValueError(f"pq quantization bits {bits} for Qdrant")
+            cfg["compression"] = _QDRANT_PQ_COMPRESSION[bits]
+        return {"product": cfg}
+    if quantization == "rq":
+        cfg = {}
+        if bits:
+            if bits not in (1, 2, 4):
+                raise ValueError(f"rq quantization bits {bits} for Qdrant")
+            cfg["bits"] = bits
+        return {"binary": cfg}
+    raise ValueError(f"quantization type {quantization!r} for Qdrant")
+
+
+def _qdrant_parse_quantization(quant: dict | None) -> tuple[str, int]:
+    """Inverse of :func:`_qdrant_quantization_config` (qdrant.go:202-250)."""
+    if not quant:
+        return "", 0
+    if "scalar" in quant:
+        return "sq", 8
+    if "product" in quant:
+        comp = (quant["product"] or {}).get("compression")
+        return "pq", _QDRANT_PQ_COMPRESSION_INV.get(comp, 0)
+    if "binary" in quant:
+        return "rq", int((quant["binary"] or {}).get("bits") or 0)
+    return "", 0
 
 
 class QdrantVectorStore(VectorStore):
@@ -82,8 +126,9 @@ class QdrantVectorStore(VectorStore):
         body: dict = {
             "vectors": {"size": int(dimensions), "distance": _QDRANT_DIST[distance]}
         }
-        if quantization == "sq":
-            body["quantization_config"] = {"scalar": {"type": "int8"}}
+        qc = _qdrant_quantization_config(quantization, bits)
+        if qc is not None:
+            body["quantization_config"] = qc
         self.c.call("PUT", f"/collections/{urllib.parse.quote(name)}", body)
         self._dist[name] = distance
 
@@ -93,13 +138,15 @@ class QdrantVectorStore(VectorStore):
         except IOError:
             return None
         cfg = r["result"]["config"]["params"]["vectors"]
-        quant = r["result"]["config"].get("quantization_config") or {}
+        quant, bits = _qdrant_parse_quantization(
+            r["result"]["config"].get("quantization_config")
+        )
         return {
             "name": name,
             "dimension": int(cfg["size"]),
             "distance": _QDRANT_DIST_INV.get(cfg["distance"], "dot"),
-            "quantization": "sq" if "scalar" in quant else "",
-            "bits": 8 if "scalar" in quant else 0,
+            "quantization": quant,
+            "bits": bits,
         }
 
     def list_collections(self) -> list[str]:
@@ -195,6 +242,19 @@ class WeaviateVectorStore(VectorStore):
         if distance not in DISTANCES:
             raise ValueError(f"unknown distance {distance!r}")
         self._dist[name] = distance
+        index_config: dict = {"distance": _WEAVIATE_DIST[distance]}
+        # reference: weaviateApplyQuantization (storage/vectors/weaviate.go:172-199)
+        if quantization in ("sq", "pq"):
+            if bits:
+                raise ValueError(f"quantization bits for {quantization} on Weaviate")
+            index_config[quantization] = {"enabled": True}
+        elif quantization == "rq":
+            rq: dict = {"enabled": True}
+            if bits:
+                rq["bits"] = int(bits)
+            index_config["rq"] = rq
+        elif quantization:
+            raise ValueError(f"quantization type {quantization!r} for Weaviate")
         meta = {
             "name": name, "dimension": int(dimensions), "distance": distance,
             "quantization": quantization, "bits": int(bits),
@@ -206,7 +266,7 @@ class WeaviateVectorStore(VectorStore):
                 "class": _class_name(name),
                 "description": json.dumps(meta),
                 "vectorizer": "none",
-                "vectorIndexConfig": {"distance": _WEAVIATE_DIST[distance]},
+                "vectorIndexConfig": index_config,
                 "properties": [{"name": "docId", "dataType": ["text"]}],
             },
         )
@@ -314,16 +374,40 @@ class MilvusVectorStore(VectorStore):
                           quantization="", bits=0) -> None:
         if distance not in DISTANCES:
             raise ValueError(f"unknown distance {distance!r}")
+        # index type per quantization (reference: milvusIndex,
+        # storage/vectors/milvus.go:327-356)
+        metric = _MILVUS_METRIC[distance]
+        if not quantization:
+            index = {"indexType": "HNSW", "params": {"M": 16, "efConstruction": 200}}
+        elif quantization == "rq":
+            if bits:
+                raise ValueError(f"rq quantization bits {bits} for Milvus")
+            index = {"indexType": "IVF_RABITQ", "params": {"nlist": 128}}
+        elif quantization == "pq":
+            b = bits or 8
+            m = dimensions * b // 8
+            if dimensions * b % 8 or m < 1 or m > dimensions or dimensions % m:
+                raise ValueError(f"pq quantization bits {bits} for Milvus")
+            index = {"indexType": "IVF_PQ", "params": {"nlist": 128, "m": m, "nbits": 8}}
+        elif quantization == "sq":
+            if bits not in (0, 8):
+                raise ValueError(f"sq quantization bits {bits} for Milvus")
+            index = {"indexType": "IVF_SQ8", "params": {"nlist": 128}}
+        else:
+            raise ValueError(f"quantization type {quantization!r} for Milvus")
+        index.update({"fieldName": "vector", "indexName": "vector",
+                      "metricType": metric})
         self._call(
             "/collections/create",
             {
                 "collectionName": name,
                 "dimension": int(dimensions),
-                "metricType": _MILVUS_METRIC[distance],
+                "metricType": metric,
                 "idType": "VarChar",
                 "primaryFieldName": "id",
                 "vectorFieldName": "vector",
                 "params": {"max_length": "256"},
+                "indexParams": [index],
             },
         )
         self._dist[name] = distance
@@ -339,14 +423,25 @@ class MilvusVectorStore(VectorStore):
             if f.get("name") == "vector":
                 dim = int((f.get("params") or {}).get("dim") or f.get("dimension", 0))
         metric = "IP"
+        quant, bits = "", 0
         for idx in d.get("indexes", []):
             metric = idx.get("metricType", metric)
+            # inverse of milvusIndex (reference milvus.go:117-136)
+            itype = idx.get("indexType", "")
+            params = idx.get("params") or {}
+            if itype == "IVF_RABITQ":
+                quant, bits = "rq", 0
+            elif itype == "IVF_SQ8":
+                quant, bits = "sq", 8
+            elif itype == "IVF_PQ" and dim:
+                quant = "pq"
+                bits = int(params.get("m", 0)) * int(params.get("nbits", 8)) // dim
         return {
             "name": name,
             "dimension": dim,
             "distance": _MILVUS_METRIC_INV.get(metric, "dot"),
-            "quantization": "",
-            "bits": 0,
+            "quantization": quant,
+            "bits": bits,
         }
 
     def list_collections(self) -> list[str]:

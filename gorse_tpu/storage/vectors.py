@@ -6,10 +6,24 @@ Covers the reference's storage/vectors/database.go (:34-96): collections of
 (master/master.go:424-478). The reference plugs SQLite/Milvus/Qdrant/
 Weaviate behind this interface and *delegates* quantization to the vector
 databases (its SQLite backend rejects it, storage/vectors/sqlite.go:115);
-here quantization is native: ``sq`` stores uint8 codes with per-row affine
-params and queries dequantize inside an MXU matmul (ops/topk.sq_topk), so
-the TPU itself is the quantized vector database. Exact blocked top-k
-replaces ANN (SURVEY.md §7 design stance).
+here quantization is native — the TPU itself is the quantized vector
+database (reference types sq/pq/rq, storage/vectors/database.go:38-41):
+
+- ``sq``  — per-row affine uint8 codes, dequantized inside an MXU matmul
+  (ops/topk.sq_topk); exact up to 8-bit rounding.
+- ``pq``  — product quantization: ``bits`` per original dimension (8/4/2/1,
+  the reference's Qdrant compression ratios x4..x32) becomes m = d*bits/8
+  subquantizers with 256-centroid codebooks (the reference's Milvus IVF_PQ
+  formula, storage/vectors/milvus.go:337-348); codebooks are k-means-trained
+  at first query and rows re-encode lazily; scoring dequantizes via one
+  vectorized codebook gather + MXU matmul (ops/topk.pq_topk). Approximate.
+- ``rq``  — rotational quantization (the RaBitQ/TurboQuant family): a shared
+  seeded orthogonal rotation followed by per-row ``bits``-bit (1/2/4) affine
+  codes, scored in the rotated basis (ops/topk.rq_topk). Approximate.
+
+Raw f32 rows remain the durability source (like Qdrant keeping originals on
+disk for rescoring); the encoded tables are device-side query caches rebuilt
+lazily after mutations. Exact blocked top-k replaces ANN (SURVEY.md §7).
 
 Distances: ``dot`` (default) | ``cosine`` (rows normalized at ingest) |
 ``euclidean`` (scores are negative distances, larger = closer).
@@ -27,8 +41,11 @@ import numpy as np
 from .types import Score
 
 DISTANCES = ("dot", "cosine", "euclidean")
-QUANTIZATIONS = ("", "sq")  # pq/rq intentionally unsupported: exact sq covers
-# gorse-scale catalogs; see PARITY.md
+QUANTIZATIONS = ("", "sq", "pq", "rq")
+_PQ_BITS = (1, 2, 4, 8)   # bits/dimension -> x32..x4 compression (qdrant.go:179)
+_RQ_BITS = (1, 2, 4)      # TurboQuant bit sizes (qdrant.go:158-168)
+_PQ_TRAIN_ROWS = 4096     # k-means sample cap
+_PQ_ITERS = 10
 
 
 @dataclasses.dataclass
@@ -51,6 +68,80 @@ def _quantize_sq(vec: np.ndarray) -> tuple[np.ndarray, float, float]:
     scale = (hi - lo) / 255.0 if hi > lo else 1.0
     codes = np.clip(np.rint((vec - lo) / scale), 0, 255).astype(np.uint8)
     return codes, scale, lo
+
+
+def _pq_subspaces(dimension: int, bits: int) -> int:
+    """bits/original-dim -> number of 8-bit subquantizers (milvus.go:337)."""
+    m = dimension * bits // 8
+    if dimension * bits % 8 or m < 1 or dimension % m:
+        raise ValueError(
+            f"pq bits {bits} incompatible with dimension {dimension}"
+        )
+    return m
+
+
+def _train_pq(matrix: np.ndarray, m: int, seed: int = 0):
+    """K-means codebooks ([m, 256, ds]) + codes ([n, m] uint8) for ``matrix``."""
+    n, d = matrix.shape
+    ds = d // m
+    rng = np.random.default_rng(seed)
+    sample = matrix[rng.permutation(n)[:_PQ_TRAIN_ROWS]]
+    codebooks = np.empty((m, 256, ds), np.float32)
+    codes = np.empty((n, m), np.uint8)
+    for j in range(m):
+        sub = np.ascontiguousarray(sample[:, j * ds : (j + 1) * ds])
+        cent = sub[rng.integers(0, len(sub), size=256)].astype(np.float32)
+        cent += rng.normal(scale=1e-5, size=cent.shape).astype(np.float32)
+        for _ in range(_PQ_ITERS):
+            d2 = ((sub[:, None, :] - cent[None]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            sums = np.zeros_like(cent)
+            counts = np.zeros(256, np.int64)
+            np.add.at(sums, assign, sub)
+            np.add.at(counts, assign, 1)
+            filled = counts > 0
+            cent[filled] = sums[filled] / counts[filled, None]
+        codebooks[j] = cent
+        full = matrix[:, j * ds : (j + 1) * ds]
+        for lo in range(0, n, 8192):  # chunk the [n, 256] assignment
+            blk = full[lo : lo + 8192]
+            codes[lo : lo + 8192, j] = (
+                ((blk[:, None, :] - cent[None]) ** 2).sum(-1).argmin(1)
+            )
+    return codebooks, codes
+
+
+def _rotation(dimension: int, seed: int = 0) -> np.ndarray:
+    """Deterministic orthogonal rotation (sign-fixed QR of a Gaussian)."""
+    rng = np.random.default_rng(seed)
+    q, r = np.linalg.qr(rng.normal(size=(dimension, dimension)))
+    return (q * np.sign(np.diag(r))[None, :]).astype(np.float32)
+
+
+def _encode_rq(matrix: np.ndarray, rot: np.ndarray, bits: int):
+    """Rotate rows, quantize to ``bits`` with per-row affine params, pack.
+
+    Packing layout matches ops/topk.rq_topk's unpack: value g of a row sits
+    in byte g // per_byte at bit offset (g % per_byte) * bits.
+    """
+    n, d = matrix.shape
+    levels = (1 << bits) - 1
+    r = matrix @ rot.T
+    lo = r.min(axis=1)
+    hi = r.max(axis=1)
+    scale = np.where(hi > lo, (hi - lo) / levels, 1.0).astype(np.float32)
+    codes = np.clip(
+        np.rint((r - lo[:, None]) / scale[:, None]), 0, levels
+    ).astype(np.uint8)
+    norms2 = ((lo[:, None] + scale[:, None] * codes.astype(np.float32)) ** 2).sum(1)
+    per_byte = 8 // bits
+    pad = (-d) % per_byte
+    if pad:
+        codes = np.pad(codes, ((0, 0), (0, pad)))
+    grouped = codes.reshape(n, -1, per_byte).astype(np.uint32)
+    shifts = (np.arange(per_byte, dtype=np.uint32) * bits)[None, None, :]
+    packed = (grouped << shifts).sum(axis=2).astype(np.uint8)
+    return packed, scale, lo.astype(np.float32), norms2.astype(np.float32)
 
 
 class VectorStore:
@@ -97,15 +188,18 @@ class VectorStore:
 
 
 class _Collection:
-    __slots__ = ("info", "rows", "scales", "mins", "norms2")
+    __slots__ = ("info", "rows", "scales", "mins", "norms2", "encoded", "dirty")
 
     def __init__(self, info: CollectionInfo) -> None:
         self.info = info
-        # id -> f32 vector ("" quantization) or uint8 codes ("sq")
+        # id -> f32 vector (""/pq/rq quantization) or uint8 codes ("sq")
         self.rows: dict[str, np.ndarray] = {}
         self.scales: dict[str, float] = {}
         self.mins: dict[str, float] = {}
         self.norms2: dict[str, float] = {}
+        # pq/rq: lazily (re)built device-side encoded query cache
+        self.encoded: dict | None = None
+        self.dirty = True
 
 
 class MemoryVectorStore(VectorStore):
@@ -120,13 +214,25 @@ class MemoryVectorStore(VectorStore):
             raise ValueError(f"unsupported distance {distance!r}")
         if quantization not in QUANTIZATIONS:
             raise ValueError(f"unsupported quantization {quantization!r}")
-        if quantization == "sq" and bits not in (0, 8):
-            raise ValueError(f"sq supports 8 bits, got {bits}")
+        if quantization == "sq":
+            if bits not in (0, 8):
+                raise ValueError(f"sq supports 8 bits, got {bits}")
+            bits = 8
+        elif quantization == "pq":
+            bits = bits or 8
+            if bits not in _PQ_BITS:
+                raise ValueError(f"pq supports bits {_PQ_BITS}, got {bits}")
+            _pq_subspaces(dimensions, bits)  # validate dim/bits combination
+        elif quantization == "rq":
+            bits = bits or 1
+            if bits not in _RQ_BITS:
+                raise ValueError(f"rq supports bits {_RQ_BITS}, got {bits}")
+        else:
+            bits = 0
         with self._lock:
             if name not in self._collections:
                 self._collections[name] = _Collection(
-                    CollectionInfo(name, dimensions, distance, quantization,
-                                   8 if quantization == "sq" else 0)
+                    CollectionInfo(name, dimensions, distance, quantization, bits)
                 )
 
     def describe_collection(self, name):
@@ -166,6 +272,7 @@ class MemoryVectorStore(VectorStore):
                 else:
                     c.rows[vid] = vec
                     c.norms2[vid] = float(vec @ vec)
+            c.dirty = True
 
     def delete(self, collection: str, ids: list[str]) -> None:
         with self._lock:
@@ -175,19 +282,47 @@ class MemoryVectorStore(VectorStore):
                 c.scales.pop(vid, None)
                 c.mins.pop(vid, None)
                 c.norms2.pop(vid, None)
+            c.dirty = True
+
+    def _ensure_encoded(self, c: _Collection) -> dict:
+        """(Re)build the pq/rq device query cache; caller holds the lock."""
+        if not c.dirty and c.encoded is not None:
+            return c.encoded
+        ids = list(c.rows)
+        matrix = np.stack([c.rows[i] for i in ids]).astype(np.float32)
+        seed = hash(c.info.name) & 0x7FFFFFFF
+        if c.info.quantization == "pq":
+            m = _pq_subspaces(c.info.dimension, c.info.bits)
+            codebooks, codes = _train_pq(matrix, m, seed=seed)
+            vhat = codebooks[np.arange(m)[None, :], codes.astype(np.int64)]
+            norms2 = (vhat.reshape(len(ids), -1) ** 2).sum(1).astype(np.float32)
+            c.encoded = {"ids": ids, "codes": codes, "codebooks": codebooks,
+                         "norms2": norms2}
+        else:  # rq
+            rot = _rotation(c.info.dimension, seed=seed)
+            packed, scale, lo, norms2 = _encode_rq(matrix, rot, c.info.bits)
+            c.encoded = {"ids": ids, "packed": packed, "scale": scale,
+                         "minv": lo, "rot": rot, "norms2": norms2}
+        c.dirty = False
+        return c.encoded
 
     def query(self, collection: str, vectors: np.ndarray, k: int) -> list[list[Score]]:
         import jax.numpy as jnp
 
-        from ..ops.topk import dot_topk_xla, sq_topk
+        from ..ops.topk import dot_topk_xla, pq_topk, rq_topk, sq_topk
 
         with self._lock:
             c = self._collections[collection]
             if not c.rows:
                 return [[] for _ in range(len(vectors))]
-            ids = list(c.rows)
-            matrix = np.stack([c.rows[i] for i in ids])
             info = c.info
+            if info.quantization in ("pq", "rq"):
+                enc = dict(self._ensure_encoded(c))
+                ids = enc.pop("ids")
+                matrix = None
+            else:
+                ids = list(c.rows)
+                matrix = np.stack([c.rows[i] for i in ids])
             scales = np.asarray([c.scales[i] for i in ids], dtype=np.float32) if info.quantization == "sq" else None
             mins = np.asarray([c.mins[i] for i in ids], dtype=np.float32) if info.quantization == "sq" else None
             norms2 = np.asarray([c.norms2[i] for i in ids], dtype=np.float32)
@@ -196,7 +331,21 @@ class MemoryVectorStore(VectorStore):
             qn = np.linalg.norm(q, axis=1, keepdims=True)
             q = q / np.where(qn > 0, qn, 1.0)
         k_eff = min(k, len(ids))
-        if info.quantization == "sq":
+        if info.quantization == "pq":
+            scores, idxs = pq_topk(
+                jnp.asarray(q), jnp.asarray(enc["codes"]),
+                jnp.asarray(enc["codebooks"]), jnp.asarray(enc["norms2"]),
+                k_eff, metric=info.distance,
+            )
+        elif info.quantization == "rq":
+            scores, idxs = rq_topk(
+                jnp.asarray(q), jnp.asarray(enc["packed"]),
+                jnp.asarray(enc["scale"]), jnp.asarray(enc["minv"]),
+                jnp.asarray(enc["rot"]), jnp.asarray(enc["norms2"]),
+                k_eff, bits=info.bits, dim=info.dimension,
+                metric=info.distance,
+            )
+        elif info.quantization == "sq":
             scores, idxs = sq_topk(
                 jnp.asarray(q), jnp.asarray(matrix), jnp.asarray(scales),
                 jnp.asarray(mins), k_eff, norms2=jnp.asarray(norms2),
@@ -347,7 +496,8 @@ class SQLiteVectorStore(MemoryVectorStore):
         with self._lock:
             self._conn.execute(
                 "INSERT OR IGNORE INTO collections VALUES (?, ?, ?, ?, ?)",
-                (name, dimensions, distance, quantization, 8 if quantization == "sq" else 0),
+                (name, dimensions, distance, quantization,
+                 self._collections[name].info.bits),
             )
             self._conn.commit()
 

@@ -33,7 +33,7 @@ class DatabaseConfig:
     meta_store: str = ":memory:"
     vector_store: str = ""  # empty -> CF served straight from the device index
     # vector quantization (reference: config/config.go:106-108 VectorConfig)
-    vector_quantization_type: str = ""  # "" | "sq"
+    vector_quantization_type: str = ""  # "" | "sq" | "pq" | "rq"
     vector_quantization_bits: int = 0
 
 
@@ -227,13 +227,19 @@ class Config:
         """Strict validation (reference: go-playground validators + custom
         data_store/item_expr checks)."""
         for url, kinds in (
-            (self.database.data_store, ("memory://", "sqlite://", "proxy://", "none://")),
-            (self.database.cache_store, ("memory://", "sqlite://", "proxy://", "redis://", "none://")),
-            (self.database.vector_store, ("memory://", "sqlite://", "proxy://", "none://")),
+            (self.database.data_store,
+             ("memory://", "sqlite://", "proxy://", "none://", "mysql://",
+              "postgres://", "postgresql://", "clickhouse://", "mongodb://")),
+            (self.database.cache_store,
+             ("memory://", "sqlite://", "proxy://", "redis://", "none://",
+              "mysql://", "postgres://", "postgresql://", "mongodb://")),
+            (self.database.vector_store,
+             ("memory://", "sqlite://", "proxy://", "none://", "hnsw://",
+              "qdrant://", "weaviate://", "milvus://")),
         ):
             if url and not any(url.startswith(k) or url == k.rstrip("://") for k in kinds):
                 raise ValueError(f"unsupported store URL {url!r}")
-        if self.database.vector_quantization_type not in ("", "sq"):
+        if self.database.vector_quantization_type not in ("", "sq", "pq", "rq"):
             raise ValueError(
                 f"unsupported vector quantization {self.database.vector_quantization_type!r}"
             )

@@ -140,6 +140,48 @@ def test_external_backends_distance_parity():
             m.stop()
 
 
+def test_external_backends_quantization_round_trip():
+    """pq/rq/sq configs map to each engine's quantization scheme and parse
+    back through describe_collection (reference: qdrantQuantizationConfig
+    qdrant.go:153-199, milvusIndex milvus.go:327-356, weaviateApplyQuantization
+    weaviate.go:172-199)."""
+    import pytest
+
+    from gorse_tpu.storage.minivector import MiniMilvus, MiniQdrant, MiniWeaviate
+    from gorse_tpu.storage.vectordb import (
+        MilvusVectorStore,
+        QdrantVectorStore,
+        WeaviateVectorStore,
+    )
+
+    minis = [MiniQdrant().start(), MiniWeaviate().start(), MiniMilvus().start()]
+    qdrant = QdrantVectorStore("127.0.0.1", minis[0].port, api_key=minis[0].api_key)
+    weaviate = WeaviateVectorStore("127.0.0.1", minis[1].port, api_key=minis[1].api_key)
+    milvus = MilvusVectorStore("127.0.0.1", minis[2].port, token=minis[2].token)
+    try:
+        cases = [  # (store, quantization, bits, described bits)
+            (qdrant, "sq", 0, 8), (qdrant, "pq", 4, 4), (qdrant, "rq", 2, 2),
+            (weaviate, "sq", 0, 0), (weaviate, "pq", 0, 0), (weaviate, "rq", 2, 2),
+            (milvus, "sq", 8, 8), (milvus, "pq", 4, 4), (milvus, "rq", 0, 0),
+        ]
+        for i, (store, quant, bits, want_bits) in enumerate(cases):
+            name = f"q{i}"
+            store.create_collection(name, 16, quantization=quant, bits=bits)
+            info = store.describe_collection(name)
+            assert info["quantization"] == quant, (type(store).__name__, quant)
+            assert info["bits"] == want_bits, (type(store).__name__, quant, info)
+        # invalid combinations are rejected client-side like the reference
+        with pytest.raises(ValueError):
+            qdrant.create_collection("bad", 16, quantization="pq", bits=3)
+        with pytest.raises(ValueError):
+            milvus.create_collection("bad", 16, quantization="rq", bits=2)
+        with pytest.raises(ValueError):
+            weaviate.create_collection("bad", 16, quantization="pq", bits=4)
+    finally:
+        for m in minis:
+            m.stop()
+
+
 def test_external_backends_reject_bad_auth():
     from gorse_tpu.storage.minivector import MiniQdrant
     from gorse_tpu.storage.vectordb import QdrantVectorStore

@@ -42,7 +42,11 @@ def test_collection_metadata(store):
     with pytest.raises(ValueError):
         store.create_collection("bad", 4, distance="hamming")
     with pytest.raises(ValueError):
-        store.create_collection("bad", 4, quantization="pq")
+        store.create_collection("bad", 4, quantization="vq")
+    with pytest.raises(ValueError):  # 4 dims at 1 bit/dim -> half a code
+        store.create_collection("bad", 4, quantization="pq", bits=1)
+    with pytest.raises(ValueError):
+        store.create_collection("bad", 4, quantization="rq", bits=8)
 
 
 def test_sq_query_matches_exact(store):
@@ -68,6 +72,81 @@ def test_sq_query_matches_exact(store):
         assert len(e_ids & q_ids) >= 8
         # scores stay close
         assert abs(e_row[0].score - q_row[0].score) < 0.05 * abs(e_row[0].score) + 0.1
+
+
+@pytest.mark.parametrize(
+    "quantization,bits,min_recall",
+    [("pq", 8, 8), ("pq", 4, 6), ("rq", 4, 7), ("rq", 2, 5), ("rq", 1, 3)],
+)
+def test_pq_rq_recall(quantization, bits, min_recall):
+    """Approximate quantized top-k overlaps exact search (the reference's
+    testQuantization pattern, storage/vectors/database_test.go)."""
+    store = MemoryVectorStore()
+    rng = np.random.default_rng(3)
+    n, dim, k = 400, 16, 10
+    vectors = rng.normal(size=(n, dim)).astype(np.float32)
+    ids = [f"v{i}" for i in range(n)]
+    store.create_collection("exact", dim)
+    store.add("exact", ids, vectors)
+    store.create_collection("quant", dim, quantization=quantization, bits=bits)
+    store.add("quant", ids, vectors)
+    assert store.describe_collection("quant")["bits"] == bits
+
+    queries = rng.normal(size=(5, dim)).astype(np.float32)
+    exact = store.query("exact", queries, k)
+    quant = store.query("quant", queries, k)
+    total = 0
+    for e_row, q_row in zip(exact, quant):
+        total += len({s.id for s in e_row} & {s.id for s in q_row})
+    assert total >= min_recall * len(exact)
+
+
+@pytest.mark.parametrize("quantization,bits", [("pq", 8), ("rq", 4)])
+def test_pq_rq_mutations_and_metrics(quantization, bits):
+    """The encoded cache rebuilds after add/delete; cosine/euclidean work."""
+    store = MemoryVectorStore()
+    rng = np.random.default_rng(4)
+    dim = 8
+    for dist in ("dot", "cosine", "euclidean"):
+        name = f"c-{dist}"
+        store.create_collection(name, dim, distance=dist,
+                                quantization=quantization, bits=bits)
+        vecs = rng.normal(size=(50, dim)).astype(np.float32)
+        store.add(name, [f"v{i}" for i in range(50)], vecs)
+        target = vecs[7] * (1.0 if dist != "cosine" else 3.0)
+        hits = store.query(name, target[None, :], 3)[0]
+        assert hits[0].id == "v7", f"{dist}: {hits}"
+        # delete the best hit: it must vanish from subsequent queries
+        store.delete(name, ["v7"])
+        hits = store.query(name, target[None, :], 3)[0]
+        assert all(h.id != "v7" for h in hits)
+        # adding new rows invalidates the cache too
+        store.add(name, ["back"], target[None, :])
+        hits = store.query(name, target[None, :], 3)[0]
+        assert hits[0].id == "back"
+
+
+def test_rq_encode_round_trip():
+    """Packed b-bit rotated codes dequantize to within a quantization step."""
+    from gorse_tpu.storage.vectors import _encode_rq, _rotation
+
+    rng = np.random.default_rng(5)
+    n, d = 20, 12
+    matrix = rng.normal(size=(n, d)).astype(np.float32)
+    rot = _rotation(d, seed=1)
+    assert np.allclose(rot @ rot.T, np.eye(d), atol=1e-5)
+    for bits in (1, 2, 4):
+        packed, scale, lo, norms2 = _encode_rq(matrix, rot, bits)
+        per_byte = 8 // bits
+        assert packed.shape == (n, -(-d // per_byte))
+        # unpack the way the kernel does
+        shifts = (np.arange(per_byte, dtype=np.uint8) * bits)[None, None, :]
+        vals = (packed[:, :, None] >> shifts) & ((1 << bits) - 1)
+        codes = vals.reshape(n, -1)[:, :d].astype(np.float32)
+        rhat = lo[:, None] + scale[:, None] * codes
+        r = matrix @ rot.T
+        assert np.max(np.abs(rhat - r)) <= np.max(scale) / 2 + 1e-5
+        assert np.allclose(norms2, (rhat**2).sum(1), rtol=1e-4)
 
 
 def test_euclidean_and_cosine_distances(store):
