@@ -418,6 +418,10 @@ def open_cache_store(url: str) -> CacheStore:
         from .redis import RedisCacheStore
 
         return RedisCacheStore(url)
+    if url.split("://", 1)[0] in ("postgres", "postgresql", "mysql"):
+        from .sqlstores import open_sql_cache_store
+
+        return open_sql_cache_store(url)
     if url.startswith("mongodb://"):
         from .mongo import MongoCacheStore
 

@@ -70,8 +70,19 @@ def data_store(request):
     yield MemoryDataStore() if request.param == "memory" else SQLiteDataStore()
 
 
-@pytest.fixture(params=["memory", "sqlite", "proxy", "redis", "mongodb"])
+@pytest.fixture(
+    params=["memory", "sqlite", "proxy", "redis", "postgres", "mysql", "mongodb"]
+)
 def cache_store(request):
+    if request.param in ("postgres", "mysql"):
+        from gorse_tpu.storage.minisql import MiniMySQL, MiniPostgres
+
+        mini = (MiniPostgres if request.param == "postgres" else MiniMySQL)().start()
+        store = open_cache_store(mini.url())
+        yield store
+        store.close()
+        mini.stop()
+        return
     if request.param == "mongodb":
         from gorse_tpu.storage.minimongo import MiniMongo
 
