@@ -204,6 +204,11 @@ class RestServer:
 
     def dispatch(self, method: str, path: str, query: dict, body, headers) -> tuple[int, object]:
         headers = {k.lower(): v for k, v in headers.items()}
+        # trailing-slash tolerance: the reference registers some routes with a
+        # trailing slash (e.g. /item/{id}/feedback/, server/rest.go:303) and
+        # go-restful treats both spellings alike
+        if len(path) > 1 and path.endswith("/"):
+            path = path.rstrip("/")
         if (
             self.api_key
             and headers.get("x-api-key") != self.api_key
