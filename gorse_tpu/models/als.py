@@ -131,7 +131,7 @@ class ALS(MatrixFactorization):
             t0 = time.time()
             p = _als_solve_side(q, user_fb, block=block, alpha=self.alpha, reg=self.reg)[:n_users]
             q = _als_solve_side(p, item_fb, block=block, alpha=self.alpha, reg=self.reg)[:n_items]
-            if epoch % config.verbose == 0 or epoch == self.n_epochs:
+            if (config.verbose and epoch % config.verbose == 0) or epoch == self.n_epochs:
                 metrics = evaluate_mf(p, q, *eval_cands, config.top_k)
                 history.append((epoch, metrics["NDCG"]))
                 logger.info(

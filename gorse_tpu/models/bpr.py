@@ -278,7 +278,7 @@ class BPR(MatrixFactorization):
                 n_steps=n_steps, n_items=n_items,
                 lr=self.lr, reg=self.reg,
             )
-            if epoch % config.verbose == 0 or epoch == self.n_epochs:
+            if (config.verbose and epoch % config.verbose == 0) or epoch == self.n_epochs:
                 cost = float(cost)  # blocks; also syncs the epoch
                 q_eval = unpack_items(q, n_items, self.n_factors) if use_fused else q
                 metrics = evaluate_mf(p, q_eval, *eval_cands, config.top_k)

@@ -239,7 +239,7 @@ class AFM:
         for epoch in range(1, self.n_epochs + 1):
             t0 = time.time()
             params, opt_state, cost = _afm_train_epoch(params, opt_state, *batches, optimizer=tx)
-            if epoch % config.verbose == 0 or epoch == self.n_epochs:
+            if (config.verbose and epoch % config.verbose == 0) or epoch == self.n_epochs:
                 self.model_params = params
                 score = self._evaluate(test_pad)
                 history.append((epoch, score.auc))

@@ -52,6 +52,19 @@ def test_als_recovers_low_rank_structure():
     assert score.ndcg > 0.35, f"NDCG@10 too low: {score.ndcg}"
 
 
+def test_verbose_zero_disables_mid_training_eval():
+    """verbose=0 must mean 'evaluate only at the end', not divide by zero."""
+    from gorse_tpu.models import BPR
+
+    data = synthetic_cf(n_users=40, n_items=30, density=0.2, seed=2)
+    train, test = data.split_cf(seed=0)
+    for model in (ALS(Params(n_factors=4, n_epochs=3)),
+                  BPR(Params(n_factors=4, n_epochs=3))):
+        score = model.fit(train, test, FitConfig(verbose=0, candidates=10,
+                                                 batch_size=64))
+        assert 0.0 <= score.ndcg <= 1.0
+
+
 def test_als_registry_and_save_load(tmp_path):
     model = create_mf_model("als", Params(n_factors=4, n_epochs=2))
     assert isinstance(model, ALS)
