@@ -400,21 +400,45 @@ class Master:
         dim = int(factors.shape[1])
         db_cfg = self.config.database
         want_q = db_cfg.vector_quantization_type
+        want_bits = db_cfg.vector_quantization_bits
         info = self.vectors.describe_collection(self.CF_COLLECTION)
+        # bits as *configured* are compared against the meta-store record of
+        # what this master last created the collection with (backends
+        # normalize bits differently, so describe_collection alone can't
+        # detect a bits-only config change without recreate loops)
+        created_with = None
+        if self.meta is not None:
+            raw = self.meta.get("cf_vector_config")
+            if raw:
+                try:
+                    created_with = json.loads(raw)
+                except ValueError:
+                    created_with = None
+        bits_changed = created_with is not None and (
+            created_with.get("quantization") != want_q
+            or created_with.get("bits") != want_bits
+        )
         if info is not None and (
-            info["dimension"] != dim or info.get("quantization", "") != want_q
+            info["dimension"] != dim
+            or info.get("quantization", "") != want_q
+            or bits_changed
         ):
             logger.warning(
-                "recreating CF vector collection: dim %s->%s quantization %r->%r",
-                info["dimension"], dim, info.get("quantization", ""), want_q,
+                "recreating CF vector collection: dim %s->%s quantization %r->%r bits->%s",
+                info["dimension"], dim, info.get("quantization", ""), want_q, want_bits,
             )
             self.vectors.drop_collection(self.CF_COLLECTION)
             info = None
         if info is None:
             self.vectors.create_collection(
                 self.CF_COLLECTION, dim, distance="dot",
-                quantization=want_q, bits=db_cfg.vector_quantization_bits,
+                quantization=want_q, bits=want_bits,
             )
+            if self.meta is not None:
+                self.meta.put(
+                    "cf_vector_config",
+                    json.dumps({"quantization": want_q, "bits": want_bits}),
+                )
         ids = [self.cf_index.item_index.to_name(i) for i in range(factors.shape[0])]
         self.vectors.add(self.CF_COLLECTION, ids, factors)
 

@@ -241,7 +241,6 @@ class WeaviateVectorStore(VectorStore):
                           quantization="", bits=0) -> None:
         if distance not in DISTANCES:
             raise ValueError(f"unknown distance {distance!r}")
-        self._dist[name] = distance
         index_config: dict = {"distance": _WEAVIATE_DIST[distance]}
         # reference: weaviateApplyQuantization (storage/vectors/weaviate.go:172-199)
         if quantization in ("sq", "pq"):
@@ -270,6 +269,7 @@ class WeaviateVectorStore(VectorStore):
                 "properties": [{"name": "docId", "dataType": ["text"]}],
             },
         )
+        self._dist[name] = distance
 
     def describe_collection(self, name):
         try:

@@ -80,14 +80,13 @@ def _pq_subspaces(dimension: int, bits: int) -> int:
     return m
 
 
-def _train_pq(matrix: np.ndarray, m: int, seed: int = 0):
-    """K-means codebooks ([m, 256, ds]) + codes ([n, m] uint8) for ``matrix``."""
+def _train_pq(matrix: np.ndarray, m: int, seed: int = 0) -> np.ndarray:
+    """K-means codebooks ([m, 256, ds]) for ``matrix``'s m subspaces."""
     n, d = matrix.shape
     ds = d // m
     rng = np.random.default_rng(seed)
     sample = matrix[rng.permutation(n)[:_PQ_TRAIN_ROWS]]
     codebooks = np.empty((m, 256, ds), np.float32)
-    codes = np.empty((n, m), np.uint8)
     for j in range(m):
         sub = np.ascontiguousarray(sample[:, j * ds : (j + 1) * ds])
         cent = sub[rng.integers(0, len(sub), size=256)].astype(np.float32)
@@ -102,13 +101,23 @@ def _train_pq(matrix: np.ndarray, m: int, seed: int = 0):
             filled = counts > 0
             cent[filled] = sums[filled] / counts[filled, None]
         codebooks[j] = cent
+    return codebooks
+
+
+def _encode_pq(matrix: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """Nearest-centroid codes ([n, m] uint8) under trained ``codebooks``."""
+    n = matrix.shape[0]
+    m, _, ds = codebooks.shape
+    codes = np.empty((n, m), np.uint8)
+    for j in range(m):
         full = matrix[:, j * ds : (j + 1) * ds]
+        cent = codebooks[j]
         for lo in range(0, n, 8192):  # chunk the [n, 256] assignment
             blk = full[lo : lo + 8192]
             codes[lo : lo + 8192, j] = (
                 ((blk[:, None, :] - cent[None]) ** 2).sum(-1).argmin(1)
             )
-    return codebooks, codes
+    return codes
 
 
 def _rotation(dimension: int, seed: int = 0) -> np.ndarray:
@@ -285,21 +294,40 @@ class MemoryVectorStore(VectorStore):
             c.dirty = True
 
     def _ensure_encoded(self, c: _Collection) -> dict:
-        """(Re)build the pq/rq device query cache; caller holds the lock."""
+        """(Re)build the pq/rq device query cache; caller holds the lock.
+
+        Training artifacts are cached across mutations: the rq rotation is
+        deterministic, and pq codebooks are retrained only on first build or
+        when the row count has drifted >2x from training time — per-mutation
+        rebuilds only re-ENCODE (one chunked nearest-centroid pass), never
+        re-run k-means."""
         if not c.dirty and c.encoded is not None:
             return c.encoded
         ids = list(c.rows)
         matrix = np.stack([c.rows[i] for i in ids]).astype(np.float32)
-        seed = hash(c.info.name) & 0x7FFFFFFF
+        # deterministic across processes (unlike salted hash())
+        import zlib
+
+        seed = zlib.crc32(c.info.name.encode())
+        prev = c.encoded or {}
         if c.info.quantization == "pq":
             m = _pq_subspaces(c.info.dimension, c.info.bits)
-            codebooks, codes = _train_pq(matrix, m, seed=seed)
+            codebooks = prev.get("codebooks")
+            trained_rows = prev.get("trained_rows", 0)
+            if codebooks is None or not (
+                0.5 * trained_rows <= len(ids) <= 2.0 * trained_rows
+            ):
+                codebooks = _train_pq(matrix, m, seed=seed)
+                trained_rows = len(ids)
+            codes = _encode_pq(matrix, codebooks)
             vhat = codebooks[np.arange(m)[None, :], codes.astype(np.int64)]
             norms2 = (vhat.reshape(len(ids), -1) ** 2).sum(1).astype(np.float32)
             c.encoded = {"ids": ids, "codes": codes, "codebooks": codebooks,
-                         "norms2": norms2}
+                         "trained_rows": trained_rows, "norms2": norms2}
         else:  # rq
-            rot = _rotation(c.info.dimension, seed=seed)
+            rot = prev.get("rot")
+            if rot is None:
+                rot = _rotation(c.info.dimension, seed=seed)
             packed, scale, lo, norms2 = _encode_rq(matrix, rot, c.info.bits)
             c.encoded = {"ids": ids, "packed": packed, "scale": scale,
                          "minv": lo, "rot": rot, "norms2": norms2}

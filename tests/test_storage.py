@@ -203,6 +203,67 @@ def test_cache_scores(cache_store):
     assert cache_store.search_scores("recommend", "u1") == []
 
 
+def test_sql_cache_add_scores_resets_hidden_and_batches():
+    """add_scores writes the document's own is_hidden (0) like the
+    reference's AddScores (cache/sql.go:355-380) — identically on Postgres
+    and MySQL — and batches large lists into multi-VALUES round trips."""
+    from gorse_tpu.storage.minisql import MiniMySQL, MiniPostgres
+
+    for mini_cls in (MiniPostgres, MiniMySQL):
+        mini = mini_cls().start()
+        store = open_cache_store(mini.url())
+        try:
+            store.add_scores("c", "s", [Score("a", 1.0, [])])
+            store.update_scores(["c"], "s", "a", is_hidden=True)
+            assert store.search_scores("c", "s") == []
+            # re-adding the document unhides it (REPLACE/document semantics)
+            store.add_scores("c", "s", [Score("a", 2.0, [])])
+            assert [s.id for s in store.search_scores("c", "s")] == ["a"]
+            # batched path: more rows than one chunk
+            many = [Score(f"i{j}", float(j), []) for j in range(1203)]
+            store.add_scores("c", "big", many)
+            got = store.search_scores("c", "big")
+            assert len(got) == 1203 and got[0].id == "i1202"
+        finally:
+            store.close()
+            mini.stop()
+
+
+def test_sql_cache_concurrent_queue_ops():
+    """Concurrent push/pop through one store must neither double-pop nor
+    break the dedup invariant (the in-process lock added after review)."""
+    import threading
+
+    from gorse_tpu.storage.minisql import MiniPostgres
+
+    mini = MiniPostgres().start()
+    store = open_cache_store(mini.url())
+    try:
+        for i in range(40):
+            store.push("q", f"v{i}")
+        popped: list[str] = []
+        lock = threading.Lock()
+
+        def worker():
+            while True:
+                v = store.pop("q")
+                if v is None:
+                    return
+                with lock:
+                    popped.append(v)
+
+        threads = [threading.Thread(target=worker) for _ in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert sorted(popped) == sorted(f"v{i}" for i in range(40))
+        assert len(set(popped)) == 40  # no double-pop
+    finally:
+        store.close()
+        mini.stop()
+
+
 def test_cache_delete_scores_before(cache_store):
     cache_store.add_scores("recommend", "u", [
         Score("old", 1.0, [], timestamp=10.0),

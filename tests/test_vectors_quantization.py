@@ -204,3 +204,18 @@ def test_master_syncs_cf_collection(tmp_path):
     q = np.asarray(master.cf_index.item_factors)[:1]
     hits = vectors.query(Master.CF_COLLECTION, q, 5)[0]
     assert len(hits) == 5
+    # a bits-only config change recreates the collection (tracked via the
+    # meta-store record, since backends normalize described bits differently)
+    master.config.database.vector_quantization_type = "rq"
+    master.config.database.vector_quantization_bits = 2
+    master._sync_cf_vectors()
+    info = vectors.describe_collection(Master.CF_COLLECTION)
+    assert info["quantization"] == "rq" and info["bits"] == 2
+    master.config.database.vector_quantization_bits = 4
+    master._sync_cf_vectors()
+    info = vectors.describe_collection(Master.CF_COLLECTION)
+    assert info["bits"] == 4
+    # unchanged config does not recreate (no spurious drops)
+    before = vectors.query(Master.CF_COLLECTION, q, 1)[0]
+    master._sync_cf_vectors()
+    assert vectors.query(Master.CF_COLLECTION, q, 1)[0][0].id == before[0].id
