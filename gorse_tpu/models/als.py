@@ -38,18 +38,24 @@ from .params import ALPHA, INIT_MEAN, INIT_STDDEV, N_EPOCHS, N_FACTORS, REG, Fit
 logger = logging.getLogger(__name__)
 
 
-@functools.partial(jax.jit, static_argnames=("block", "alpha", "reg"))
-def _als_solve_side(
+def _als_solve_rows(
     other_factors: jax.Array,  # [M, k] fixed side
     padded_fb: jax.Array,  # [N, L] int32 ids into other side, pad=-1 (N % block == 0)
     block: int,
     alpha: float,
     reg: float,
+    gram: jax.Array | None = None,  # optional precomputed [k, k] = other^T other
 ) -> jax.Array:
-    """One half-epoch: exact weighted ridge solve for every row."""
+    """One half-epoch: exact weighted ridge solve for every row.
+
+    Un-jitted so the sharded path (parallel/sharded.py) can call it inside a
+    ``shard_map`` body on a row shard; ``gram`` must then come from the full
+    (replicated) table so every shard solves against the same alpha term.
+    """
     n = padded_fb.shape[0]
     k = other_factors.shape[1]
-    gram = other_factors.T @ other_factors  # [k, k] = S (alpha-weighted global term)
+    if gram is None:
+        gram = other_factors.T @ other_factors  # [k, k] = S (alpha-weighted global term)
 
     padded_blocks = padded_fb.reshape(n // block, block, -1)
 
@@ -68,6 +74,11 @@ def _als_solve_side(
 
     out = jax.lax.map(solve_block, padded_blocks)  # [n//block, block, k]
     return out.reshape(n, k)
+
+
+_als_solve_side = jax.jit(
+    _als_solve_rows, static_argnames=("block", "alpha", "reg")
+)
 
 
 def _pad_rows(x: np.ndarray, multiple: int, fill) -> np.ndarray:
@@ -118,21 +129,41 @@ class ALS(MatrixFactorization):
         n_users, n_items = train.count_users(), train.count_items()
         block = min(self.block, max(n_users, 1), max(n_items, 1))
 
-        user_fb = jnp.asarray(_pad_rows(train.padded_user_positives().padded, block, -1))
-        item_fb = jnp.asarray(_pad_rows(train.padded_item_positives().padded, block, -1))
         eval_cands = build_eval_candidates(test, train, config.candidates)
 
         p, q = self.user_factors, self.item_factors
-        metrics = evaluate_mf(p, q, *eval_cands, config.top_k)
+        mesh = getattr(config, "mesh", None)
+        if mesh is not None and mesh.size > 1:
+            # sharded epoch: user/item rows sharded over the mesh, one tiled
+            # all_gather per half-epoch (parallel/sharded.py)
+            from ..parallel.sharded import make_sharded_als_epoch, shard_als_inputs
+
+            q, user_fb, item_fb, _, _ = shard_als_inputs(
+                mesh,
+                q,
+                train.padded_user_positives().padded,
+                train.padded_item_positives().padded,
+                block,
+            )
+            sharded_epoch = make_sharded_als_epoch(mesh, block, self.alpha, self.reg)
+        else:
+            sharded_epoch = None
+            user_fb = jnp.asarray(_pad_rows(train.padded_user_positives().padded, block, -1))
+            item_fb = jnp.asarray(_pad_rows(train.padded_item_positives().padded, block, -1))
+        metrics = evaluate_mf(p, q[:n_items], *eval_cands, config.top_k)
         history = [(0, metrics["NDCG"])]
         logger.info("fit als 0/%d NDCG@%d=%.4f", self.n_epochs, config.top_k, metrics["NDCG"])
 
         for epoch in range(1, self.n_epochs + 1):
             t0 = time.time()
-            p = _als_solve_side(q, user_fb, block=block, alpha=self.alpha, reg=self.reg)[:n_users]
-            q = _als_solve_side(p, item_fb, block=block, alpha=self.alpha, reg=self.reg)[:n_items]
+            if sharded_epoch is not None:
+                p, q = sharded_epoch(q, user_fb, item_fb)
+                p = p[:n_users]
+            else:
+                p = _als_solve_side(q, user_fb, block=block, alpha=self.alpha, reg=self.reg)[:n_users]
+                q = _als_solve_side(p, item_fb, block=block, alpha=self.alpha, reg=self.reg)[:n_items]
             if (config.verbose and epoch % config.verbose == 0) or epoch == self.n_epochs:
-                metrics = evaluate_mf(p, q, *eval_cands, config.top_k)
+                metrics = evaluate_mf(p, q[:n_items], *eval_cands, config.top_k)
                 history.append((epoch, metrics["NDCG"]))
                 logger.info(
                     "fit als %d/%d fit=%.2fs NDCG@%d=%.4f P@%d=%.4f R@%d=%.4f",
@@ -145,6 +176,6 @@ class ALS(MatrixFactorization):
                     if best_epoch <= epoch - config.patience:
                         logger.info("early stopping at epoch %d (best %d)", epoch, best_epoch)
                         break
-        self.user_factors, self.item_factors = p, q
-        metrics = evaluate_mf(p, q, *eval_cands, config.top_k)
+        self.user_factors, self.item_factors = p, q[:n_items]
+        metrics = evaluate_mf(p, q[:n_items], *eval_cands, config.top_k)
         return Score(ndcg=metrics["NDCG"], precision=metrics["Precision"], recall=metrics["Recall"])

@@ -263,30 +263,65 @@ class BPR(MatrixFactorization):
             )
 
         p, q = self.user_factors, self.item_factors
-        if use_fused:
+        n_users = train.count_users()
+        mesh = getattr(config, "mesh", None)
+        use_sharded = mesh is not None and mesh.size > 1
+        epoch_sharded = None
+        uids = None
+        if use_sharded:
+            # users sharded over all mesh devices, item updates psum'd per
+            # step (parallel/sharded.py); sampling is sharding-invariant so
+            # results match the single-device epochs
+            from ..parallel.sharded import (
+                make_sharded_bpr_epoch,
+                make_sharded_bpr_epoch_fused,
+                shard_bpr_inputs,
+            )
+
+            use_resident = False
+            p, q_repl, padded_pos, pos_counts, uids, _ = shard_bpr_inputs(
+                mesh, p, q, csr.padded, csr.counts
+            )
+            if use_fused:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                epoch_sharded = make_sharded_bpr_epoch_fused(
+                    mesh, n_steps=n_steps, n_items=n_items, lr=self.lr, reg=self.reg,
+                )
+                q = jax.device_put(pack_items(q), NamedSharding(mesh, P()))
+            else:
+                epoch_sharded = make_sharded_bpr_epoch(
+                    mesh, n_steps=n_steps, n_items=n_items, lr=self.lr, reg=self.reg
+                )
+                q = q_repl
+        elif use_fused:
             q = pack_items(q)
         for epoch in range(1, self.n_epochs + 1):
             t0 = time.time()
             key, epoch_key = jax.random.split(key)
-            epoch_fn = (
-                _bpr_epoch_resident
-                if use_resident
-                else _bpr_epoch_fused if use_fused else _bpr_epoch
-            )
-            p, q, cost = epoch_fn(
-                p, q, padded_pos, pos_counts, epoch_key,
-                n_steps=n_steps, n_items=n_items,
-                lr=self.lr, reg=self.reg,
-            )
+            if use_sharded:
+                p, q, cost = epoch_sharded(p, q, padded_pos, pos_counts, uids, epoch_key)
+                cost = cost[0]
+            else:
+                epoch_fn = (
+                    _bpr_epoch_resident
+                    if use_resident
+                    else _bpr_epoch_fused if use_fused else _bpr_epoch
+                )
+                p, q, cost = epoch_fn(
+                    p, q, padded_pos, pos_counts, epoch_key,
+                    n_steps=n_steps, n_items=n_items,
+                    lr=self.lr, reg=self.reg,
+                )
             if (config.verbose and epoch % config.verbose == 0) or epoch == self.n_epochs:
                 cost = float(cost)  # blocks; also syncs the epoch
                 q_eval = unpack_items(q, n_items, self.n_factors) if use_fused else q
-                metrics = evaluate_mf(p, q_eval, *eval_cands, config.top_k)
+                metrics = evaluate_mf(p[:n_users], q_eval, *eval_cands, config.top_k)
                 history.append((epoch, metrics["NDCG"]))
                 if config.checkpoint_dir:
                     np.savez(
                         f"{config.checkpoint_dir}/bpr_epoch_{epoch}.npz",
-                        user_factors=np.asarray(p),
+                        user_factors=np.asarray(p[:n_users]),
                         item_factors=np.asarray(q_eval),
                         epoch=epoch,
                         ndcg=metrics["NDCG"],
@@ -305,6 +340,7 @@ class BPR(MatrixFactorization):
                         break
         if use_fused:
             q = unpack_items(q, n_items, self.n_factors)
+        p = p[:n_users]
         self.user_factors, self.item_factors = p, q
         metrics = evaluate_mf(p, q, *eval_cands, config.top_k)
         return Score(ndcg=metrics["NDCG"], precision=metrics["Precision"], recall=metrics["Recall"])

@@ -227,10 +227,22 @@ class AFM:
             test_pad.values = apply_scalers(
                 test_pad.indices, test_pad.values, self.scalers, test_pad.valid
             )
-        batches = self._batch(train_pad, self.batch_size)
+        mesh = getattr(config, "mesh", None)
+        batch_size = self.batch_size
+        if mesh is not None and mesh.size > 1:
+            # data-parallel epoch: batch axis sharded over the mesh, params
+            # replicated, gradient psum inserted by XLA (parallel/sharded.py)
+            batch_size = -(-batch_size // mesh.size) * mesh.size
+        batches = self._batch(train_pad, batch_size)
 
         tx = self._make_optimizer()
         opt_state = tx.init(self.model_params)
+        if mesh is not None and mesh.size > 1:
+            from ..parallel.sharded import replicate, shard_afm_batches
+
+            batches = shard_afm_batches(mesh, batches)
+            self.model_params = replicate(mesh, self.model_params)
+            opt_state = replicate(mesh, opt_state)
 
         score = self._evaluate(test_pad)
         history = [(0, score.auc)]

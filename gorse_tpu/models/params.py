@@ -55,6 +55,7 @@ class FitConfig:
         batch_size: int = 1024,
         seed: int = 0,
         checkpoint_dir: str | None = None,
+        mesh=None,
     ) -> None:
         self.verbose = verbose
         self.patience = patience
@@ -65,6 +66,10 @@ class FitConfig:
         # mid-training checkpoints every `verbose` epochs (the reference only
         # persists final artifacts; long TPU fits warrant periodic saves)
         self.checkpoint_dir = checkpoint_dir
+        # optional jax.sharding.Mesh: train sharded over all its devices
+        # (users sharded for BPR/eALS, batch sharded for AFM) — the
+        # distributed-training axis the reference lacks (SURVEY.md §2.7)
+        self.mesh = mesh
 
     def __repr__(self) -> str:
         return (

@@ -200,6 +200,100 @@ def shard_bpr_inputs(mesh: Mesh, user_factors, item_factors, padded_pos, pos_cou
     return p, q, pp, pc, uid_arr, n_users
 
 
+def make_sharded_als_epoch(mesh: Mesh, block: int, alpha: float, reg: float):
+    """Build a jitted sharded eALS epoch: user rows and item rows are sharded
+    over all mesh devices; each half-epoch is the embarrassingly parallel
+    per-row weighted ridge solve (models/als._als_solve_rows) on the local
+    row shard, followed by one tiled ``all_gather`` so the other side solves
+    against the full updated table.
+
+    The Gram matrix for the alpha-weighted missing-entry term is computed
+    from the replicated full table (identical on every device), so results
+    match the single-device epoch up to FP reduction order — sharding changes
+    the schedule, not the math (verified in tests/test_sharded.py).
+
+    Inputs from :func:`shard_als_inputs`; padding rows (count 0) solve to the
+    zero vector and contribute nothing to either Gram matrix.
+    """
+    from ..models.als import _als_solve_rows
+
+    axes = tuple(mesh.axis_names)
+
+    def epoch(q, user_fb, item_fb):
+        def local(q, user_fb_shard, item_fb_shard):
+            gram_q = q.T @ q
+            p_shard = _als_solve_rows(q, user_fb_shard, block, alpha, reg, gram_q)
+            p = jax.lax.all_gather(p_shard, axes, tiled=True)  # [U_pad, k]
+            gram_p = p.T @ p
+            q_shard = _als_solve_rows(p, item_fb_shard, block, alpha, reg, gram_p)
+            q = jax.lax.all_gather(q_shard, axes, tiled=True)  # [I_pad, k]
+            return p, q
+
+        return jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(axes, None), P(axes, None)),
+            out_specs=(P(), P()),
+            # outputs are replicated by the final tiled all_gathers
+            check_vma=False,
+        )(q, user_fb, item_fb)
+
+    return jax.jit(epoch)
+
+
+def shard_als_inputs(mesh: Mesh, item_factors, user_fb, item_fb, block: int):
+    """Pad both feedback tables' row axes to a multiple of mesh.size * block
+    (so every device's shard splits into whole solve blocks) and place them
+    row-sharded; the item table starts replicated.
+
+    Returns (q, user_fb, item_fb, n_users, n_items)."""
+    axes = tuple(mesh.axis_names)
+    multiple = mesh.size * block
+
+    def pad_rows(x):
+        x = np.asarray(x)
+        pad = (-x.shape[0]) % multiple
+        if pad == 0:
+            return x
+        return np.concatenate(
+            [x, np.full((pad,) + x.shape[1:], -1, dtype=x.dtype)], axis=0
+        )
+
+    q = jax.device_put(np.asarray(item_factors), NamedSharding(mesh, P()))
+    ufb = jax.device_put(pad_rows(user_fb), NamedSharding(mesh, P(axes, None)))
+    ifb = jax.device_put(pad_rows(item_fb), NamedSharding(mesh, P(axes, None)))
+    return q, ufb, ifb, np.asarray(user_fb).shape[0], np.asarray(item_fb).shape[0]
+
+
+def shard_afm_batches(mesh: Mesh, batches: tuple):
+    """Place an AFM epoch's [S, B, ...] batch stacks with the batch axis (B)
+    sharded over all mesh devices — pure data parallelism. Model parameters
+    stay replicated; under ``jit`` XLA's SPMD partitioner inserts the
+    gradient ``psum`` (the "annotate shardings, let XLA insert collectives"
+    recipe, SURVEY.md §7). B must be divisible by mesh.size.
+
+    ``batches`` is models/fm.AFM._batch output:
+    (indices, values, targets, weights, embeddings-tuple).
+    """
+    axes = tuple(mesh.axis_names)
+
+    def put(x):
+        assert x.shape[1] % mesh.size == 0, (
+            f"batch axis {x.shape[1]} not divisible by mesh size {mesh.size}"
+        )
+        spec = P(None, axes) + (None,) * (x.ndim - 2)
+        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+    idx, val, tgt, wgt, embs = batches
+    return put(idx), put(val), put(tgt), put(wgt), tuple(put(e) for e in embs)
+
+
+def replicate(mesh: Mesh, tree):
+    """Place every leaf of ``tree`` fully replicated over ``mesh``."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
 def make_sharded_topk(mesh: Mesh, k_top: int):
     """Item-sharded exact top-k: each device ranks its item shard, results
     are all-gathered and merged (partial top-k + merge)."""

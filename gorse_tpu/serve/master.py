@@ -84,7 +84,25 @@ class Master:
         self._stop = threading.Event()
         self._trigger = threading.Event()
         self._thread: threading.Thread | None = None
+        self._mesh = None
+        self._mesh_built = False
         self._load_models_from_meta()
+
+    def training_mesh(self):
+        """Mesh over all local devices for sharded training, or None when a
+        single device is present (the reference trains single-node,
+        README.md:67; multi-chip sharded training is this build's
+        distributed-training axis, SURVEY.md §2.7)."""
+        if not self._mesh_built:
+            self._mesh_built = True
+            import jax
+
+            devices = jax.devices()
+            if len(devices) > 1:
+                from ..parallel import make_mesh
+
+                self._mesh = make_mesh(len(devices), devices=devices)
+        return self._mesh
 
     # ----------------------------------------------------------- meta + rpc
 
@@ -370,7 +388,7 @@ class Master:
             model = create_mf_model(cfg.model, params)
             score = model.fit(
                 data.train, data.test,
-                FitConfig(verbose=10, patience=0, seed=0),
+                FitConfig(verbose=10, patience=0, seed=0, mesh=self.training_mesh()),
             )
             self._record_ts("CFModelNDCG", score.ndcg)
             self._record_ts("CFModelPrecision", score.precision)
@@ -452,7 +470,7 @@ class Master:
         with self.progress.span("fit_ctr_model"):
             train, test = data.ctr.split(0.2, seed=0)
             model = AFM(Params(self.meta_model_params("ctr")))
-            score = model.fit(train, test, FitConfig(verbose=10))
+            score = model.fit(train, test, FitConfig(verbose=10, mesh=self.training_mesh()))
             self._record_ts("RankingModelAUC", score.auc)
         self.ctr_model = model
         model_id = self.blob.new_model_id()

@@ -126,3 +126,102 @@ def test_sharded_fused_kernel_matches_xla_path():
     np.testing.assert_allclose(np.asarray(cost_f), np.asarray(cost_x), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(p_f), np.asarray(p_x), rtol=2e-5, atol=1e-7)
     np.testing.assert_allclose(np.asarray(q_f), np.asarray(q_x), rtol=2e-5, atol=1e-7)
+
+
+def test_sharded_als_epoch_matches_single_device():
+    """Sharded eALS: row-sharded ridge solves + all_gather must match the
+    single-device _als_solve_side epoch (identical math, FP order aside)."""
+    from gorse_tpu.models.als import _als_solve_side
+    from gorse_tpu.parallel import make_mesh
+    from gorse_tpu.parallel.sharded import make_sharded_als_epoch, shard_als_inputs
+
+    data = synthetic_cf(n_users=57, n_items=41, rank=4, density=0.2, seed=5)
+    train, _ = data.split_cf(seed=0)
+    n_users, n_items = train.count_users(), train.count_items()
+    rng = np.random.default_rng(2)
+    q0 = rng.normal(scale=0.1, size=(n_items, 8)).astype(np.float32)
+    user_fb = train.padded_user_positives().padded
+    item_fb = train.padded_item_positives().padded
+    block, alpha, reg = 8, 0.05, 0.015
+
+    # single-device reference epoch (pad rows to the block multiple)
+    def pad(x):
+        pad_n = (-x.shape[0]) % block
+        return np.concatenate(
+            [x, np.full((pad_n,) + x.shape[1:], -1, dtype=x.dtype)], axis=0
+        )
+
+    p_ref = _als_solve_side(jnp.asarray(q0), jnp.asarray(pad(user_fb)),
+                            block=block, alpha=alpha, reg=reg)[:n_users]
+    q_ref = _als_solve_side(p_ref, jnp.asarray(pad(item_fb)),
+                            block=block, alpha=alpha, reg=reg)[:n_items]
+
+    mesh = make_mesh(8)
+    q, ufb, ifb, _, _ = shard_als_inputs(mesh, q0, user_fb, item_fb, block)
+    epoch = make_sharded_als_epoch(mesh, block, alpha, reg)
+    p_sh, q_sh = epoch(q, ufb, ifb)
+
+    np.testing.assert_allclose(np.asarray(p_sh)[:n_users], np.asarray(p_ref),
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(q_sh)[:n_items], np.asarray(q_ref),
+                               rtol=2e-4, atol=1e-6)
+
+
+def test_als_fit_with_mesh():
+    """ALS.fit(config.mesh) trains sharded and reaches the same quality as
+    the single-device fit on a small synthetic dataset."""
+    from gorse_tpu.models import ALS, Params
+    from gorse_tpu.models.params import FitConfig
+    from gorse_tpu.parallel import make_mesh
+
+    data = synthetic_cf(n_users=120, n_items=60, rank=4, density=0.25, seed=1)
+    train, test = data.split_cf(seed=0)
+    params = Params(n_factors=8, n_epochs=8, reg=0.015, alpha=0.05)
+
+    single = ALS(params).fit(train, test, FitConfig(verbose=0))
+    mesh = make_mesh(8)
+    sharded = ALS(params).fit(train, test, FitConfig(verbose=0, mesh=mesh))
+    assert abs(sharded.ndcg - single.ndcg) < 0.02, (sharded.ndcg, single.ndcg)
+    assert sharded.ndcg > 0.5
+
+
+def test_afm_fit_with_mesh_matches_single_device():
+    """AFM data-parallel fit (batch axis sharded, params replicated, XLA
+    psum) must match the single-device fit numerically."""
+    from gorse_tpu.data.ctr import synthetic_ctr
+    from gorse_tpu.models.fm import AFM
+    from gorse_tpu.models.params import FitConfig, Params
+    from gorse_tpu.parallel import make_mesh
+
+    data = synthetic_ctr(n_samples=400, n_users=40, n_items=30, seed=0)
+    train, test = data.split(0.2, seed=1)
+    params = Params(n_factors=8, n_epochs=3, lr=0.01, batch_size=64)
+
+    m1 = AFM(params)
+    s1 = m1.fit(train, test, FitConfig(verbose=0))
+    mesh = make_mesh(8)
+    m8 = AFM(params)
+    s8 = m8.fit(train, test, FitConfig(verbose=0, mesh=mesh))
+
+    np.testing.assert_allclose(
+        np.asarray(m8.model_params["v"]), np.asarray(m1.model_params["v"]),
+        rtol=5e-4, atol=5e-6,
+    )
+    assert abs(s8.auc - s1.auc) < 5e-3, (s8.auc, s1.auc)
+
+
+def test_bpr_fit_with_mesh():
+    """BPR.fit(config.mesh) trains users-sharded and matches the
+    single-device fit quality (sampling is sharding-invariant)."""
+    from gorse_tpu.models import BPR, Params
+    from gorse_tpu.models.params import FitConfig
+    from gorse_tpu.parallel import make_mesh
+
+    data = synthetic_cf(n_users=150, n_items=80, rank=4, density=0.2, seed=2)
+    train, test = data.split_cf(seed=0)
+    params = Params(n_factors=8, n_epochs=20, lr=0.05, reg=0.01)
+
+    single = BPR(params).fit(train, test, FitConfig(verbose=0))
+    sharded = BPR(params).fit(train, test, FitConfig(verbose=0, mesh=make_mesh(8)))
+    assert sharded.ndcg > 0.45, sharded.ndcg
+    assert abs(sharded.ndcg - single.ndcg) < 0.05, (sharded.ndcg, single.ndcg)
