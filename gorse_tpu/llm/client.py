@@ -130,6 +130,22 @@ class OpenAIClient:
         openai_logger.info("chat completion prompt=%r completion=%r", prompt, content)
         return content
 
+    def chat_completion_raw(self, request: dict) -> dict:
+        """Full chat-completion request passthrough (reference: the master's
+        /api/chat/completions proxy, master/rest.go:2042-2127). The caller
+        supplies the OpenAI request body; `model` defaults to the configured
+        chat model; rate limits apply like any other chat call."""
+        request = dict(request)
+        request.setdefault("model", self.chat_model)
+        if not request.get("model"):
+            raise ValueError("missing chat completion model")
+        prompt = json.dumps(request.get("messages", []))
+        self.limiters.chat_requests.wait(1)
+        self.limiters.chat_tokens.wait(estimate_tokens(prompt))
+        request.pop("stream", None)  # upstream call is buffered; SSE framing
+        # is reconstructed by the dashboard proxy
+        return self._post("/chat/completions", request)
+
     def embedding(self, text: str, model: str | None = None) -> list[float]:
         self.limiters.embedding_requests.wait(1)
         self.limiters.embedding_tokens.wait(estimate_tokens(text))

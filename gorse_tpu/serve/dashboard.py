@@ -75,6 +75,15 @@ class MasterRestServer(RestServer):
         r("POST", "/api/import/users", lambda req: self._import(req, dump_mod.import_users))
         r("POST", "/api/import/items", lambda req: self._import(req, dump_mod.import_items))
         r("POST", "/api/import/feedback", lambda req: self._import(req, dump_mod.import_feedback))
+        # JSONL bulk import/export on one path, GET=export POST=import
+        # (reference: master/rest.go:275-277, 1280-1501)
+        for kind in ("users", "items", "feedback"):
+            r("GET", f"/api/bulk/{kind}", lambda req, k=kind: self._bulk_export(k))
+            r("POST", f"/api/bulk/{kind}", lambda req, k=kind: self._bulk_import(req, k))
+        # destructive purge with confirmation checklist (master/rest.go:1630-1670)
+        r("POST", "/api/purge", self.post_purge)
+        # OpenAI chat proxy for the dashboard playground (master/rest.go:2042-2127)
+        r("POST", "/api/chat/completions", self.post_chat_completions)
         # node sync (replaces the gRPC Master service, master/rpc.go:29-98)
         r("POST", "/api/admin/meta", self.post_meta)
         r("POST", "/api/admin/progress", self.post_progress)
@@ -304,7 +313,16 @@ class MasterRestServer(RestServer):
 
         html = (Path(__file__).parent / "dashboard.html").read_bytes()
         return RawResponse(html, "text/html; charset=utf-8")
-    _PROTECTED_PREFIXES = ("/api/dashboard", "/api/dump", "/api/restore", "/api/import", "/api/export")
+    _PROTECTED_PREFIXES = (
+        "/api/dashboard",
+        "/api/dump",
+        "/api/restore",
+        "/api/import",
+        "/api/export",
+        "/api/bulk",
+        "/api/purge",
+        "/api/chat",
+    )
 
     def dispatch(self, method, path, query, body, headers):
         # when dashboard login is configured, admin routes require a session
@@ -492,6 +510,104 @@ class MasterRestServer(RestServer):
             raise HTTPError(400, "import expects a CSV payload")
         n = fn(self.data, io.StringIO(text))
         return {"RowAffected": n}
+
+    _BULK = {
+        "users": ("export_users_jsonl", "import_users_jsonl"),
+        "items": ("export_items_jsonl", "import_items_jsonl"),
+        "feedback": ("export_feedback_jsonl", "import_feedback_jsonl"),
+    }
+
+    def _bulk_export(self, kind: str) -> RawResponse:
+        buf = io.StringIO()
+        getattr(dump_mod, self._BULK[kind][0])(self.data, buf)
+        return RawResponse(
+            buf.getvalue().encode(),
+            "application/jsonl",
+            headers={"Content-Disposition": f"attachment;filename={kind}.jsonl"},
+        )
+
+    @staticmethod
+    def _multipart_file(raw: bytes, content_type: str) -> bytes:
+        """Extract the `file` part from a multipart/form-data body (the
+        reference reads request.FormFile("file"), master/rest.go:1315)."""
+        import email.parser
+        import email.policy
+
+        msg = email.parser.BytesParser(policy=email.policy.default).parsebytes(
+            b"Content-Type: " + content_type.encode() + b"\r\n\r\n" + raw
+        )
+        for part in msg.iter_parts():
+            if part.get_param("name", header="content-disposition") == "file":
+                return part.get_payload(decode=True) or b""
+        raise HTTPError(400, "multipart body has no `file` part")
+
+    def _bulk_import(self, req, kind: str) -> dict:
+        raw = req.body
+        if not isinstance(raw, (bytes, bytearray)):
+            raise HTTPError(400, "import expects a JSONL payload")
+        ctype = req.headers.get("content-type", "")
+        if ctype.startswith("multipart/"):
+            raw = self._multipart_file(bytes(raw), ctype)
+        try:
+            n = getattr(dump_mod, self._BULK[kind][1])(
+                self.data, io.StringIO(bytes(raw).decode())
+            )
+        except ValueError as e:
+            raise HTTPError(400, str(e))
+        self.master.trigger()  # new data: re-run the task loop (rest.go:1361-1365)
+        return {"RowAffected": n}
+
+    _PURGE_CHECKLIST = frozenset(
+        {"delete_users", "delete_items", "delete_feedback", "delete_cache"}
+    )
+
+    def post_purge(self, req) -> dict:
+        """Wipe the data + cache stores after an explicit confirmation
+        checklist (reference: master/rest.go:1630-1670)."""
+        if not self.master.config.master.dashboard_password:
+            raise HTTPError(401, "purge is not allowed without dashboard password")
+        body = req.body if isinstance(req.body, dict) else {}
+        checked = set(filter(None, str(body.get("check_list", "")).split(",")))
+        if checked != self._PURGE_CHECKLIST:
+            raise HTTPError(401, "please confirm by checking all")
+        self.data.purge()
+        self.cache.purge()
+        return {"status": "ok"}
+
+    def post_chat_completions(self, req):
+        """Proxy a chat completion to the configured OpenAI endpoint
+        (reference: master/rest.go:2042-2127). `stream: true` responses come
+        back SSE-framed; the upstream call itself is buffered (stdlib server —
+        documented divergence from the reference's incremental flush)."""
+        from ..llm.client import OpenAIClient
+
+        cfg = self.master.config.openai
+        if not cfg.base_url:
+            raise HTTPError(400, "OpenAI endpoint is not configured")
+        body = req.body if isinstance(req.body, dict) else {}
+        client = OpenAIClient.from_config(cfg)
+        stream = bool(body.get("stream"))
+        try:
+            resp = client.chat_completion_raw(body)
+        except ValueError as e:
+            raise HTTPError(400, str(e))
+        if not stream:
+            return resp
+        chunk = dict(resp, object="chat.completion.chunk")
+        chunk["choices"] = [
+            {
+                "index": c.get("index", 0),
+                "delta": c.get("message", {}),
+                "finish_reason": c.get("finish_reason"),
+            }
+            for c in resp.get("choices", [])
+        ]
+        sse = f"data: {json.dumps(chunk)}\n\ndata: [DONE]\n\n"
+        return RawResponse(
+            sse.encode(),
+            "text/event-stream",
+            headers={"Cache-Control": "no-cache, no-transform"},
+        )
 
     # ------------------------------------------------------------ node sync
 

@@ -74,6 +74,106 @@ def restore(data: DataStore, src: BinaryIO) -> dict:
     return counts
 
 
+# ------------------------------------------------------------------ JSONL
+#
+# The reference's /api/bulk/{users,items,feedback} endpoints stream entities
+# as JSON lines (GET) and import them from an uploaded JSONL file (POST),
+# validating ids line by line (master/rest.go:1280-1501; util.ValidateId
+# common/util/util.go:81-89).
+
+
+def validate_id(text: str) -> None:
+    text = text.strip()
+    if not text:
+        raise ValueError("id cannot be empty")
+    if "/" in text:
+        raise ValueError("id cannot contain `/`")
+
+
+def export_users_jsonl(data: DataStore, out: TextIO) -> int:
+    n = 0
+    for u in data.get_users():
+        out.write(json.dumps(u.to_dict()) + "\n")
+        n += 1
+    return n
+
+
+def export_items_jsonl(data: DataStore, out: TextIO) -> int:
+    n = 0
+    for i in data.get_items():
+        out.write(json.dumps(i.to_dict()) + "\n")
+        n += 1
+    return n
+
+
+def export_feedback_jsonl(data: DataStore, out: TextIO) -> int:
+    n = 0
+    for f in data.get_feedback():
+        out.write(json.dumps(f.to_dict()) + "\n")
+        n += 1
+    return n
+
+
+def _import_jsonl(src: TextIO, parse, insert, batch_size: int = 1000) -> int:
+    rows, n = [], 0
+    for lineno, line in enumerate(src):
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            payload = json.loads(line)
+        except json.JSONDecodeError as e:
+            raise ValueError(f"invalid JSON at line {lineno}: {e}") from e
+        try:
+            rows.append(parse(payload))
+        except ValueError as e:
+            raise ValueError(f"line {lineno}: {e}") from e
+        n += 1
+        if len(rows) >= batch_size:
+            insert(rows)
+            rows = []
+    if rows:
+        insert(rows)
+    return n
+
+
+def import_users_jsonl(data: DataStore, src: TextIO) -> int:
+    def parse(payload: dict) -> User:
+        u = User.from_dict(payload)
+        try:
+            validate_id(u.user_id)
+        except ValueError as e:
+            raise ValueError(f"invalid user id `{u.user_id}` ({e})") from e
+        return u
+
+    return _import_jsonl(src, parse, data.insert_users)
+
+
+def import_items_jsonl(data: DataStore, src: TextIO) -> int:
+    def parse(payload: dict) -> Item:
+        i = Item.from_dict(payload)
+        try:
+            validate_id(i.item_id)
+        except ValueError as e:
+            raise ValueError(f"invalid item id `{i.item_id}` ({e})") from e
+        return i
+
+    return _import_jsonl(src, parse, data.insert_items)
+
+
+def import_feedback_jsonl(data: DataStore, src: TextIO) -> int:
+    def parse(payload: dict) -> Feedback:
+        f = Feedback.from_dict(payload)
+        for which, value in (("user", f.user_id), ("item", f.item_id)):
+            try:
+                validate_id(value)
+            except ValueError as e:
+                raise ValueError(f"invalid {which} id `{value}` ({e})") from e
+        return f
+
+    return _import_jsonl(src, parse, data.insert_feedback)
+
+
 # ------------------------------------------------------------------ CSV
 
 USER_HEADER = ["user_id", "labels"]

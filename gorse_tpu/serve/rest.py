@@ -668,8 +668,13 @@ class RestServer:
                 if length:
                     raw = self.rfile.read(length)
                     ctype = (self.headers.get("Content-Type") or "application/json").split(";")[0]
-                    if ctype in ("application/octet-stream", "text/csv"):
-                        body = raw  # binary/CSV payloads pass through
+                    if ctype in (
+                        "application/octet-stream",
+                        "text/csv",
+                        "application/jsonl",
+                    ) or ctype.startswith("multipart/"):
+                        body = raw  # binary/CSV/JSONL/multipart pass through
+                        # (multipart boundary stays in the Content-Type header)
                     elif ctype == "application/x-www-form-urlencoded":
                         # urllib sets this content type by default, so JSON
                         # bodies still take precedence; real form posts

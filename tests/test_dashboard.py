@@ -280,3 +280,108 @@ def test_dashboard_ui_served(node):
         "/api/dashboard/users", "/api/dashboard/config", "/api/dashboard/schedule",
     ):
         assert any(p == path for _, p, _ in rest._route_templates), path
+
+
+def test_bulk_jsonl_round_trip(node):
+    """JSONL bulk export/import on /api/bulk/* (reference:
+    master/rest.go:1280-1501): GET streams JSON lines, POST accepts raw JSONL
+    or a multipart `file` part, validates ids with line numbers."""
+    n, base = node
+    status, blob, ctype = _get_raw(base, "/api/bulk/feedback")
+    assert status == 200 and ctype.startswith("application/jsonl")
+    lines = [json.loads(l) for l in blob.decode().splitlines()]
+    assert len(lines) == 60 and {"FeedbackType", "UserId", "ItemId"} <= set(lines[0])
+    status, ublob, _ = _get_raw(base, "/api/bulk/users")
+    status, iblob, _ = _get_raw(base, "/api/bulk/items")
+    n.data.purge()
+    # raw-body import
+    status, out = _post(base, "/api/bulk/users", ublob, content_type="application/jsonl")
+    assert out["RowAffected"] == 8
+    # multipart import (the reference's FormFile("file") path)
+    boundary = "XBOUND"
+    part = (
+        f"--{boundary}\r\n"
+        'Content-Disposition: form-data; name="file"; filename="items.jsonl"\r\n'
+        "Content-Type: application/jsonl\r\n\r\n"
+    ).encode() + iblob + f"\r\n--{boundary}--\r\n".encode()
+    status, out = _post(
+        base, "/api/bulk/items", part,
+        content_type=f"multipart/form-data; boundary={boundary}",
+    )
+    assert out["RowAffected"] == 15
+    status, out = _post(base, "/api/bulk/feedback", blob, content_type="application/jsonl")
+    assert out["RowAffected"] == 60 and n.data.count_feedback() == 60
+    # id validation with line info
+    bad = json.dumps({"UserId": "has/slash"}).encode()
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base, "/api/bulk/users", bad, content_type="application/jsonl")
+    assert e.value.code == 400
+    assert "has/slash" in json.loads(e.value.read().decode())["error"]
+
+
+def test_purge_endpoint(node):
+    """POST /api/purge requires a dashboard password and the full
+    confirmation checklist (reference: master/rest.go:1630-1670)."""
+    n, base = node
+    # no dashboard password configured -> refused
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base, "/api/purge", {"check_list": "delete_users,delete_items,delete_feedback,delete_cache"})
+    assert e.value.code == 401
+    n.master.config.master.dashboard_password = "pw"
+    try:
+        # incomplete checklist -> refused
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(base, "/api/purge", {"check_list": "delete_users"})
+        assert e.value.code == 401
+        assert n.data.count_users() > 0
+        # form-encoded confirmation (what the reference dashboard sends)
+        status, out = _post(
+            base, "/api/purge",
+            b"check_list=delete_users,delete_items,delete_feedback,delete_cache",
+            content_type="application/x-www-form-urlencoded",
+        )
+        assert status == 200
+        assert n.data.count_users() == 0 and n.data.count_feedback() == 0
+    finally:
+        n.master.config.master.dashboard_password = ""
+
+
+def test_chat_completions_proxy(node):
+    """POST /api/chat/completions proxies to the configured OpenAI endpoint,
+    with SSE framing for stream:true (reference: master/rest.go:2042-2127)."""
+    from gorse_tpu.llm import MockOpenAIServer
+
+    n, base = node
+    # unconfigured -> 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base, "/api/chat/completions", {"messages": [{"role": "user", "content": "hi"}]})
+    assert e.value.code == 400
+    server = MockOpenAIServer().start()
+    n.master.config.openai.base_url = server.base_url
+    n.master.config.openai.chat_completion_model = "test-model"
+    try:
+        server.queue_completion("hello from the proxy")
+        status, resp = _post(
+            base, "/api/chat/completions",
+            {"messages": [{"role": "user", "content": "hi"}]},
+        )
+        assert resp["choices"][0]["message"]["content"] == "hello from the proxy"
+        # streaming: SSE-framed chunks ending with [DONE]
+        server.queue_completion("streamed")
+        req = urllib.request.Request(
+            base + "/api/chat/completions",
+            data=json.dumps({"messages": [{"role": "user", "content": "hi"}], "stream": True}).encode(),
+            method="POST", headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            assert r.headers.get("Content-Type", "").startswith("text/event-stream")
+            body = r.read().decode()
+        events = [l[len("data: "):] for l in body.splitlines() if l.startswith("data: ")]
+        assert events[-1] == "[DONE]"
+        chunk = json.loads(events[0])
+        assert chunk["object"] == "chat.completion.chunk"
+        assert chunk["choices"][0]["delta"]["content"] == "streamed"
+    finally:
+        n.master.config.openai.base_url = ""
+        n.master.config.openai.chat_completion_model = ""
+        server.close()
