@@ -88,15 +88,16 @@ class GorseClient:
             query["write-back-delay"] = write_back_delay
         return self._request("GET", path, query=query)
 
-    def get_latest(self, category: str = "", n: int = 10) -> list[str]:
+    def get_latest(self, category: str = "", n: int = 10) -> list[dict]:
+        """Returns scored documents [{"Id", "Score"}] like the reference SDK."""
         path = "/api/latest" + (f"/{urllib.parse.quote(category)}" if category else "")
         return self._request("GET", path, query={"n": n})
 
-    def get_popular(self, category: str = "", n: int = 10) -> list[str]:
+    def get_popular(self, category: str = "", n: int = 10) -> list[dict]:
         path = "/api/popular" + (f"/{urllib.parse.quote(category)}" if category else "")
         return self._request("GET", path, query={"n": n})
 
-    def get_item_neighbors(self, item_id: str, n: int = 10) -> list[str]:
+    def get_item_neighbors(self, item_id: str, n: int = 10) -> list[dict]:
         return self._request(
             "GET", f"/api/item/{urllib.parse.quote(item_id)}/neighbors", query={"n": n}
         )

@@ -379,10 +379,13 @@ class Master:
 
     def train_collaborative_filtering(self, data: LoadedData) -> None:
         """Reference: trainCollaborativeFiltering master/tasks.go:963-1109."""
+        cfg = self.config.recommend.collaborative
+        if cfg.type.lower() == "none":
+            logger.info("skip CF training: collaborative.type = none")
+            return
         if data.train.count_feedback() == 0:
             logger.info("skip CF training: no feedback")
             return
-        cfg = self.config.recommend.collaborative
         with self.progress.span("fit_cf_model"):
             params = Params(self.meta_model_params("cf"))
             model = create_mf_model(cfg.model, params)

@@ -531,39 +531,113 @@ class RestServer:
         cats.extend(req.query_all("category"))
         return [c for c in cats if c]
 
-    def get_collaborative(self, req) -> list:
-        scores = self.cache.search_scores(
-            ck.COLLABORATIVE, req.params["user_id"], self._categories(req), 0, -1
+    def _read_item_ids(self, user_id: str) -> set[str]:
+        """Items the requesting user has any feedback on (reference:
+        SearchDocuments' readItems pruning, server/rest.go:636-670)."""
+        if not user_id:
+            return set()
+        return {f.item_id for f in self.data.get_user_feedback(user_id)}
+
+    def _last_modified(self, cache_key: str) -> dict:
+        """Last-Modified response header from a cache update-time key
+        (reference: SetLastModified server/rest.go:784-791)."""
+        v = self.cache.get(cache_key)
+        if not v:
+            return {}
+        try:
+            ts = float(v)
+        except (TypeError, ValueError):
+            return {}
+        import email.utils
+
+        return {"Last-Modified": email.utils.formatdate(ts, usegmt=True)}
+
+    @staticmethod
+    def _score_json(scores: list[Score]) -> list[dict]:
+        """The reference's cache.Score JSON shape: only Id and Score are
+        exported (storage/cache/database.go:166-172)."""
+        return [{"Id": s.id, "Score": s.score} for s in scores]
+
+    def _search_documents(
+        self, req, collection: str, subset: str, categories: list[str] | None,
+        headers: dict | None = None,
+    ):
+        """The reference's SearchDocuments (server/rest.go:615-691): paged
+        cache read with optional `user-id` read-item pruning; always returns
+        cache.Score objects (these endpoints ignore X-API-Version)."""
+        offset = req.int_query("offset", 0)
+        n = req.int_query("n", DEFAULT_N)
+        read = self._read_item_ids(req.query.get("user-id", ""))
+        end = offset + n
+        if end > 0 and read:
+            end += len(read)
+        scores = self.cache.search_scores(collection, subset, categories, offset, end)
+        if read:
+            scores = [s for s in scores if s.id not in read]
+        if n > 0 and len(scores) > n:
+            scores = scores[:n]
+        payload = self._score_json(scores)
+        if headers:
+            return RawResponse(
+                json.dumps(payload).encode(), "application/json", headers=headers
+            )
+        return payload
+
+    def get_collaborative(self, req):
+        """Precomputed offline recommendation for a user (reference:
+        getCollaborativeFiltering server/rest.go:856-864 — reads the
+        Recommend collection; 404 when collaborative filtering is off)."""
+        if self.config.recommend.collaborative.type.lower() == "none":
+            raise HTTPError(404, "collaborative filtering recommendation is disabled")
+        user_id = req.params["user_id"]
+        return self._search_documents(
+            req, ck.RECOMMEND, user_id, self._categories(req),
+            headers=self._last_modified(key(ck.LAST_UPDATE_USER_RECOMMEND_TIME, user_id)),
         )
-        return self._scores_out(scores, req)
 
     def get_latest(self, req) -> list:
+        """Latest items with optional `user-id` read pruning and item TTL
+        (reference: getLatest server/rest.go:693-759)."""
+        offset = req.int_query("offset", 0)
+        n = req.int_query("n", DEFAULT_N)
+        read = self._read_item_ids(req.query.get("user-id", ""))
+        after = None
+        ttl_days = self.config.recommend.data_source.item_ttl
+        if ttl_days > 0:
+            after = time.time() - ttl_days * 86400
         items = self.data.get_latest_items(
-            req.int_query("n", DEFAULT_N) + req.int_query("offset", 0),
-            self._categories(req),
+            offset + n + len(read), self._categories(req), after=after
         )
-        scores = [Score(id=i.item_id, score=float(i.timestamp), categories=i.categories) for i in items]
-        return self._scores_out(scores, req)
+        if read:
+            items = [i for i in items if i.item_id not in read]
+        items = items[min(offset, len(items)):]
+        if n > 0 and len(items) > n:
+            items = items[:n]
+        return [{"Id": i.item_id, "Score": float(i.timestamp)} for i in items]
 
-    def get_non_personalized(self, req, name: str | None = None) -> list:
+    def get_non_personalized(self, req, name: str | None = None):
         name = name or req.params["name"]
         cats = self._categories(req) or [""]
-        scores = self.cache.search_scores(ck.NON_PERSONALIZED, name, cats, 0, -1)
-        return self._scores_out(scores, req)
-
-    def get_item_to_item(self, req, name: str | None = None) -> list:
-        name = name or req.params["name"]
-        scores = self.cache.search_scores(
-            ck.ITEM_TO_ITEM, key(name, req.params["item_id"]), self._categories(req), 0, -1
+        return self._search_documents(
+            req, ck.NON_PERSONALIZED, name, cats,
+            headers=self._last_modified(key(ck.NON_PERSONALIZED_UPDATE_TIME, name)),
         )
-        return self._scores_out(scores, req)
 
-    def get_user_to_user(self, req, name: str | None = None) -> list:
+    def get_item_to_item(self, req, name: str | None = None):
         name = name or req.params["name"]
-        scores = self.cache.search_scores(
-            ck.USER_TO_USER, key(name, req.params["user_id"]), None, 0, -1
+        # Last-Modified comes from the per-name update time (the reference
+        # keys it per name+item, master keeps per-name times here)
+        return self._search_documents(
+            req, ck.ITEM_TO_ITEM, key(name, req.params["item_id"]), self._categories(req),
+            headers=self._last_modified(key(ck.ITEM_TO_ITEM_UPDATE_TIME, name)),
         )
-        return self._scores_out(scores, req)
+
+    def get_user_to_user(self, req, name: str | None = None):
+        name = name or req.params["name"]
+        return self._search_documents(
+            req, ck.USER_TO_USER, key(name, req.params["user_id"]), None,
+            headers=self._last_modified(key(ck.USER_TO_USER_UPDATE_TIME, name)),
+        )
 
     def get_item_neighbors(self, req) -> list:
         """Default item-to-item recommender (reference: getItemNeighbors
@@ -615,20 +689,28 @@ class RestServer:
                 self.config.recommend.data_source.positive_feedback_types,
                 f.feedback_type, f.value,
             )
-        ][: self.config.recommend.context_size]
+        ]
         scores: dict[str, float] = {}
-        categories: dict[str, list[str]] = {}
+        used = 0  # only feedbacks that yielded similar items count toward
+        # the context budget (reference: server/rest.go:990-1012)
         for fb in positive:
             similar = self.cache.search_scores(
-                ck.ITEM_TO_ITEM, key(name, fb.item_id), self._categories(req), 0, -1
+                ck.ITEM_TO_ITEM, key(name, fb.item_id), self._categories(req),
+                0, self.config.recommend.cache_size,
             )
             for s in similar:
                 if s.id not in exclude:
                     scores[s.id] = scores.get(s.id, 0.0) + s.score
-                    categories[s.id] = s.categories
-        ranked = sorted(scores.items(), key=lambda kv: -kv[1])
-        out = [Score(id=i, score=v, categories=categories[i]) for i, v in ranked]
-        return self._scores_out(out, req)
+            if similar:
+                used += 1
+                if used >= self.config.recommend.context_size:
+                    break
+        n = req.int_query("n", DEFAULT_N)
+        offset = req.int_query("offset", 0)
+        ranked = sorted(scores.items(), key=lambda kv: -kv[1])[offset:]
+        if n > 0 and len(ranked) > n:
+            ranked = ranked[:n]
+        return [{"Id": i, "Score": v} for i, v in ranked]
 
     def get_measurements(self, req) -> list:
         n = req.int_query("n", 100)

@@ -99,6 +99,7 @@ class UserToUserConfigEntry:
 
 @dataclasses.dataclass
 class CollaborativeConfig:
+    type: str = "mf"  # none | mf (reference: config.go:340 — "none" disables CF)
     model_fit_period: float = 60.0  # minutes
     model_search_epoch: int = 10
     model_search_trials: int = 10
@@ -253,6 +254,8 @@ class Config:
             raise ValueError(f"invalid ranker type {self.recommend.ranker.type!r}")
         if self.recommend.collaborative.model not in ("bpr", "als"):
             raise ValueError(f"invalid collaborative model {self.recommend.collaborative.model!r}")
+        if self.recommend.collaborative.type not in ("none", "mf"):
+            raise ValueError(f"invalid collaborative type {self.recommend.collaborative.type!r}")
         from .safe_expr import SafeExpression
 
         for np_cfg in self.recommend.non_personalized:

@@ -5,6 +5,7 @@ Pattern mirrors the reference's suite tests with embedded storage
 """
 
 import json
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -294,3 +295,43 @@ def test_items_search_endpoint():
     status, body = server.dispatch("GET", "/api/items", {"q": "space"}, None, {})
     assert status == 200
     assert [i["ItemId"] for i in body["Items"]] == ["m1"]
+
+
+def test_search_documents_semantics(http_node):
+    """SearchDocuments parity (reference: server/rest.go:615-691): scored
+    endpoints return cache.Score objects, honor `user-id` read pruning, and
+    carry Last-Modified headers from cache update times."""
+    node, base = http_node
+    # Score-object output (not bare ids) regardless of X-API-Version
+    status, latest = _get(base, "/api/latest?n=3")
+    assert {"Id", "Score"} <= set(latest[0])
+    status, pop = _get(base, "/api/popular?n=3")
+    assert {"Id", "Score"} <= set(pop[0])
+    status, cf = _get(base, "/api/collaborative-filtering/u1?n=3")
+    assert {"Id", "Score"} <= set(cf[0])
+    # user-id read pruning on latest + non-personalized
+    read = {f.item_id for f in node.data.get_user_feedback("u1")}
+    status, pruned = _get(base, "/api/latest?n=100&user-id=u1")
+    assert not ({d["Id"] for d in pruned} & read)
+    status, pruned = _get(base, "/api/popular?n=100&user-id=u1")
+    assert not ({d["Id"] for d in pruned} & read)
+    # Last-Modified header on non-personalized
+    req = urllib.request.Request(base + "/api/popular?n=3")
+    with urllib.request.urlopen(req) as resp:
+        assert resp.headers.get("Last-Modified", "").endswith("GMT")
+    # session recommend returns Score objects
+    status, sess = _send(base, "POST", "/api/session/recommend?n=5", [
+        {"FeedbackType": "like", "UserId": "anon", "ItemId": "i1", "Timestamp": 100.0}
+    ])
+    assert sess and {"Id", "Score"} <= set(sess[0])
+
+
+def test_collaborative_disabled_404(http_node):
+    node, base = http_node
+    node.master.config.recommend.collaborative.type = "none"
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(base, "/api/collaborative-filtering/u1?n=3")
+        assert e.value.code == 404
+    finally:
+        node.master.config.recommend.collaborative.type = "mf"
