@@ -135,10 +135,8 @@ class MasterRestServer(RestServer):
         return out
 
     def _page(self, req, rows: list) -> list:
-        from .rest import DEFAULT_N
-
         offset = req.int_query("offset", 0)
-        n = req.int_query("n", DEFAULT_N)
+        n = req.int_query("n", self.config.server.default_n)
         return rows[offset:offset + n] if n > 0 else rows[offset:]
 
     def _user_detail(self, user) -> dict:
@@ -153,9 +151,7 @@ class MasterRestServer(RestServer):
         return d
 
     def get_dashboard_users(self, req) -> dict:
-        from .rest import DEFAULT_N
-
-        n = req.int_query("n", DEFAULT_N)
+        n = req.int_query("n", self.config.server.default_n)
         cursor = req.query.get("cursor", "")
         users = list(self.data.get_users(begin_id=cursor, limit=n))
         return {
@@ -193,9 +189,7 @@ class MasterRestServer(RestServer):
         """Recommendation preview with item details and per-source drill-down
         (reference: master/rest.go:866-1030 getRecommend)."""
         from ..logics.recommend import Recommender
-        from .rest import DEFAULT_N
-
-        n = req.int_query("n", DEFAULT_N)
+        n = req.int_query("n", self.config.server.default_n)
         user_id = req.params["user_id"]
         recommender = Recommender(
             self.master.config.recommend, self.cache, self.data, online=True, user_id=user_id

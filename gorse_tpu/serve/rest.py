@@ -278,11 +278,25 @@ class RestServer:
 
     # users
 
+    def _touch_users(self, user_ids: list[str]) -> None:
+        """Set LastModifyUserTime — drives worker staleness checks
+        (reference: server/rest.go:1061,1143,1609)."""
+        now = str(time.time())
+        for uid in set(user_ids):
+            self.cache.set(key(ck.LAST_MODIFY_USER_TIME, uid), now)
+
+    def _touch_items(self, item_ids: list[str]) -> None:
+        """Set LastModifyItemTime (reference: server/rest.go:1305,1397,1612)."""
+        now = str(time.time())
+        for iid in set(item_ids):
+            self.cache.set(key(ck.LAST_MODIFY_ITEM_TIME, iid), now)
+
     def insert_user(self, req) -> dict:
         user = User.from_dict(req.body)
         if not user.user_id:
             raise HTTPError(400, "UserId is required")
         self.data.insert_users([user])
+        self._touch_users([user.user_id])
         return {"RowAffected": 1}
 
     def insert_users(self, req) -> dict:
@@ -290,6 +304,7 @@ class RestServer:
         if any(not u.user_id for u in users):
             raise HTTPError(400, "UserId is required")
         self.data.insert_users(users)
+        self._touch_users([u.user_id for u in users])
         return {"RowAffected": len(users)}
 
     def modify_user(self, req) -> dict:
@@ -304,6 +319,7 @@ class RestServer:
         if "Subscribe" in patch:
             user.subscribe = patch["Subscribe"]
         self.data.insert_users([user])
+        self._touch_users([user.user_id])
         return {"RowAffected": 1}
 
     def get_user(self, req) -> dict:
@@ -317,7 +333,7 @@ class RestServer:
         return {"RowAffected": 1}
 
     def get_users(self, req) -> dict:
-        n = req.int_query("n", DEFAULT_N)
+        n = req.int_query("n", self.config.server.default_n)
         cursor = req.query.get("cursor", "")
         users = list(self.data.get_users(begin_id=cursor, limit=n))
         next_cursor = users[-1].user_id if len(users) == n else ""
@@ -333,6 +349,7 @@ class RestServer:
             item.timestamp = _parse_time(req.body["Timestamp"])
         self.data.insert_items([item])
         self._sync_item_cache(item)
+        self._touch_items([item.item_id])
         return {"RowAffected": 1}
 
     def insert_items(self, req) -> dict:
@@ -347,6 +364,7 @@ class RestServer:
         self.data.insert_items(items)
         for item in items:
             self._sync_item_cache(item)
+        self._touch_items([i.item_id for i in items])
         return {"RowAffected": len(items)}
 
     def _sync_item_cache(self, item: Item) -> None:
@@ -375,6 +393,7 @@ class RestServer:
             item.timestamp = _parse_time(ts) if isinstance(ts, str) else float(ts)
         self.data.insert_items([item])
         self._sync_item_cache(item)
+        self._touch_items([item.item_id])
         return {"RowAffected": 1}
 
     def get_item(self, req) -> dict:
@@ -388,7 +407,7 @@ class RestServer:
         return {"RowAffected": 1}
 
     def get_items(self, req) -> dict:
-        n = req.int_query("n", DEFAULT_N)
+        n = req.int_query("n", self.config.server.default_n)
         query = req.query.get("q", "")
         if query:
             # full-text search (reference: server/rest.go:1419-1433)
@@ -445,13 +464,18 @@ class RestServer:
             # clock-error tolerance (reference: server/rest.go:1573)
             fb.timestamp = min(fb.timestamp, time.time() + clock_error)
             feedback.append(fb)
-        self.data.insert_feedback(feedback, overwrite=overwrite)
-        for fb in feedback:
-            self.cache.set(key(ck.LAST_MODIFY_USER_TIME, fb.user_id), str(time.time()))
+        self.data.insert_feedback(
+            feedback,
+            insert_user=self.config.server.auto_insert_user,
+            insert_item=self.config.server.auto_insert_item,
+            overwrite=overwrite,
+        )
+        self._touch_users([fb.user_id for fb in feedback])
+        self._touch_items([fb.item_id for fb in feedback])
         return {"RowAffected": len(feedback)}
 
     def get_feedback(self, req) -> dict:
-        n = req.int_query("n", DEFAULT_N)
+        n = req.int_query("n", self.config.server.default_n)
         out = []
         for fb in self.data.get_feedback():
             out.append(fb.to_dict())
@@ -461,7 +485,7 @@ class RestServer:
 
     def get_typed_feedback(self, req) -> dict:
         """Reference: getTypedFeedback server/rest.go:1649-1669."""
-        n = req.int_query("n", DEFAULT_N)
+        n = req.int_query("n", self.config.server.default_n)
         out = []
         for fb in self.data.get_feedback(feedback_types=[req.params["feedback_type"]]):
             out.append(fb.to_dict())
@@ -517,7 +541,7 @@ class RestServer:
     # recommendations
 
     def _scores_out(self, scores: list[Score], req) -> list:
-        n = req.int_query("n", DEFAULT_N)
+        n = req.int_query("n", self.config.server.default_n)
         offset = req.int_query("offset", 0)
         page = scores[offset : offset + n] if n > 0 else scores[offset:]
         if req.headers.get("x-api-version") == "2":
@@ -566,7 +590,7 @@ class RestServer:
         cache read with optional `user-id` read-item pruning; always returns
         cache.Score objects (these endpoints ignore X-API-Version)."""
         offset = req.int_query("offset", 0)
-        n = req.int_query("n", DEFAULT_N)
+        n = req.int_query("n", self.config.server.default_n)
         read = self._read_item_ids(req.query.get("user-id", ""))
         end = offset + n
         if end > 0 and read:
@@ -599,7 +623,7 @@ class RestServer:
         """Latest items with optional `user-id` read pruning and item TTL
         (reference: getLatest server/rest.go:693-759)."""
         offset = req.int_query("offset", 0)
-        n = req.int_query("n", DEFAULT_N)
+        n = req.int_query("n", self.config.server.default_n)
         read = self._read_item_ids(req.query.get("user-id", ""))
         after = None
         ttl_days = self.config.recommend.data_source.item_ttl
@@ -658,7 +682,7 @@ class RestServer:
             self.config.recommend, self.cache, self.data,
             online=True, user_id=user_id, categories=self._categories(req),
         )
-        n = req.int_query("n", DEFAULT_N)
+        n = req.int_query("n", self.config.server.default_n)
         offset = req.int_query("offset", 0)
         results = recommender.recommend(limit=n + offset if n > 0 else 0)
         # optional write-back feedback loop (reference :910-929)
@@ -705,7 +729,7 @@ class RestServer:
                 used += 1
                 if used >= self.config.recommend.context_size:
                     break
-        n = req.int_query("n", DEFAULT_N)
+        n = req.int_query("n", self.config.server.default_n)
         offset = req.int_query("offset", 0)
         ranked = sorted(scores.items(), key=lambda kv: -kv[1])[offset:]
         if n > 0 and len(ranked) > n:

@@ -38,6 +38,7 @@ ITEM_TO_ITEM_UPDATE_TIME = "item-to-item_update_time"
 USER_TO_USER_UPDATE_TIME = "user-to-user_update_time"
 NON_PERSONALIZED_UPDATE_TIME = "non-personalized_update_time"
 LAST_MODIFY_USER_TIME = "last_modify_user_time"
+LAST_MODIFY_ITEM_TIME = "last_modify_item_time"
 LAST_UPDATE_USER_RECOMMEND_TIME = "last_update_user_recommend_time"
 LAST_FIT_MATCHING_MODEL_TIME = "last_fit_matching_model_time"
 LAST_FIT_RANKING_MODEL_TIME = "last_fit_ranking_model_time"

@@ -62,6 +62,9 @@ class ServerConfig:
     http_port: int = 8087
     clock_error: float = 5.0
     epsilon: float = 0.0
+    default_n: int = 10  # reference: config.go:160,502
+    auto_insert_user: bool = True  # insert new users while inserting feedback
+    auto_insert_item: bool = True  # insert new items while inserting feedback
 
 
 @dataclasses.dataclass

@@ -335,3 +335,34 @@ def test_collaborative_disabled_404(http_node):
         assert e.value.code == 404
     finally:
         node.master.config.recommend.collaborative.type = "mf"
+
+
+def test_auto_insert_flags_and_modify_times(http_node):
+    """auto_insert_user/auto_insert_item gate feedback-driven entity
+    creation; inserts stamp LastModify{User,Item}Time (reference:
+    server/rest.go:1598-1615, config.go:502-506)."""
+    from gorse_tpu.storage import cache as ck
+    from gorse_tpu.storage.cache import key
+
+    node, base = http_node
+    _send(base, "POST", "/api/feedback", [
+        {"FeedbackType": "like", "UserId": "autou", "ItemId": "autoi"}
+    ])
+    assert node.data.get_user("autou") is not None
+    assert node.data.get_item("autoi") is not None
+    assert node.master.cache.get(key(ck.LAST_MODIFY_USER_TIME, "autou"))
+    assert node.master.cache.get(key(ck.LAST_MODIFY_ITEM_TIME, "autoi"))
+    node.master.config.server.auto_insert_user = False
+    node.master.config.server.auto_insert_item = False
+    try:
+        _send(base, "POST", "/api/feedback", [
+            {"FeedbackType": "like", "UserId": "ghostu", "ItemId": "ghosti"}
+        ])
+        assert node.data.get_user("ghostu") is None
+        assert node.data.get_item("ghosti") is None
+    finally:
+        node.master.config.server.auto_insert_user = True
+        node.master.config.server.auto_insert_item = True
+    # item insert stamps LastModifyItemTime too
+    _send(base, "POST", "/api/item", {"ItemId": "stamped"})
+    assert node.master.cache.get(key(ck.LAST_MODIFY_ITEM_TIME, "stamped"))
