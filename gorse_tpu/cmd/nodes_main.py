@@ -20,9 +20,9 @@ def _logging():
 def master_main() -> None:
     from ..serve.dashboard import MasterRestServer
     from ..serve.master import Master
-    from ..storage.cache import open_cache_store
+    from ..storage.cache import open_cache_store_from_config
     from ..storage.object import open_blob_store
-    from ..storage.data import open_data_store
+    from ..storage.data import open_data_store_from_config
     from ..storage.meta import MetaStore
     from ..utils.config import Config, ConfigWatcher, load_config
 
@@ -36,8 +36,8 @@ def master_main() -> None:
     from ..utils.tracing import configure_from
 
     configure_from(config)
-    data = open_data_store(config.database.data_store)
-    cache = open_cache_store(config.database.cache_store)
+    data = open_data_store_from_config(config.database)
+    cache = open_cache_store_from_config(config.database)
     blob = open_blob_store(config.database.blob_store or "/tmp/gorse_tpu_blobs")
     meta = MetaStore(config.database.meta_store)
     vectors = None

@@ -13,9 +13,9 @@ import logging
 import tempfile
 import threading
 
-from ..storage.object import open_blob_store
-from ..storage.cache import open_cache_store
-from ..storage.data import open_data_store
+from ..storage.object import open_blob_store_from_config
+from ..storage.cache import open_cache_store_from_config
+from ..storage.data import open_data_store_from_config
 from ..storage.meta import MetaStore
 from ..utils.config import Config, load_config
 from .master import Master
@@ -31,10 +31,13 @@ class InOneNode:
 
         configure_from(self.config)
         self.workdir = workdir or tempfile.mkdtemp(prefix="gorse_tpu_")
-        self.data = open_data_store(self.config.database.data_store)
-        self.cache = open_cache_store(self.config.database.cache_store)
-        blob_dir = self.config.database.blob_store or f"{self.workdir}/blobs"
-        self.blob = open_blob_store(blob_dir)
+        self.data = open_data_store_from_config(self.config.database)
+        self.cache = open_cache_store_from_config(self.config.database)
+        self.blob = open_blob_store_from_config(
+            self.config.blob,
+            self.config.database.blob_store,
+            f"{self.workdir}/blobs",
+        )
         self.meta = MetaStore(self.config.database.meta_store)
         self.vectors = None
         if self.config.database.vector_store:

@@ -84,6 +84,7 @@ class Master:
         self._stop = threading.Event()
         self._trigger = threading.Event()
         self._thread: threading.Thread | None = None
+        self._last_optimize: dict[str, float] = {}
         self._mesh = None
         self._mesh_built = False
         self._load_models_from_meta()
@@ -303,7 +304,10 @@ class Master:
             return
         tag_idf = user_idf = None
         for entry in entries:
-            cfg = ItemToItemConfig(name=entry.name, type=entry.type, column=entry.column)
+            cfg = ItemToItemConfig(
+                name=entry.name, type=entry.type, column=entry.column,
+                prompt=getattr(entry, "prompt", ""),
+            )
             corpus_digest = f"{cfg.digest()}|{data.dataset.count_items()}|{data.dataset.count_feedback()}"
             if not self._needs_refresh(
                 key(ck.ITEM_TO_ITEM_DIGEST, entry.name, "_config"),
@@ -388,10 +392,15 @@ class Master:
             return
         with self.progress.span("fit_cf_model"):
             params = Params(self.meta_model_params("cf"))
+            if cfg.fit_epoch > 0:
+                params = Params({"n_epochs": cfg.fit_epoch}).merged(params)
             model = create_mf_model(cfg.model, params)
             score = model.fit(
                 data.train, data.test,
-                FitConfig(verbose=10, patience=0, seed=0, mesh=self.training_mesh()),
+                FitConfig(
+                    verbose=10, patience=cfg.early_stopping.patience, seed=0,
+                    mesh=self.training_mesh(),
+                ),
             )
             self._record_ts("CFModelNDCG", score.ndcg)
             self._record_ts("CFModelPrecision", score.precision)
@@ -470,10 +479,20 @@ class Master:
         if data.ctr.count_positive() == 0 or data.ctr.count_negative() == 0:
             logger.info("skip CTR training: single-class data")
             return
+        ranker_cfg = self.config.recommend.ranker
         with self.progress.span("fit_ctr_model"):
             train, test = data.ctr.split(0.2, seed=0)
-            model = AFM(Params(self.meta_model_params("ctr")))
-            score = model.fit(train, test, FitConfig(verbose=10, mesh=self.training_mesh()))
+            params = Params(self.meta_model_params("ctr"))
+            if ranker_cfg.fit_epoch > 0:
+                params = Params({"n_epochs": ranker_cfg.fit_epoch}).merged(params)
+            model = AFM(params)
+            score = model.fit(
+                train, test,
+                FitConfig(
+                    verbose=10, patience=ranker_cfg.early_stopping.patience,
+                    mesh=self.training_mesh(),
+                ),
+            )
             self._record_ts("RankingModelAUC", score.auc)
         self.ctr_model = model
         model_id = self.blob.new_model_id()
@@ -492,7 +511,10 @@ class Master:
         """Hyper-parameter search (reference: optimizeCF/optimizeCTR
         master/tasks.go:1303-1398, goptuna TPE)."""
         cfg = self.config.recommend.collaborative
-        n_trials = n_trials or cfg.model_search_trials
+        ranker_cfg = self.config.recommend.ranker
+        n_trials = n_trials or (
+            cfg.optimize_trials if kind == "cf" else ranker_cfg.optimize_trials
+        )
         with self.progress.span(f"search_{kind}_model"):
             if kind == "cf":
                 space = BPR_SPACE if cfg.model == "bpr" else ALS_SPACE
@@ -548,6 +570,28 @@ class Master:
         self.train_click_through_rate(data)
         if search:
             self.search_model(data, "cf")
+        # periodic hyper-parameter search (reference: master/tasks.go:260-266 —
+        # optimize tasks appended when OptimizePeriod > 0)
+        now = time.time()
+        cf_cfg = self.config.recommend.collaborative
+        if (
+            cf_cfg.optimize_period > 0
+            and cf_cfg.type != "none"
+            and now - self._last_optimize.get("cf", 0.0) >= cf_cfg.optimize_period * 60.0
+            and data.train.count_feedback() > 0
+        ):
+            self._last_optimize["cf"] = now
+            self.search_model(data, "cf")
+        ranker_cfg = self.config.recommend.ranker
+        if (
+            ranker_cfg.optimize_period > 0
+            and ranker_cfg.type == "fm"
+            and now - self._last_optimize.get("ctr", 0.0) >= ranker_cfg.optimize_period * 60.0
+            and data.ctr is not None
+            and len(data.ctr) > 0
+        ):
+            self._last_optimize["ctr"] = now
+            self.search_model(data, "ctr")
         self.collect_garbage()
         # deep memory accounting per component (reference: sizeof.DeepSize
         # gauges, master/tasks.go:211-222), rendered at /metrics

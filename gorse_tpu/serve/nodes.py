@@ -19,9 +19,9 @@ import urllib.request
 import uuid as uuid_mod
 
 from .. import __version__
-from ..storage.object import open_blob_store
-from ..storage.cache import open_cache_store
-from ..storage.data import open_data_store
+from ..storage.object import open_blob_store, open_blob_store_from_config
+from ..storage.cache import open_cache_store_from_config
+from ..storage.data import open_data_store_from_config
 from ..utils.config import Config
 from .rest import RestServer
 from .worker import Worker
@@ -83,8 +83,8 @@ class ServerNode:
         new_config = Config.from_json(meta["config"])
         if self.config is None or new_config.to_json() != self.config.to_json():
             self.config = new_config
-            data = open_data_store(new_config.database.data_store)
-            cache = open_cache_store(new_config.database.cache_store)
+            data = open_data_store_from_config(new_config.database)
+            cache = open_cache_store_from_config(new_config.database)
             if self.rest is None:
                 self.rest = RestServer(
                     new_config, data, cache, api_key=new_config.server.api_key
@@ -133,9 +133,13 @@ class WorkerNode:
         new_config = Config.from_json(meta["config"])
         if self.worker is None or new_config.to_json() != self.config.to_json():
             self.config = new_config
-            data = open_data_store(new_config.database.data_store)
-            cache = open_cache_store(new_config.database.cache_store)
-            blob = open_blob_store(new_config.database.blob_store or "/tmp/gorse_tpu_blobs")
+            data = open_data_store_from_config(new_config.database)
+            cache = open_cache_store_from_config(new_config.database)
+            blob = open_blob_store_from_config(
+                new_config.blob,
+                new_config.database.blob_store,
+                "/tmp/gorse_tpu_blobs",
+            )
             self.worker = Worker(
                 new_config, data, cache, blob, node_id=self.client.node_id
             )

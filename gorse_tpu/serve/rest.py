@@ -746,6 +746,31 @@ class RestServer:
 
     # ------------------------------------------------------------- serving
 
+    def cors_headers(self, origin: str) -> dict:
+        """CORS response headers when ``origin`` matches one of the config's
+        allowed-domain regexes (reference: master.http_cors_domains /
+        http_cors_methods, config/config.go:131-132)."""
+        domains = self.config.master.http_cors_domains
+        if not origin or not domains:
+            return {}
+        for pat in domains:
+            try:
+                if re.fullmatch(pat, origin):
+                    break
+            except re.error:
+                continue
+        else:
+            return {}
+        methods = self.config.master.http_cors_methods or [
+            "GET", "POST", "PUT", "DELETE", "PATCH",
+        ]
+        return {
+            "Access-Control-Allow-Origin": origin,
+            "Access-Control-Allow-Methods": ", ".join(methods),
+            "Access-Control-Allow-Headers": "Content-Type, X-API-Key, Authorization",
+            "Vary": "Origin",
+        }
+
     def serve(self, host: str = "127.0.0.1", port: int = 8087) -> ThreadingHTTPServer:
         rest = self
 
@@ -815,8 +840,19 @@ class RestServer:
                 self.send_header("Content-Length", str(len(data)))
                 for k, v in extra.items():
                     self.send_header(k, v)
+                for k, v in rest.cors_headers(self.headers.get("Origin") or "").items():
+                    self.send_header(k, v)
                 self.end_headers()
                 self.wfile.write(data)
+
+            def do_OPTIONS(self):
+                # CORS preflight
+                cors = rest.cors_headers(self.headers.get("Origin") or "")
+                self.send_response(204 if cors else 405)
+                self.send_header("Content-Length", "0")
+                for k, v in cors.items():
+                    self.send_header(k, v)
+                self.end_headers()
 
             def do_GET(self):
                 self._handle("GET")

@@ -280,10 +280,23 @@ class Worker:
         return {u: sorted(s, key=lambda x: -x.score) for u, s in ranked.items()}
 
     def _rank_llm(self, candidates: dict[str, list[Score]]) -> dict[str, list[Score]]:
-        """LLM reranking (reference: rankByLLM worker/pipeline.go:472-540)."""
-        from ..logics.chat import LLMReranker
+        """LLM reranking (reference: rankByLLM worker/pipeline.go:472-540).
+
+        With [recommend.ranker.reranker_api] configured, candidates go through
+        the reranker HTTP API with the config's query/document templates
+        (reference: NewChatReranker worker/pipeline.go:234-238); otherwise the
+        chat-completions reranker prompts the OpenAI endpoint directly."""
+        from ..logics.chat import ChatReranker, LLMReranker, RerankerClient
 
         cfg = self.config.recommend
+        api = cfg.ranker.reranker_api
+        if api.url:
+            chat_reranker = ChatReranker(
+                RerankerClient(api.url, auth_token=api.auth_token, model=api.model),
+                cfg.ranker.query_template or "{{ user.user_id }}",
+                cfg.ranker.document_template or "{{ item.item_id }}",
+            )
+            return self._rank_reranker_api(candidates, chat_reranker)
         reranker = LLMReranker(self.openai_client, prompt=cfg.ranker.prompt)
         out: dict[str, list[Score]] = {}
         for user_id, scores in candidates.items():
@@ -303,6 +316,35 @@ class Worker:
                 if (it := self.items.get(s.id)) is not None
             }
             out[user_id] = reranker.rank(user, history, scores, items)
+        return out
+
+    def _rank_reranker_api(self, candidates: dict[str, list[Score]], reranker) -> dict[str, list[Score]]:
+        """Rank through the reranker HTTP API (reference: rankByLLM
+        worker/pipeline.go:472-540 with logics.ChatReranker)."""
+        cfg = self.config.recommend
+        out: dict[str, list[Score]] = {}
+        for user_id, scores in candidates.items():
+            user = self.data.get_user(user_id)
+            history: list[tuple[str, object]] = []
+            for fb in self.data.get_user_feedback(user_id):
+                if len(history) >= cfg.context_size:
+                    break
+                if match_any(cfg.data_source.positive_feedback_types, fb.feedback_type, fb.value):
+                    item = self.items.get(fb.item_id)
+                    if item is not None:
+                        history.append((fb.feedback_type, item))
+            self.items.prefetch([s.id for s in scores])
+            items = [it for s in scores if (it := self.items.get(s.id)) is not None]
+            try:
+                ranked = reranker.rank(user, history, items)
+            except Exception as e:  # noqa: BLE001 — degrade to unranked
+                logger.error("reranker API failed for %s: %s", user_id, e)
+                out[user_id] = scores
+                continue
+            ts = {s.id: s.timestamp for s in scores}
+            out[user_id] = [
+                Score(r.id, r.score, r.categories, ts.get(r.id)) for r in ranked
+            ]
         return out
 
     # ------------------------------------------------------------ main loop

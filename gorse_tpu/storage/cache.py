@@ -405,7 +405,16 @@ class SQLiteCacheStore(CacheStore):
         self._conn.close()
 
 
-def open_cache_store(url: str) -> CacheStore:
+def open_cache_store(
+    url: str,
+    table_prefix: str = "",
+    client_name: str = "",
+    max_search_results: int = 0,
+) -> CacheStore:
+    """Open a cache store by URL. ``table_prefix`` applies to server-SQL
+    tables, MongoDB collections, and redis keys; ``client_name`` and
+    ``max_search_results`` are the redis knobs (reference:
+    config.StorageOptions, config/config.go:112-135)."""
     if url.startswith("memory://") or url == "memory":
         return MemoryCacheStore()
     if url.startswith("sqlite://"):
@@ -418,17 +427,32 @@ def open_cache_store(url: str) -> CacheStore:
     if url.startswith("redis://"):
         from .redis import RedisCacheStore
 
-        return RedisCacheStore(url)
+        return RedisCacheStore(
+            url, key_prefix=table_prefix, client_name=client_name,
+            max_search_results=max_search_results,
+        )
     if url.split("://", 1)[0] in ("postgres", "postgresql", "mysql"):
         from .sqlstores import open_sql_cache_store
 
-        return open_sql_cache_store(url)
+        return open_sql_cache_store(url, table_prefix=table_prefix)
     if url.startswith("mongodb://"):
         from .mongo import MongoCacheStore
 
-        return MongoCacheStore(url)
+        return MongoCacheStore(url, collection_prefix=table_prefix)
     if url.startswith("none://") or url in ("", "none"):
         from .none import NoCacheStore
 
         return NoCacheStore()
     raise ValueError(f"unsupported cache store URL {url!r}")
+
+
+def open_cache_store_from_config(db_cfg) -> CacheStore:
+    """Open the cache store described by a DatabaseConfig (applies
+    cache_table_prefix/table_prefix + redis client options; reference:
+    config.StorageOptions)."""
+    return open_cache_store(
+        db_cfg.cache_store,
+        table_prefix=db_cfg.effective_cache_prefix(),
+        client_name=db_cfg.cache_client_name,
+        max_search_results=db_cfg.redis.max_search_results,
+    )

@@ -561,12 +561,14 @@ class SQLiteDataStore(DataStore):
         self._conn.close()
 
 
-def open_data_store(url: str) -> DataStore:
+def open_data_store(url: str, table_prefix: str = "") -> DataStore:
     """Open a data store by URL (reference: storage/data scheme dispatch).
 
     Supported: ``memory://``, ``sqlite://<path>`` (``sqlite://`` -> in-memory
     sqlite), ``proxy://host:port`` (master's gRPC storage proxy, reference:
-    storage/data/proxy.go).
+    storage/data/proxy.go). ``table_prefix`` applies to the server-SQL and
+    MongoDB backends (reference: data_table_prefix/table_prefix,
+    config/config.go:79-83).
     """
     if url.startswith("memory://") or url == "memory":
         return MemoryDataStore()
@@ -580,13 +582,19 @@ def open_data_store(url: str) -> DataStore:
     if url.split("://", 1)[0] in ("postgres", "postgresql", "mysql", "clickhouse"):
         from .sqlstores import open_sql_data_store
 
-        return open_sql_data_store(url)
+        return open_sql_data_store(url, table_prefix=table_prefix)
     if url.startswith("mongodb://"):
         from .mongo import MongoDataStore
 
-        return MongoDataStore(url)
+        return MongoDataStore(url, collection_prefix=table_prefix)
     if url.startswith("none://") or url in ("", "none"):
         from .none import NoDataStore
 
         return NoDataStore()
     raise ValueError(f"unsupported data store URL {url!r}")
+
+
+def open_data_store_from_config(db_cfg) -> DataStore:
+    """Open the data store described by a DatabaseConfig (applies
+    data_table_prefix/table_prefix; reference: config.StorageOptions)."""
+    return open_data_store(db_cfg.data_store, table_prefix=db_cfg.effective_data_prefix())

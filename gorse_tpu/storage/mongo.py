@@ -25,15 +25,19 @@ def _fb_id(feedback_type: str, user_id: str, item_id: str) -> str:
 
 
 class MongoDataStore(DataStore):
-    def __init__(self, url: str) -> None:
+    def __init__(self, url: str, collection_prefix: str = "") -> None:
         self.conn, self.db = MongoConnection.from_url(url)
+        self._prefix = collection_prefix
+
+    def _n(self, coll: str) -> str:
+        return self._prefix + coll
 
     # -- helpers -------------------------------------------------------------
     def _upsert(self, coll: str, _id, doc: dict) -> None:
         self.conn.command(
             self.db,
             {
-                "update": coll,
+                "update": self._n(coll),
                 "updates": [{"q": {"_id": _id}, "u": {"$set": doc}, "upsert": True}],
             },
         )
@@ -42,7 +46,7 @@ class MongoDataStore(DataStore):
         self.conn.command(
             self.db,
             {
-                "update": coll,
+                "update": self._n(coll),
                 "updates": [
                     {"q": {"_id": _id}, "u": {"$setOnInsert": doc}, "upsert": True}
                 ],
@@ -51,12 +55,12 @@ class MongoDataStore(DataStore):
 
     def _delete(self, coll: str, q: dict) -> int:
         reply = self.conn.command(
-            self.db, {"delete": coll, "deletes": [{"q": q, "limit": 0}]}
+            self.db, {"delete": self._n(coll), "deletes": [{"q": q, "limit": 0}]}
         )
         return int(reply.get("n", 0))
 
     def _count(self, coll: str) -> int:
-        return int(self.conn.command(self.db, {"count": coll}).get("n", 0))
+        return int(self.conn.command(self.db, {"count": self._n(coll)}).get("n", 0))
 
     # -- users ---------------------------------------------------------------
     @staticmethod
@@ -82,7 +86,7 @@ class MongoDataStore(DataStore):
             self._upsert("users", u.user_id, self._user_doc(u))
 
     def get_user(self, user_id: str):
-        docs = self.conn.find_all(self.db, "users", {"_id": user_id}, limit=1)
+        docs = self.conn.find_all(self.db, self._n("users"), {"_id": user_id}, limit=1)
         return self._doc_user(docs[0]) if docs else None
 
     def delete_user(self, user_id: str) -> None:
@@ -91,7 +95,7 @@ class MongoDataStore(DataStore):
 
     def get_users(self, begin_id: str = "", limit=None):
         docs = self.conn.find_all(
-            self.db, "users", {"_id": {"$gt": begin_id}},
+            self.db, self._n("users"), {"_id": {"$gt": begin_id}},
             sort={"_id": 1}, limit=limit or 0,
         )
         for d in docs:
@@ -125,7 +129,7 @@ class MongoDataStore(DataStore):
             self._upsert("items", i.item_id, self._item_doc(i))
 
     def get_item(self, item_id: str):
-        docs = self.conn.find_all(self.db, "items", {"_id": item_id}, limit=1)
+        docs = self.conn.find_all(self.db, self._n("items"), {"_id": item_id}, limit=1)
         return self._doc_item(docs[0]) if docs else None
 
     def delete_item(self, item_id: str) -> None:
@@ -134,7 +138,7 @@ class MongoDataStore(DataStore):
 
     def get_items(self, begin_id: str = "", limit=None):
         docs = self.conn.find_all(
-            self.db, "items", {"_id": {"$gt": begin_id}},
+            self.db, self._n("items"), {"_id": {"$gt": begin_id}},
             sort={"_id": 1}, limit=limit or 0,
         )
         for d in docs:
@@ -164,13 +168,13 @@ class MongoDataStore(DataStore):
         self, feedback, insert_user=True, insert_item=True, overwrite=True
     ) -> None:
         for f in feedback:
-            if not self.conn.find_all(self.db, "users", {"_id": f.user_id}, limit=1):
+            if not self.conn.find_all(self.db, self._n("users"), {"_id": f.user_id}, limit=1):
                 if not insert_user:
                     continue
                 self._insert_ignore(
                     "users", f.user_id, self._user_doc(User(f.user_id))
                 )
-            if not self.conn.find_all(self.db, "items", {"_id": f.item_id}, limit=1):
+            if not self.conn.find_all(self.db, self._n("items"), {"_id": f.item_id}, limit=1):
                 if not insert_item:
                     continue
                 self._insert_ignore(
@@ -183,7 +187,7 @@ class MongoDataStore(DataStore):
                 self._insert_ignore("feedback", _id, self._fb_doc(f))
 
     def _fb_query(self, q: dict) -> list[Feedback]:
-        return [self._doc_fb(d) for d in self.conn.find_all(self.db, "feedback", q)]
+        return [self._doc_fb(d) for d in self.conn.find_all(self.db, self._n("feedback"), q)]
 
     @staticmethod
     def _with_types(q: dict, feedback_types) -> dict:
@@ -243,8 +247,12 @@ class MongoCacheStore(CacheStore):
     (scored collections), ``hidden``, ``points`` (time series) — mirroring
     storage/cache/mongodb.go's collection layout."""
 
-    def __init__(self, url: str) -> None:
+    def __init__(self, url: str, collection_prefix: str = "") -> None:
         self.conn, self.db = MongoConnection.from_url(url)
+        self._prefix = collection_prefix
+
+    def _n(self, coll: str) -> str:
+        return self._prefix + coll
 
     def _upsert(self, coll: str, _id, doc: dict, on_insert: dict | None = None) -> None:
         u: dict = {"$set": doc}
@@ -252,18 +260,18 @@ class MongoCacheStore(CacheStore):
             u["$setOnInsert"] = on_insert
         self.conn.command(
             self.db,
-            {"update": coll, "updates": [{"q": {"_id": _id}, "u": u, "upsert": True}]},
+            {"update": self._n(coll), "updates": [{"q": {"_id": _id}, "u": u, "upsert": True}]},
         )
 
     def _delete(self, coll: str, q: dict) -> None:
-        self.conn.command(self.db, {"delete": coll, "deletes": [{"q": q, "limit": 0}]})
+        self.conn.command(self.db, {"delete": self._n(coll), "deletes": [{"q": q, "limit": 0}]})
 
     # -- KV ---------------------------------------------------------------------
     def set(self, k, v) -> None:
         self._upsert("kv", k, {"v": str(v)})
 
     def get(self, k):
-        docs = self.conn.find_all(self.db, "kv", {"_id": k}, limit=1)
+        docs = self.conn.find_all(self.db, self._n("kv"), {"_id": k}, limit=1)
         return docs[0]["v"] if docs else None
 
     def delete(self, k) -> None:
@@ -294,7 +302,7 @@ class MongoCacheStore(CacheStore):
         return doc["value"] if doc else None
 
     def remain(self, name) -> int:
-        return len(self.conn.find_all(self.db, "queue", {"name": name}))
+        return len(self.conn.find_all(self.db, self._n("queue"), {"name": name}))
 
     # -- scored collections -------------------------------------------------------
     def add_scores(self, collection, subset, scores) -> None:
@@ -303,7 +311,7 @@ class MongoCacheStore(CacheStore):
         hidden = {
             d["_id"]
             for d in self.conn.find_all(
-                self.db, "hidden", {"_id": {"$in": [s.id for s in scores]}}
+                self.db, self._n("hidden"), {"_id": {"$in": [s.id for s in scores]}}
             )
         }
         for s in scores:
@@ -325,7 +333,7 @@ class MongoCacheStore(CacheStore):
         q = {"c": collection, "s": subset, "hidden": {"$ne": True}}
         limit = end if (end >= 0 and not categories) else 0
         docs = self.conn.find_all(
-            self.db, "documents", q, sort={"score": -1}, limit=limit
+            self.db, self._n("documents"), q, sort={"score": -1}, limit=limit
         )
         matched = [
             Score(d["i"], float(d["score"]), list(d.get("categories") or []),
@@ -355,7 +363,7 @@ class MongoCacheStore(CacheStore):
             self.conn.command(
                 self.db,
                 {
-                    "update": "documents",
+                    "update": self._n("documents"),
                     "updates": [
                         {
                             "q": {"i": item_id},
@@ -373,7 +381,7 @@ class MongoCacheStore(CacheStore):
         self.conn.command(
             self.db,
             {
-                "update": "documents",
+                "update": self._n("documents"),
                 "updates": [
                     {"q": q, "u": {"$set": {"categories": list(categories)}}, "multi": True}
                 ],
@@ -381,7 +389,7 @@ class MongoCacheStore(CacheStore):
         )
 
     def scan_scores(self, collection):
-        for d in self.conn.find_all(self.db, "documents", {"c": collection}):
+        for d in self.conn.find_all(self.db, self._n("documents"), {"c": collection}):
             yield d["s"], Score(
                 d["i"], float(d["score"]), list(d.get("categories") or []),
                 float(d.get("timestamp") or 0.0),
@@ -394,7 +402,7 @@ class MongoCacheStore(CacheStore):
         self.conn.command(
             self.db,
             {
-                "insert": "points",
+                "insert": self._n("points"),
                 "documents": [
                     {"name": p.name, "timestamp": float(p.timestamp), "value": float(p.value)}
                     for p in points
@@ -404,7 +412,7 @@ class MongoCacheStore(CacheStore):
 
     def get_time_series_points(self, name, begin, end):
         docs = self.conn.find_all(
-            self.db, "points",
+            self.db, self._n("points"),
             {"name": name, "timestamp": {"$gte": float(begin), "$lte": float(end)}},
             sort={"timestamp": 1},
         )

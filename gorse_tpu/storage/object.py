@@ -615,3 +615,76 @@ def open_blob_store(url: str) -> BlobStore:
     else:
         raise ValueError(f"unsupported blob store URL {url!r}")
     return ObjectBlobStore(client, spool=q.get("spool"))
+
+
+def _parse_azure_connection_string(cs: str) -> dict[str, str]:
+    """Parse an Azure storage connection string into its key=value parts
+    (reference: config.AzureBlobConfig.ConnectionString, config/config.go:463)."""
+    out: dict[str, str] = {}
+    for part in cs.split(";"):
+        if "=" in part:
+            k, _, v = part.partition("=")
+            out[k.strip()] = v.strip()
+    return out
+
+
+def open_blob_store_from_config(blob_cfg, override: str = "", fallback: str = "") -> BlobStore:
+    """Open a blob store from a ``[blob]`` config section (reference:
+    config.BlobConfig config/config.go:442-464 — a URI like
+    ``s3://bucket/prefix`` plus per-scheme credential subsections).
+
+    ``override`` (our ``database.blob_store``) wins over ``[blob].uri``;
+    ``fallback`` applies when neither is set. URIs that already embed
+    credentials (``s3://KEY:SECRET@host/bucket``) pass straight through to
+    :func:`open_blob_store`; bare ``s3://bucket/prefix`` /
+    ``azblob://container/prefix`` URIs are combined with the [blob.s3] /
+    [blob.azure] sections.
+    """
+    uri = override or blob_cfg.uri or fallback
+    if "://" not in uri or uri.startswith("file://"):
+        return open_blob_store(uri)
+    u = urllib.parse.urlsplit(uri)
+    if u.username is not None or "@" in u.netloc:
+        return open_blob_store(uri)  # credentials inline already
+    if u.scheme == "s3" and blob_cfg.s3.endpoint:
+        ep = blob_cfg.s3.endpoint
+        secure = ep.startswith("https://")
+        host = ep.split("://")[-1].rstrip("/")
+        creds = (
+            f"{urllib.parse.quote(blob_cfg.s3.access_key_id, safe='')}:"
+            f"{urllib.parse.quote(blob_cfg.s3.secret_access_key, safe='')}@"
+        )
+        bucket_path = f"{u.netloc}{u.path}".strip("/")
+        sep = "&" if u.query else ""
+        return open_blob_store(
+            f"s3://{creds}{host}/{bucket_path}?{u.query}{sep}secure={str(secure).lower()}"
+        )
+    if u.scheme == "azblob" and (
+        blob_cfg.azure.connection_string or blob_cfg.azure.account_name
+    ):
+        az = blob_cfg.azure
+        account, key_b64, endpoint = az.account_name, az.account_key, az.endpoint
+        secure = True
+        if az.connection_string:
+            parts = _parse_azure_connection_string(az.connection_string)
+            account = parts.get("AccountName", account)
+            key_b64 = parts.get("AccountKey", key_b64)
+            endpoint = parts.get("BlobEndpoint", endpoint)
+            secure = parts.get("DefaultEndpointsProtocol", "https") == "https"
+            if not endpoint and parts.get("EndpointSuffix"):
+                endpoint = f"{account}.blob.{parts['EndpointSuffix']}"
+        if not endpoint:
+            endpoint = f"{account}.blob.core.windows.net"
+        if endpoint.startswith(("http://", "https://")):
+            secure = endpoint.startswith("https://")
+            endpoint = endpoint.split("://", 1)[1].rstrip("/")
+        container_path = f"{u.netloc}{u.path}".strip("/")
+        creds = (
+            f"{urllib.parse.quote(account, safe='')}:"
+            f"{urllib.parse.quote(key_b64, safe='')}@"
+        )
+        sep = "&" if u.query else ""
+        return open_blob_store(
+            f"azblob://{creds}{endpoint}/{container_path}?{u.query}{sep}secure={str(secure).lower()}"
+        )
+    return open_blob_store(uri)

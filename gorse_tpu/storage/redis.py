@@ -36,49 +36,65 @@ def _parse_url(url: str) -> tuple[str, int, int, str | None]:
 
 
 class RedisCacheStore(CacheStore):
-    """CacheStore over RESP (reference: storage/cache/redis.go)."""
+    """CacheStore over RESP (reference: storage/cache/redis.go).
 
-    def __init__(self, url: str) -> None:
+    ``key_prefix`` mirrors the reference's cache_table_prefix applied to
+    redis keys; ``client_name`` is CLIENT SETNAME (config cache_client_name,
+    config/config.go:83 + StorageOptions); ``max_search_results`` caps
+    search_scores result sets (config database.redis.max_search_results)."""
+
+    def __init__(
+        self,
+        url: str,
+        key_prefix: str = "",
+        client_name: str = "",
+        max_search_results: int = 0,
+    ) -> None:
         host, port, db, password = _parse_url(url)
         self._c = RespClient(host, port, db=db, password=password)
+        self._p = key_prefix
+        self._max_search = max_search_results
+        if client_name:
+            try:
+                self._c.call("CLIENT", "SETNAME", client_name)
+            except Exception:  # noqa: BLE001 — optional on minimal servers
+                pass
 
     # --- key layout
-    @staticmethod
-    def _zs(collection: str, subset: str) -> str:
-        return f"zs:{collection}/{subset}"
+    def _zs(self, collection: str, subset: str) -> str:
+        return f"{self._p}zs:{collection}/{subset}"
 
-    @staticmethod
-    def _doc(collection: str, subset: str, doc_id: str) -> str:
-        return f"doc:{collection}/{subset}/{doc_id}"
+    def _doc(self, collection: str, subset: str, doc_id: str) -> str:
+        return f"{self._p}doc:{collection}/{subset}/{doc_id}"
 
     # --- KV
     def set(self, k, v) -> None:
-        self._c.call("SET", f"kv:{k}", v)
+        self._c.call("SET", f"{self._p}kv:{k}", v)
 
     def get(self, k):
-        return self._c.call("GET", f"kv:{k}")
+        return self._c.call("GET", f"{self._p}kv:{k}")
 
     def delete(self, k) -> None:
-        self._c.call("DEL", f"kv:{k}")
+        self._c.call("DEL", f"{self._p}kv:{k}")
 
     # --- queues (dedup via companion set, matching the SQL backend's
     # insert-if-absent semantics)
     def push(self, name, value) -> None:
-        if self._c.call("SADD", f"qm:{name}", value):
-            self._c.call("RPUSH", f"q:{name}", value)
+        if self._c.call("SADD", f"{self._p}qm:{name}", value):
+            self._c.call("RPUSH", f"{self._p}q:{name}", value)
 
     def pop(self, name):
-        v = self._c.call("LPOP", f"q:{name}")
+        v = self._c.call("LPOP", f"{self._p}q:{name}")
         if v is not None:
-            self._c.call("SREM", f"qm:{name}", v)
+            self._c.call("SREM", f"{self._p}qm:{name}", v)
         return v
 
     def remain(self, name) -> int:
-        return self._c.call("LLEN", f"q:{name}")
+        return self._c.call("LLEN", f"{self._p}q:{name}")
 
     # --- scored collections
     def add_scores(self, collection, subset, scores) -> None:
-        cmds: list[tuple] = [("SADD", f"subs:{collection}", subset)]
+        cmds: list[tuple] = [("SADD", f"{self._p}subs:{collection}", subset)]
         for s in scores:
             cmds.append(("ZADD", self._zs(collection, subset), s.score, s.id))
             cmds.append((
@@ -116,10 +132,12 @@ class RedisCacheStore(CacheStore):
         ]
         if end < 0:
             end = len(matched)
+        if self._max_search > 0:
+            end = min(end, begin + self._max_search)
         return matched[begin:end]
 
     def _subsets(self, collection: str) -> list[str]:
-        return self._c.call("SMEMBERS", f"subs:{collection}") or []
+        return self._c.call("SMEMBERS", f"{self._p}subs:{collection}") or []
 
     def _drop_doc(self, collection: str, subset: str, doc_id: str) -> list[tuple]:
         return [
@@ -136,7 +154,7 @@ class RedisCacheStore(CacheStore):
                 if before is None or s.timestamp < before:
                     cmds.extend(self._drop_doc(collection, subset, s.id))
             if before is None:
-                cmds.append(("SREM", f"subs:{collection}", subset))
+                cmds.append(("SREM", f"{self._p}subs:{collection}", subset))
         self._c.pipeline(cmds)
 
     def update_scores(self, collections, subset, item_id, categories=None, is_hidden=None) -> None:
@@ -164,12 +182,12 @@ class RedisCacheStore(CacheStore):
         cmds: list[tuple] = []
         for p in points:
             member = json.dumps([p.name, p.timestamp, p.value, uuid.uuid4().hex[:8]])
-            cmds.append(("ZADD", f"ts:{p.name}", p.timestamp, member))
-            cmds.append(("SADD", "tsn", p.name))
+            cmds.append(("ZADD", f"{self._p}ts:{p.name}", p.timestamp, member))
+            cmds.append(("SADD", f"{self._p}tsn", p.name))
         self._c.pipeline(cmds)
 
     def get_time_series_points(self, name, begin, end):
-        members = self._c.call("ZRANGE", f"ts:{name}", "0", "-1") or []
+        members = self._c.call("ZRANGE", f"{self._p}ts:{name}", "0", "-1") or []
         out = []
         for m in members:
             n, ts, value, _ = json.loads(m)
@@ -186,10 +204,10 @@ class RedisCacheStore(CacheStore):
 
     def purge(self) -> None:
         for prefix in ("kv", "q", "qm", "zs", "doc", "subs", "ts"):
-            keys = self._c.call("KEYS", f"{prefix}:*") or []
+            keys = self._c.call("KEYS", f"{self._p}{prefix}:*") or []
             if keys:
                 self._c.call("DEL", *keys)
-        self._c.call("DEL", "tsn")
+        self._c.call("DEL", f"{self._p}tsn")
 
     def close(self) -> None:
         self._c.close()

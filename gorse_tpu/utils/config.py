@@ -1,11 +1,17 @@
 """Configuration tree with TOML load, validation, and hot reload.
 
-Covers the reference's config/ (config.go:63-72 and the TOML schema): a
-single Config with Database, Master, Server, Recommend (DataSource,
-NonPersonalized, ItemToItem, UserToUser, Collaborative, Ranker, Fallback,
-Replacement, External) and OpenAI sections. viper+mapstructure becomes
-stdlib tomllib + dataclass mapping; hot reload is an mtime-watcher thread
-with debounce (reference: fsnotify watch, master/master.go:174-268).
+Covers the reference's config/ (config/config.go:63-72 and the full TOML
+schema in config/config.toml): a single Config with Database, Master, Server,
+Recommend (DataSource, Search, NonPersonalized, ItemToItem, UserToUser,
+Collaborative, Ranker, Fallback, Replacement, External), Tracing, OIDC,
+OpenAI, and Blob sections. viper+mapstructure becomes stdlib tomllib +
+dataclass mapping; hot reload is an mtime-watcher thread with debounce
+(reference: fsnotify watch, master/master.go:174-268).
+
+A reference-style ``config.toml`` loads unchanged: dash section names
+(``[[recommend.item-to-item]]``) are normalized to underscores, and Go
+duration strings (``"10s"``, ``"60m"``, ``"72h"``) are parsed into each
+field's native unit (seconds/minutes/hours, documented per field).
 """
 
 from __future__ import annotations
@@ -14,6 +20,7 @@ import dataclasses
 import hashlib
 import json
 import logging
+import re
 import threading
 import time
 import tomllib
@@ -24,17 +31,89 @@ from .expression import FeedbackTypeExpression, parse_expressions
 
 logger = logging.getLogger(__name__)
 
+# --------------------------------------------------------------- durations
+
+_DURATION_RE = re.compile(r"([+-]?\d+(?:\.\d+)?)(ns|us|µs|ms|s|m|h)")
+_DURATION_UNIT_S = {
+    "ns": 1e-9, "us": 1e-6, "µs": 1e-6, "ms": 1e-3, "s": 1.0, "m": 60.0, "h": 3600.0,
+}
+
+
+def parse_go_duration(s: str) -> float:
+    """Parse a Go ``time.Duration`` string into seconds (reference configs
+    write durations as e.g. ``"10s"``, ``"60m"``, ``"1m30s"``, ``"0s"``)."""
+    s = s.strip()
+    if s in ("0", "", "0s"):
+        return 0.0
+    parts = _DURATION_RE.findall(s)
+    if not parts or "".join(f"{n}{u}" for n, u in parts) != s.lstrip("+"):
+        raise ValueError(f"invalid duration {s!r}")
+    return sum(float(n) * _DURATION_UNIT_S[u] for n, u in parts)
+
+
+def _coerce_duration(v, unit_seconds: float) -> float:
+    """TOML duration strings are Go durations; bare numbers are taken to
+    already be in the field's native unit (back-compat with older configs)."""
+    if isinstance(v, str):
+        return parse_go_duration(v) / unit_seconds
+    return float(v)
+
+
+# ------------------------------------------------------------- dataclasses
+
+
+@dataclasses.dataclass
+class MySQLConfig:
+    """Reference: config.MySQLConfig (config/config.go:90-96)."""
+
+    isolation_level: str = "READ-UNCOMMITTED"
+    max_open_conns: int = 0
+    max_idle_conns: int = 0
+    conn_max_lifetime: float = 0.0  # seconds
+
+
+@dataclasses.dataclass
+class SQLPoolConfig:
+    """Reference: config.SQLConfig (config/config.go:98-102) — Postgres pool."""
+
+    max_open_conns: int = 64
+    max_idle_conns: int = 64
+    conn_max_lifetime: float = 60.0  # seconds
+
+
+@dataclasses.dataclass
+class RedisConfig:
+    """Reference: config.RedisConfig (config/config.go:104-106)."""
+
+    max_search_results: int = 10000
+
 
 @dataclasses.dataclass
 class DatabaseConfig:
     data_store: str = "memory://"
     cache_store: str = "memory://"
-    blob_store: str = ""  # directory path; empty -> <workdir>/blobs
+    blob_store: str = ""  # directory path; empty -> [blob].uri or <workdir>/blobs
     meta_store: str = ":memory:"
     vector_store: str = ""  # empty -> CF served straight from the device index
-    # vector quantization (reference: config/config.go:106-108 VectorConfig)
+    # table prefixes (reference: config/config.go:79-83)
+    table_prefix: str = ""
+    data_table_prefix: str = ""
+    cache_table_prefix: str = ""
+    vector_table_prefix: str = ""
+    cache_client_name: str = "gorse_cache_client"
+    mysql: MySQLConfig = dataclasses.field(default_factory=MySQLConfig)
+    postgres: SQLPoolConfig = dataclasses.field(default_factory=SQLPoolConfig)
+    redis: RedisConfig = dataclasses.field(default_factory=RedisConfig)
+    # vector quantization (reference: config/config.go:106-108 VectorConfig,
+    # TOML section [database.vector])
     vector_quantization_type: str = ""  # "" | "sq" | "pq" | "rq"
     vector_quantization_bits: int = 0
+
+    def effective_data_prefix(self) -> str:
+        return self.data_table_prefix or self.table_prefix
+
+    def effective_cache_prefix(self) -> str:
+        return self.cache_table_prefix or self.table_prefix
 
 
 @dataclasses.dataclass
@@ -43,10 +122,13 @@ class MasterConfig:
     port: int = 8086
     http_host: str = "127.0.0.1"
     http_port: int = 8088
+    http_cors_domains: list[str] = dataclasses.field(default_factory=list)
+    http_cors_methods: list[str] = dataclasses.field(default_factory=list)
     n_jobs: int = 1
-    meta_timeout: float = 10.0
+    meta_timeout: float = 10.0  # seconds
     dashboard_user_name: str = ""
     dashboard_password: str = ""
+    dashboard_redacted: bool = False
     admin_api_key: str = ""
     # mutual TLS for the gRPC control plane (reference: config/config.go:141-145)
     ssl_mode: bool = False
@@ -60,11 +142,12 @@ class ServerConfig:
     api_key: str = ""
     http_host: str = "127.0.0.1"
     http_port: int = 8087
-    clock_error: float = 5.0
+    clock_error: float = 5.0  # seconds
     epsilon: float = 0.0
     default_n: int = 10  # reference: config.go:160,502
     auto_insert_user: bool = True  # insert new users while inserting feedback
     auto_insert_item: bool = True  # insert new items while inserting feedback
+    cache_expire: float = 10.0  # seconds; server-side response cache
 
 
 @dataclasses.dataclass
@@ -91,6 +174,7 @@ class ItemToItemConfigEntry:
     name: str
     type: str = "auto"
     column: str = ""
+    prompt: str = ""  # chat type: jinja template rendered per item
 
 
 @dataclasses.dataclass
@@ -101,22 +185,66 @@ class UserToUserConfigEntry:
 
 
 @dataclasses.dataclass
+class EarlyStoppingConfig:
+    """Reference: config.EarlyStoppingConfig (config/config.go:361-363)."""
+
+    patience: int = 0
+
+
+@dataclasses.dataclass
 class CollaborativeConfig:
+    """Reference: config.CollaborativeConfig (config/config.go:338-345)."""
+
     type: str = "mf"  # none | mf (reference: config.go:340 — "none" disables CF)
-    model_fit_period: float = 60.0  # minutes
-    model_search_epoch: int = 10
-    model_search_trials: int = 10
+    fit_period: float = 60.0  # minutes
+    fit_epoch: int = 0  # default n_epochs for master fits; 0 = model default
+    optimize_period: float = 0.0  # minutes; 0 disables periodic search
+    optimize_trials: int = 10
+    early_stopping: EarlyStoppingConfig = dataclasses.field(default_factory=EarlyStoppingConfig)
     enable_index: bool = True
     model: str = "bpr"  # bpr | als
+    model_search_epoch: int = 10  # epochs per hyper-search trial
+
+    # back-compat aliases (pre-reference-schema field names)
+    @property
+    def model_fit_period(self) -> float:
+        return self.fit_period
+
+    @property
+    def model_search_trials(self) -> int:
+        return self.optimize_trials
+
+
+@dataclasses.dataclass
+class RerankerAPIConfig:
+    """Reference: config.RerankerAPIConfig (config/config.go:520-524)."""
+
+    auth_token: str = ""
+    model: str = ""
+    url: str = ""
 
 
 @dataclasses.dataclass
 class RankerConfig:
+    """Reference: config.RankerConfig (config/config.go:381-393)."""
+
     type: str = "fm"  # none | fm | llm
-    lift_threshold: float = 0.0
-    model_fit_period: float = 60.0
     recommenders: list[str] = dataclasses.field(default_factory=lambda: ["collaborative"])
-    prompt: str = ""
+    cache_expire: float = 120.0  # hours
+    fit_period: float = 60.0  # minutes
+    fit_epoch: int = 0  # default n_epochs for master fits; 0 = model default
+    optimize_period: float = 0.0  # minutes
+    optimize_trials: int = 10
+    query_template: str = ""
+    document_template: str = ""
+    early_stopping: EarlyStoppingConfig = dataclasses.field(default_factory=EarlyStoppingConfig)
+    reranker_api: RerankerAPIConfig = dataclasses.field(default_factory=RerankerAPIConfig)
+    lift_threshold: float = 0.0
+    prompt: str = ""  # llm type: chat-completion rerank prompt
+
+    @property
+    def model_fit_period(self) -> float:
+        return self.fit_period
 
 
 @dataclasses.dataclass
@@ -167,7 +295,7 @@ class SearchConfig:
 class RecommendConfig:
     cache_size: int = 100
     cache_expire: float = 72.0  # hours
-    context_size: int = 10
+    context_size: int = 100  # reference default (config/config.go setDefault)
     active_user_ttl: int = 0  # days; skip recomputation for inactive users
     data_source: DataSourceConfig = dataclasses.field(default_factory=DataSourceConfig)
     search: SearchConfig = dataclasses.field(default_factory=SearchConfig)
@@ -197,8 +325,11 @@ class OpenAIConfig:
 
 @dataclasses.dataclass
 class TracingConfig:
+    """Reference: config.TracingConfig (config/config.go:399-405); the TOML
+    key is ``enable_tracing`` (accepted as an alias of ``enable``)."""
+
     enable: bool = False
-    exporter: str = "jaeger"
+    exporter: str = "otlp"
     sampler: str = "always"
     ratio: float = 1.0
     collector_endpoint: str = ""
@@ -216,6 +347,43 @@ class OIDCConfig:
 
 
 @dataclasses.dataclass
+class S3Config:
+    """Reference: config.S3Config (config/config.go:449-453)."""
+
+    endpoint: str = ""
+    access_key_id: str = ""
+    secret_access_key: str = ""
+
+
+@dataclasses.dataclass
+class GCSConfig:
+    """Reference: config.GCSConfig (config/config.go:455-457)."""
+
+    credentials_file: str = ""
+
+
+@dataclasses.dataclass
+class AzureBlobConfig:
+    """Reference: config.AzureBlobConfig (config/config.go:459-464)."""
+
+    endpoint: str = ""
+    account_name: str = ""
+    account_key: str = ""
+    connection_string: str = ""
+
+
+@dataclasses.dataclass
+class BlobConfig:
+    """Model-artifact store (reference: config.BlobConfig config/config.go:442-447;
+    TOML section [blob])."""
+
+    uri: str = ""
+    s3: S3Config = dataclasses.field(default_factory=S3Config)
+    gcs: GCSConfig = dataclasses.field(default_factory=GCSConfig)
+    azure: AzureBlobConfig = dataclasses.field(default_factory=AzureBlobConfig)
+
+
+@dataclasses.dataclass
 class Config:
     database: DatabaseConfig = dataclasses.field(default_factory=DatabaseConfig)
     master: MasterConfig = dataclasses.field(default_factory=MasterConfig)
@@ -224,6 +392,7 @@ class Config:
     openai: OpenAIConfig = dataclasses.field(default_factory=OpenAIConfig)
     tracing: TracingConfig = dataclasses.field(default_factory=TracingConfig)
     oidc: OIDCConfig = dataclasses.field(default_factory=OIDCConfig)
+    blob: BlobConfig = dataclasses.field(default_factory=BlobConfig)
 
     # ------------------------------------------------------------ validation
 
@@ -247,6 +416,12 @@ class Config:
             raise ValueError(
                 f"unsupported vector quantization {self.database.vector_quantization_type!r}"
             )
+        if self.database.mysql.isolation_level not in (
+            "READ-UNCOMMITTED", "READ-COMMITTED", "REPEATABLE-READ", "SERIALIZABLE",
+        ):
+            raise ValueError(
+                f"invalid mysql isolation level {self.database.mysql.isolation_level!r}"
+            )
         for spec in (
             self.recommend.data_source.positive_feedback_types
             + self.recommend.data_source.read_feedback_types
@@ -259,6 +434,10 @@ class Config:
             raise ValueError(f"invalid collaborative model {self.recommend.collaborative.model!r}")
         if self.recommend.collaborative.type not in ("none", "mf"):
             raise ValueError(f"invalid collaborative type {self.recommend.collaborative.type!r}")
+        if self.tracing.exporter not in ("zipkin", "otlp", "otlphttp"):
+            raise ValueError(f"invalid tracing exporter {self.tracing.exporter!r}")
+        if self.oidc.redirect_url and not self.oidc.redirect_url.endswith("/callback/oauth2"):
+            raise ValueError("oidc redirect_url must end with /callback/oauth2")
         from .safe_expr import SafeExpression
 
         for np_cfg in self.recommend.non_personalized:
@@ -282,12 +461,65 @@ class Config:
         )
         return hashlib.md5(payload.encode()).hexdigest()
 
+    def blob_store_url(self, default: str = "") -> str:
+        """Resolve the blob store location: database.blob_store overrides the
+        [blob] section (reference keeps them in BlobConfig only)."""
+        return self.database.blob_store or self.blob.uri or default
+
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), default=str)
 
     @classmethod
     def from_json(cls, s: str) -> "Config":
         return _from_dict(cls, json.loads(s))
+
+
+# --------------------------------------------------------------- dict → cfg
+
+_LIST_FIELDS = {
+    "non_personalized": NonPersonalizedConfigEntry,
+    "item_to_item": ItemToItemConfigEntry,
+    "user_to_user": UserToUserConfigEntry,
+    "external": ExternalConfigEntry,
+}
+
+# duration-typed fields: (dataclass, field) -> native unit in seconds.
+# TOML string values are parsed as Go durations and converted to this unit;
+# bare numbers are taken as already being in this unit.
+_DURATION_FIELDS: dict[tuple[type, str], float] = {
+    (MasterConfig, "meta_timeout"): 1.0,
+    (ServerConfig, "clock_error"): 1.0,
+    (ServerConfig, "cache_expire"): 1.0,
+    (RecommendConfig, "cache_expire"): 3600.0,
+    (CollaborativeConfig, "fit_period"): 60.0,
+    (CollaborativeConfig, "optimize_period"): 60.0,
+    (RankerConfig, "cache_expire"): 3600.0,
+    (RankerConfig, "fit_period"): 60.0,
+    (RankerConfig, "optimize_period"): 60.0,
+    (MySQLConfig, "conn_max_lifetime"): 1.0,
+    (SQLPoolConfig, "conn_max_lifetime"): 1.0,
+}
+
+# key aliases folded before field mapping, per dataclass
+_KEY_ALIASES: dict[type, dict[str, str]] = {
+    TracingConfig: {"enable_tracing": "enable"},
+    CollaborativeConfig: {
+        "model_fit_period": "fit_period",
+        "model_search_trials": "optimize_trials",
+    },
+    RankerConfig: {"model_fit_period": "fit_period"},
+}
+
+
+def _normalize_keys(obj):
+    """Recursively turn dash keys into underscores so reference TOML section
+    names ([[recommend.item-to-item]], non-personalized, ...) map onto the
+    dataclass fields."""
+    if isinstance(obj, dict):
+        return {k.replace("-", "_"): _normalize_keys(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_normalize_keys(v) for v in obj]
+    return obj
 
 
 def _from_dict(cls, d: dict):
@@ -297,6 +529,16 @@ def _from_dict(cls, d: dict):
         return d
     import typing
 
+    d = _normalize_keys(d)
+    for alias, canonical in _KEY_ALIASES.get(cls, {}).items():
+        if alias in d and canonical not in d:
+            d[canonical] = d.pop(alias)
+    if cls is DatabaseConfig and isinstance(d.get("vector"), dict):
+        # [database.vector] quantization_type/bits (reference VectorConfig)
+        vec = d.pop("vector")
+        d.setdefault("vector_quantization_type", vec.get("quantization_type", ""))
+        d.setdefault("vector_quantization_bits", vec.get("quantization_bits", 0))
+
     hints = typing.get_type_hints(cls)
     fields = {f.name: f for f in dataclasses.fields(cls)}
     kwargs = {}
@@ -305,18 +547,12 @@ def _from_dict(cls, d: dict):
             continue
         v = d[name]
         ftype = hints.get(name, f.type)
-        if isinstance(ftype, type) and dataclasses.is_dataclass(ftype):
+        if (cls, name) in _DURATION_FIELDS:
+            kwargs[name] = _coerce_duration(v, _DURATION_FIELDS[(cls, name)])
+        elif isinstance(ftype, type) and dataclasses.is_dataclass(ftype):
             kwargs[name] = _from_dict(ftype, v)
-        elif name in (
-            "non_personalized", "item_to_item", "user_to_user", "external"
-        ) and isinstance(v, list):
-            elem_cls = {
-                "non_personalized": NonPersonalizedConfigEntry,
-                "item_to_item": ItemToItemConfigEntry,
-                "user_to_user": UserToUserConfigEntry,
-                "external": ExternalConfigEntry,
-            }[name]
-            kwargs[name] = [_from_dict(elem_cls, e) for e in v]
+        elif name in _LIST_FIELDS and isinstance(v, list):
+            kwargs[name] = [_from_dict(_LIST_FIELDS[name], e) for e in v]
         else:
             kwargs[name] = v
     return cls(**kwargs)
