@@ -21,10 +21,10 @@ def master_main() -> None:
     from ..serve.dashboard import MasterRestServer
     from ..serve.master import Master
     from ..storage.cache import open_cache_store_from_config
-    from ..storage.object import open_blob_store
+    from ..storage.object import open_blob_store_from_config
     from ..storage.data import open_data_store_from_config
     from ..storage.meta import MetaStore
-    from ..utils.config import Config, ConfigWatcher, load_config
+    from ..utils.config import Config, ConfigWatcher, default_config, load_config
 
     parser = argparse.ArgumentParser(prog="gorse-tpu-master")
     parser.add_argument("--config", help="TOML config path")
@@ -32,13 +32,15 @@ def master_main() -> None:
     parser.add_argument("--port", type=int, default=None)
     args = parser.parse_args()
     _logging()
-    config = load_config(args.config) if args.config else Config()
+    config = load_config(args.config) if args.config else default_config()
     from ..utils.tracing import configure_from
 
     configure_from(config)
     data = open_data_store_from_config(config.database)
     cache = open_cache_store_from_config(config.database)
-    blob = open_blob_store(config.database.blob_store or "/tmp/gorse_tpu_blobs")
+    blob = open_blob_store_from_config(
+        config.blob, config.database.blob_store, "/tmp/gorse_tpu_blobs"
+    )
     meta = MetaStore(config.database.meta_store)
     vectors = None
     if config.database.vector_store:
@@ -81,14 +83,19 @@ def master_main() -> None:
 def server_main() -> None:
     from ..serve.nodes import ServerNode
 
+    # flag surface mirrors cmd/gorse-server (--master-host/--master-port/
+    # --http-host/--http-port); --master URL kept as a shorthand
     parser = argparse.ArgumentParser(prog="gorse-tpu-server")
-    parser.add_argument("--master", default="http://127.0.0.1:8088")
-    parser.add_argument("--host", default="127.0.0.1")
-    parser.add_argument("--port", type=int, default=8087)
+    parser.add_argument("--master", default="")
+    parser.add_argument("--master-host", default="127.0.0.1")
+    parser.add_argument("--master-port", type=int, default=8088)
+    parser.add_argument("--http-host", "--host", dest="http_host", default="127.0.0.1")
+    parser.add_argument("--http-port", "--port", dest="http_port", type=int, default=8087)
     args = parser.parse_args()
     _logging()
-    node = ServerNode(args.master)
-    node.serve(args.host, args.port)
+    master_url = args.master or f"http://{args.master_host}:{args.master_port}"
+    node = ServerNode(master_url)
+    node.serve(args.http_host, args.http_port)
     threading.Event().wait()
 
 
@@ -96,9 +103,16 @@ def worker_main() -> None:
     from ..serve.nodes import WorkerNode
 
     parser = argparse.ArgumentParser(prog="gorse-tpu-worker")
-    parser.add_argument("--master", default="http://127.0.0.1:8088")
+    parser.add_argument("--master", default="")
+    parser.add_argument("--master-host", default="127.0.0.1")
+    parser.add_argument("--master-port", type=int, default=8088)
+    parser.add_argument("--http-host", dest="http_host", default="127.0.0.1")
+    parser.add_argument("--http-port", dest="http_port", type=int, default=0)
     parser.add_argument("--meta-timeout", type=float, default=10.0)
     args = parser.parse_args()
     _logging()
-    node = WorkerNode(args.master, meta_timeout=args.meta_timeout)
+    master_url = args.master or f"http://{args.master_host}:{args.master_port}"
+    node = WorkerNode(master_url, meta_timeout=args.meta_timeout)
+    if args.http_port:
+        node.serve_http(args.http_host, args.http_port)
     node.serve()

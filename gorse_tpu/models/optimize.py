@@ -144,3 +144,50 @@ def model_search(
             best = t
         logger.info("trial %d/%d value=%.4f params=%s (best=%.4f)", i + 1, n_trials, value, dict(params), best.value)
     return best.params, best.value, trials
+
+
+def model_type_search(
+    spaces: dict[str, dict[str, SearchSpace]],
+    objective: Callable[[str, Params], float],
+    n_trials: int = 10,
+    seed: int = 0,
+) -> tuple[str, Params, float, list[tuple[str, Trial]]]:
+    """Joint search over model type (categorical) and per-type parameter
+    spaces (reference: cf.ModelSearch model/cf/optimize.go:61-81 —
+    ``trial.SuggestCategorical("Model", ...)`` then the chosen model's
+    SuggestParams). The type is sampled TPE-style: proportional to its
+    frequency among good trials (split by the same gamma quantile), with a
+    +1 prior so unexplored types keep probability mass; parameters use each
+    type's own TPESampler over that type's past trials.
+
+    Returns (best_type, best_params, best_value, [(type, trial), ...]).
+    """
+    types = list(spaces)
+    samplers = {t: TPESampler(spaces[t], seed=seed + i) for i, t in enumerate(types)}
+    by_type: dict[str, list[Trial]] = {t: [] for t in types}
+    all_trials: list[tuple[str, Trial]] = []
+    rng = np.random.default_rng(seed)
+    best: tuple[str, Trial] | None = None
+    for i in range(n_trials):
+        if len(all_trials) < len(types):
+            mtype = types[i % len(types)]  # startup: visit each type once
+        else:
+            ranked = sorted(all_trials, key=lambda tt: -tt[1].value)
+            n_good = max(1, int(round(0.25 * len(ranked))))
+            good_counts = {t: 1.0 for t in types}
+            for t, tr in ranked[:n_good]:
+                good_counts[t] += 1.0
+            total = sum(good_counts.values())
+            mtype = rng.choice(types, p=[good_counts[t] / total for t in types])
+        params = samplers[mtype].suggest(by_type[mtype])
+        value = float(objective(mtype, params))
+        tr = Trial(params=params, value=value)
+        by_type[mtype].append(tr)
+        all_trials.append((mtype, tr))
+        if best is None or value > best[1].value:
+            best = (mtype, tr)
+        logger.info(
+            "trial %d/%d model=%s value=%.4f params=%s (best=%s %.4f)",
+            i + 1, n_trials, mtype, value, dict(params), best[0], best[1].value,
+        )
+    return best[0], best[1].params, best[1].value, all_trials

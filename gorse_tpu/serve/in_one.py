@@ -17,7 +17,7 @@ from ..storage.object import open_blob_store_from_config
 from ..storage.cache import open_cache_store_from_config
 from ..storage.data import open_data_store_from_config
 from ..storage.meta import MetaStore
-from ..utils.config import Config, load_config
+from ..utils.config import Config, default_config, load_config
 from .master import Master
 from .worker import Worker
 
@@ -139,7 +139,7 @@ def main() -> None:
     )
     args = parser.parse_args()
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
-    config = load_config(args.config) if args.config else Config()
+    config = load_config(args.config) if args.config else default_config()
     node = InOneNode(config, workdir=args.workdir)
     if args.playground:
         config.recommend.data_source.positive_feedback_types = ["star"]

@@ -29,7 +29,7 @@ from ..logics.non_personalized import NonPersonalized, NonPersonalizedConfig
 from ..logics.user_to_user import UserToUser, UserToUserConfig
 from ..models import FitConfig, Params, create_mf_model
 from ..models.fm import AFM
-from ..models.optimize import ALS_SPACE, BPR_SPACE, model_search
+from ..models.optimize import ALS_SPACE, BPR_SPACE, model_search, model_type_search
 from ..storage import cache as ck
 from ..storage.blob import BlobStore
 from ..storage.cache import CacheStore, key
@@ -391,10 +391,26 @@ class Master:
             logger.info("skip CF training: no feedback")
             return
         with self.progress.span("fit_cf_model"):
-            params = Params(self.meta_model_params("cf"))
+            # current model meta vs hyper-search target: adopt the searched
+            # (type, params) only when its score beats the current model's
+            # (reference: master/tasks.go:984-996)
+            current = json.loads(self.meta.get("CF_MODEL_META") or "null") or {
+                "type": cfg.model, "params": self.meta_model_params("cf"), "score": -1.0,
+            }
+            target = json.loads(self.meta.get("CF_SEARCH_TARGET") or "null")
+            mtype, mparams = current["type"], dict(current["params"])
+            if target and target["score"] > current.get("score", -1.0) and (
+                target["type"] != mtype or target["params"] != mparams
+            ):
+                mtype, mparams = target["type"], dict(target["params"])
+                logger.info(
+                    "find better collaborative filtering model: type=%s score=%.4f params=%s",
+                    mtype, target["score"], mparams,
+                )
+            params = Params(mparams)
             if cfg.fit_epoch > 0:
                 params = Params({"n_epochs": cfg.fit_epoch}).merged(params)
-            model = create_mf_model(cfg.model, params)
+            model = create_mf_model(mtype, params)
             score = model.fit(
                 data.train, data.test,
                 FitConfig(
@@ -413,9 +429,13 @@ class Master:
         self.cf_index.save(self.blob.create(model_id))
         self.blob.flush(model_id)
         self.meta.put(COLLABORATIVE_FILTERING_MODEL, model_id)
+        self.meta.put(
+            "CF_MODEL_META",
+            json.dumps({"type": mtype, "params": mparams, "score": score.ndcg}),
+        )
         self.cache.set(ck.LAST_FIT_MATCHING_MODEL_TIME, str(time.time()))
         self._sync_cf_vectors()
-        logger.info("CF model %s trained: NDCG@10=%.4f", model_id, score.ndcg)
+        logger.info("CF model %s (%s) trained: NDCG@10=%.4f", model_id, mtype, score.ndcg)
 
     CF_COLLECTION = "collaborative_filtering"
 
@@ -517,17 +537,26 @@ class Master:
         )
         with self.progress.span(f"search_{kind}_model"):
             if kind == "cf":
-                space = BPR_SPACE if cfg.model == "bpr" else ALS_SPACE
+                # model type is part of the search space (reference:
+                # cf.ModelSearch over {"BPR","ALS"}, master/tasks.go:1318-1324)
+                patience = cfg.early_stopping.patience
 
-                def objective(p: Params) -> float:
+                def objective(mtype: str, p: Params) -> float:
                     model = create_mf_model(
-                        cfg.model, Params(n_epochs=cfg.model_search_epoch).merged(p)
+                        mtype, Params(n_epochs=cfg.model_search_epoch).merged(p)
                     )
                     return model.fit(
-                        data.train, data.test, FitConfig(verbose=cfg.model_search_epoch)
+                        data.train, data.test,
+                        FitConfig(verbose=cfg.model_search_epoch, patience=patience),
                     ).ndcg
 
-                best, value, _ = model_search(objective, space, n_trials=n_trials)
+                best_type, best, value, _ = model_type_search(
+                    {"bpr": BPR_SPACE, "als": ALS_SPACE}, objective, n_trials=n_trials
+                )
+                self.meta.put(
+                    "CF_SEARCH_TARGET",
+                    json.dumps({"type": best_type, "params": dict(best), "score": value}),
+                )
             else:
                 from ..models.optimize import AFM_SPACE
 

@@ -558,10 +558,82 @@ def _from_dict(cls, d: dict):
     return cls(**kwargs)
 
 
-def load_config(path: str | Path) -> Config:
-    """Load + validate a TOML config file (reference: config.LoadConfig)."""
+# GORSE_* environment overrides (reference: config/config.go:690-721
+# viper.BindEnv table — same variable names, applied over the file config)
+_ENV_BINDINGS: list[tuple[str, str]] = [
+    ("database.cache_store", "GORSE_CACHE_STORE"),
+    ("database.data_store", "GORSE_DATA_STORE"),
+    ("database.vector_store", "GORSE_VECTOR_STORE"),
+    ("database.table_prefix", "GORSE_TABLE_PREFIX"),
+    ("database.cache_table_prefix", "GORSE_CACHE_TABLE_PREFIX"),
+    ("database.cache_client_name", "GORSE_CACHE_CLIENT_NAME"),
+    ("database.data_table_prefix", "GORSE_DATA_TABLE_PREFIX"),
+    ("database.vector_table_prefix", "GORSE_VECTOR_TABLE_PREFIX"),
+    ("database.vector.quantization_type", "GORSE_VECTOR_QUANTIZATION_TYPE"),
+    ("database.vector.quantization_bits", "GORSE_VECTOR_QUANTIZATION_BITS"),
+    ("master.port", "GORSE_MASTER_PORT"),
+    ("master.host", "GORSE_MASTER_HOST"),
+    ("master.ssl_mode", "GORSE_MASTER_SSL_MODE"),
+    ("master.ssl_ca", "GORSE_MASTER_SSL_CA"),
+    ("master.ssl_cert", "GORSE_MASTER_SSL_CERT"),
+    ("master.ssl_key", "GORSE_MASTER_SSL_KEY"),
+    ("master.http_port", "GORSE_MASTER_HTTP_PORT"),
+    ("master.http_host", "GORSE_MASTER_HTTP_HOST"),
+    ("master.n_jobs", "GORSE_MASTER_JOBS"),
+    ("master.dashboard_user_name", "GORSE_DASHBOARD_USER_NAME"),
+    ("master.dashboard_password", "GORSE_DASHBOARD_PASSWORD"),
+    ("master.dashboard_redacted", "GORSE_DASHBOARD_REDACTED"),
+    ("master.admin_api_key", "GORSE_ADMIN_API_KEY"),
+    ("server.api_key", "GORSE_SERVER_API_KEY"),
+    ("oidc.enable", "GORSE_OIDC_ENABLE"),
+    ("oidc.issuer", "GORSE_OIDC_ISSUER"),
+    ("oidc.client_id", "GORSE_OIDC_CLIENT_ID"),
+    ("oidc.client_secret", "GORSE_OIDC_CLIENT_SECRET"),
+    ("oidc.redirect_url", "GORSE_OIDC_REDIRECT_URL"),
+    ("blob.uri", "GORSE_BLOB_URI"),
+]
+
+
+def _env_value(s: str):
+    if s.lower() in ("true", "false"):
+        return s.lower() == "true"
+    try:
+        return int(s)
+    except ValueError:
+        return s
+
+
+def apply_env_overrides(raw: dict, environ=None) -> dict:
+    """Overlay GORSE_* environment variables onto a raw config dict."""
+    import os
+
+    environ = os.environ if environ is None else environ
+    for key, env in _ENV_BINDINGS:
+        if env in environ:
+            parts = key.split(".")
+            d = raw
+            for p in parts[:-1]:
+                d = d.setdefault(p, {})
+            d[parts[-1]] = _env_value(environ[env])
+    return raw
+
+
+def load_config(path: str | Path, env: bool = True) -> Config:
+    """Load + validate a TOML config file, then overlay GORSE_* environment
+    variables (reference: config.LoadConfig — viper file + BindEnv)."""
     with open(path, "rb") as f:
         raw = tomllib.load(f)
+    if env:
+        raw = apply_env_overrides(_normalize_keys(raw))
+    cfg = _from_dict(Config, raw)
+    cfg.validate()
+    return cfg
+
+
+def default_config(env: bool = True) -> Config:
+    """Config with defaults only, plus GORSE_* env overrides (the no
+    ``--config`` path of the node binaries)."""
+    raw = apply_env_overrides({}) if env else {}
     cfg = _from_dict(Config, raw)
     cfg.validate()
     return cfg

@@ -420,3 +420,27 @@ def test_blob_config_override_and_fallback(tmp_path):
     store2.create("y")
     store2.flush("y")
     assert (tmp_path / "fb").exists()
+
+
+def test_env_overrides(tmp_path, monkeypatch):
+    """GORSE_* env vars override file values (reference: viper BindEnv table,
+    config/config.go:690-721)."""
+    p = tmp_path / "config.toml"
+    p.write_text(REFERENCE_STYLE_TOML)
+    monkeypatch.setenv("GORSE_DATA_STORE", "sqlite://env.db")
+    monkeypatch.setenv("GORSE_MASTER_HTTP_PORT", "9999")
+    monkeypatch.setenv("GORSE_DASHBOARD_REDACTED", "true")
+    monkeypatch.setenv("GORSE_BLOB_URI", "/tmp/env-blob")
+    monkeypatch.setenv("GORSE_VECTOR_QUANTIZATION_TYPE", "pq")
+    cfg = load_config(p)
+    assert cfg.database.data_store == "sqlite://env.db"
+    assert cfg.master.http_port == 9999
+    assert cfg.master.dashboard_redacted is True
+    assert cfg.blob.uri == "/tmp/env-blob"
+    assert cfg.database.vector_quantization_type == "pq"
+
+    from gorse_tpu.utils.config import default_config
+
+    cfg2 = default_config()
+    assert cfg2.database.data_store == "sqlite://env.db"
+    assert cfg2.master.http_port == 9999

@@ -58,3 +58,24 @@ def test_model_search_bpr_end_to_end():
 
     best, val, trials = model_search(objective, BPR_SPACE, n_trials=3, seed=0)
     assert val > 0.0 and set(best) == {"lr", "reg", "init_stddev"}
+
+
+def test_model_type_search_picks_better_type():
+    from gorse_tpu.models.optimize import model_type_search
+
+    spaces = {
+        "bpr": {"lr": SearchSpace(0.001, 0.1)},
+        "als": {"reg": SearchSpace(0.001, 0.1)},
+    }
+
+    # "als" dominates regardless of params; search must discover that
+    def objective(mtype, params):
+        base = 0.9 if mtype == "als" else 0.1
+        return base + 0.01 * next(iter(params.values()))
+
+    best_type, best, value, trials = model_type_search(spaces, objective, n_trials=12, seed=0)
+    assert best_type == "als"
+    assert value > 0.9
+    assert len(trials) == 12
+    # both types were explored during startup
+    assert {t for t, _ in trials} == {"bpr", "als"}

@@ -366,3 +366,40 @@ def test_auto_insert_flags_and_modify_times(http_node):
     # item insert stamps LastModifyItemTime too
     _send(base, "POST", "/api/item", {"ItemId": "stamped"})
     assert node.master.cache.get(key(ck.LAST_MODIFY_ITEM_TIME, "stamped"))
+
+
+def test_master_adopts_better_searched_model(env):
+    """Search target with a better score flips the fitted model type
+    (reference: master/tasks.go:984-996)."""
+    config, data, cache, blob, meta = env
+    master = Master(config, data, cache, blob, meta)
+    d = master.load_dataset()
+    master.train_collaborative_filtering(d)
+    first = json.loads(meta.get("CF_MODEL_META"))
+    assert first["type"] == "bpr"
+    # inject a search target claiming eALS scored (much) better
+    meta.put(
+        "CF_SEARCH_TARGET",
+        json.dumps({"type": "als", "params": {"reg": 0.02}, "score": first["score"] + 1.0}),
+    )
+    master.train_collaborative_filtering(d)
+    second = json.loads(meta.get("CF_MODEL_META"))
+    assert second["type"] == "als"
+    assert second["params"] == {"reg": 0.02}
+    # a WORSE target is ignored
+    meta.put(
+        "CF_SEARCH_TARGET",
+        json.dumps({"type": "bpr", "params": {}, "score": -5.0}),
+    )
+    master.train_collaborative_filtering(d)
+    assert json.loads(meta.get("CF_MODEL_META"))["type"] == "als"
+
+
+def test_master_cf_search_writes_target(env):
+    config, data, cache, blob, meta = env
+    master = Master(config, data, cache, blob, meta)
+    d = master.load_dataset()
+    master.search_model(d, "cf", n_trials=2)
+    target = json.loads(meta.get("CF_SEARCH_TARGET"))
+    assert target["type"] in ("bpr", "als")
+    assert "params" in target and target["score"] > 0
