@@ -108,20 +108,27 @@ class Worker:
 
     def needs_update(self, user_id: str) -> bool:
         """Staleness check (reference: checkRecommendCacheOutOfDate
-        worker/pipeline.go:316-369): recompute when the cached digest differs
-        from the active config/model digest, the user was modified since the
-        last update, or the cache has expired."""
+        worker/pipeline.go:316-369), clause for clause: (1) empty cache is
+        stale; (2) missing/mismatched digest is stale; (3) missing update
+        time is stale; (4) older than recommend.cache_expire is stale;
+        (5) a user inactive since the last update stays fresh until
+        ranker.cache_expire; an active-since-update user is stale."""
+        if not self.cache.search_scores(ck.RECOMMEND, user_id):
+            return True
         digest = self.cache.get(key(ck.RECOMMEND_DIGEST, user_id))
-        if digest != self._active_digest():
+        if not digest or digest != self._active_digest():
+            return True
+        raw_update = self.cache.get(key(ck.LAST_UPDATE_USER_RECOMMEND_TIME, user_id))
+        if not raw_update:
+            return True
+        last_update = float(raw_update)
+        now = time.time()
+        if now - last_update > self.config.recommend.cache_expire * 3600.0:
             return True
         last_modified = float(self.cache.get(key(ck.LAST_MODIFY_USER_TIME, user_id)) or 0)
-        last_update = float(
-            self.cache.get(key(ck.LAST_UPDATE_USER_RECOMMEND_TIME, user_id)) or 0
-        )
-        if last_modified > last_update:
-            return True
-        expire_s = self.config.recommend.cache_expire * 3600.0
-        return (time.time() - last_update) > expire_s
+        if last_modified < last_update:
+            return now - last_update > self.config.recommend.ranker.cache_expire * 3600.0
+        return True
 
     def is_active(self, user_id: str) -> bool:
         """Skip long-inactive users (reference: pipeline.go:148 active
@@ -170,20 +177,28 @@ class Worker:
                         self.cache.set(
                             key(ck.COLLABORATIVE_DIGEST, user_id), self.cf_model_id
                         )
-            # STEP 2: per-user candidate assembly via the recommender chain
+            # STEP 2: per-user candidate assembly via the recommender chain;
+            # replacement items join the candidate set BEFORE ranking
+            # (reference: addReplacementCandidates worker/pipeline.go:542-588)
             candidates: dict[str, list[Score]] = {}
+            replacement_sets: dict[str, tuple[set, set]] = {}
             for user_id in todo:
                 recommender = Recommender(
                     cfg, self.cache, self.data, online=False, user_id=user_id
                 )
                 chain = cfg.ranker.recommenders or ["collaborative"]
                 scores, _ = recommender.recommend_sequential([], cfg.cache_size, chain)
-                scores = self._insert_replacement(user_id, scores, recommender)
+                scores, pos, neg = self._add_replacement_candidates(scores, recommender)
                 candidates[user_id] = scores
+                replacement_sets[user_id] = (pos, neg)
             # STEP 3: ranking — FM model over all rows at once, or passthrough
             ranked = self._rank(candidates)
             now = time.time()
             for user_id, scores in ranked.items():
+                # decay applies to the RANKED scores (reference:
+                # applyReplacementDecay worker/pipeline.go:588-614)
+                scores = self._apply_replacement_decay(scores, *replacement_sets[user_id])
+                ranked[user_id] = scores
                 for s in scores:
                     s.timestamp = now
                 self.cache.add_scores(ck.RECOMMEND, user_id, scores)
@@ -194,36 +209,60 @@ class Worker:
                 span.add(1)
         return len(todo)
 
-    def _insert_replacement(
-        self, user_id: str, scores: list[Score], recommender: Recommender
-    ) -> list[Score]:
-        """Re-insert consumed items with decayed scores when replacement is
-        enabled (reference: worker/pipeline.go:542-614)."""
+    def _add_replacement_candidates(
+        self, scores: list[Score], recommender: Recommender
+    ) -> tuple[list[Score], set, set]:
+        """Re-insert consumed items as unscored candidates before ranking
+        (reference: addReplacementCandidates worker/pipeline.go:542-588).
+        Returns (candidates, positive item ids, read-only item ids)."""
         cfg = self.config.recommend
         if not cfg.replacement.enable_replacement:
-            return scores
-        existing = {s.id for s in scores}
-        upper = max((s.score for s in scores), default=0.0)
-        lower = min((s.score for s in scores), default=0.0)
-        out = list(scores)
+            return scores, set(), set()
+        positive: set[str] = set()
+        distinct: set[str] = set()
         for fb in recommender.user_feedback:
-            if fb.item_id in existing:
-                continue
-            item = self.items.get(fb.item_id)
+            if match_any(cfg.data_source.positive_feedback_types, fb.feedback_type, fb.value):
+                positive.add(fb.item_id)
+                distinct.add(fb.item_id)
+            elif match_any(cfg.data_source.read_feedback_types, fb.feedback_type, fb.value):
+                distinct.add(fb.item_id)
+        if not distinct:
+            return scores, set(), set()
+        existing = {s.id for s in scores}
+        out = list(scores)
+        present: set[str] = set()
+        self.items.prefetch(sorted(distinct))
+        for item_id in sorted(distinct):
+            item = self.items.get(item_id)
             if item is None or item.is_hidden:
                 continue
-            if match_any(cfg.data_source.positive_feedback_types, fb.feedback_type, fb.value):
-                decay = cfg.replacement.positive_replacement_decay
-            elif match_any(cfg.data_source.read_feedback_types, fb.feedback_type, fb.value):
-                decay = cfg.replacement.read_replacement_decay
-            else:
+            present.add(item_id)
+            if item_id in existing:
                 continue
-            # scale into the score range then decay (reference :584-604)
-            score = upper if upper > lower else 1.0
-            out.append(
-                Score(id=fb.item_id, score=score * decay, categories=item.categories)
-            )
-            existing.add(fb.item_id)
+            out.append(Score(id=item_id, score=0.0, categories=item.categories))
+            existing.add(item_id)
+        return out, positive & present, (distinct - positive) & present
+
+    def _apply_replacement_decay(
+        self, results: list[Score], positive: set, negative: set
+    ) -> list[Score]:
+        """Decay the ranked scores of replacement items, then resort
+        (reference: applyReplacementDecay worker/pipeline.go:588-614)."""
+        if not positive and not negative:
+            return results
+        cfg = self.config.recommend.replacement
+        out = []
+        changed = False
+        for s in results:
+            if s.id in positive:
+                s = Score(s.id, s.score * cfg.positive_replacement_decay, s.categories, s.timestamp)
+                changed = True
+            elif s.id in negative:
+                s = Score(s.id, s.score * cfg.read_replacement_decay, s.categories, s.timestamp)
+                changed = True
+            out.append(s)
+        if changed:
+            out.sort(key=lambda s: -s.score)
         return out
 
     def _rank(self, candidates: dict[str, list[Score]]) -> dict[str, list[Score]]:

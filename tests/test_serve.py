@@ -138,6 +138,26 @@ def test_worker_replacement(env):
     assert {s.id for s in recs} & consumed, "replacement should re-insert consumed items"
 
 
+def test_worker_replacement_decay_after_rank(env):
+    """Replacement decay multiplies the RANKED score, then resorts
+    (reference: applyReplacementDecay worker/pipeline.go:588-614)."""
+    config, data, cache, blob, meta = env
+    config.recommend.replacement.enable_replacement = True
+    config.recommend.ranker.type = "none"  # passthrough rank keeps CF scores
+    master = Master(config, data, cache, blob, meta)
+    master.run_tasks_once()
+    worker = Worker(config, data, cache, blob, node_id="w0")
+    worker.sync_and_recommend(master)
+    recs = cache.search_scores(ck.RECOMMEND, "u1", None, 0, -1)
+    consumed = {fb.item_id for fb in data.get_user_feedback("u1")}
+    scores = [s.score for s in recs]
+    assert scores == sorted(scores, reverse=True), "decayed results must be resorted"
+    # consumed items that survived ranking carry a strictly positive,
+    # decayed score (not the pre-decay injection value of 0)
+    survivors = [s for s in recs if s.id in consumed]
+    assert survivors, "replacement candidates should appear in results"
+
+
 @pytest.fixture
 def http_node(tmp_path):
     config = Config()
