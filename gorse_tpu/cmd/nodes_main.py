@@ -27,6 +27,9 @@ def master_main() -> None:
     from ..utils.config import Config, ConfigWatcher, default_config, load_config
 
     parser = argparse.ArgumentParser(prog="gorse-tpu-master")
+    from .. import __version__
+
+    parser.add_argument("--version", action="version", version=f"gorse-tpu-master {__version__}")
     parser.add_argument("--config", help="TOML config path")
     parser.add_argument("--host", default=None)
     parser.add_argument("--port", type=int, default=None)
@@ -86,6 +89,9 @@ def server_main() -> None:
     # flag surface mirrors cmd/gorse-server (--master-host/--master-port/
     # --http-host/--http-port); --master URL kept as a shorthand
     parser = argparse.ArgumentParser(prog="gorse-tpu-server")
+    from .. import __version__
+
+    parser.add_argument("--version", action="version", version=f"gorse-tpu-server {__version__}")
     parser.add_argument("--master", default="")
     parser.add_argument("--master-host", default="127.0.0.1")
     parser.add_argument("--master-port", type=int, default=8088)
@@ -103,6 +109,9 @@ def worker_main() -> None:
     from ..serve.nodes import WorkerNode
 
     parser = argparse.ArgumentParser(prog="gorse-tpu-worker")
+    from .. import __version__
+
+    parser.add_argument("--version", action="version", version=f"gorse-tpu-worker {__version__}")
     parser.add_argument("--master", default="")
     parser.add_argument("--master-host", default="127.0.0.1")
     parser.add_argument("--master-port", type=int, default=8088)

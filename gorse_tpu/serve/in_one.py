@@ -129,6 +129,9 @@ def main() -> None:
     import argparse
 
     parser = argparse.ArgumentParser(description="gorse_tpu all-in-one node")
+    from .. import __version__
+
+    parser.add_argument("--version", action="version", version=f"gorse-tpu-in-one {__version__}")
     parser.add_argument("--config", help="TOML config path")
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8087)

@@ -143,13 +143,12 @@ class Worker:
         return (time.time() - newest) <= ttl_days * 86400
 
     def _active_digest(self) -> str:
-        return hashlib.md5(
-            (
-                self.config.offline_recommend_digest()
-                + self.cf_model_id
-                + self.ctr_model_id
-            ).encode()
-        ).hexdigest()
+        """Config digest gating recomputation (reference: the worker compares
+        RecommendDigest against Recommend.Hash(), worker/pipeline.go:333-343
+        — scoped to the recommenders in use; model ids are deliberately NOT
+        part of it, so a fresh model alone does not force recomputing every
+        inactive user's recommendations before their cache expires)."""
+        return self.config.recommend.hash()
 
     def recommend(self, user_ids: list[str], force: bool = False) -> int:
         """Materialize recommendations for users (reference:

@@ -308,6 +308,61 @@ class RecommendConfig:
     replacement: ReplacementConfig = dataclasses.field(default_factory=ReplacementConfig)
     external: list[ExternalConfigEntry] = dataclasses.field(default_factory=list)
 
+    def list_recommenders(self) -> list[str]:
+        """All configured recommendation sources by full name (reference:
+        RecommendConfig.ListRecommenders config/config.go:186-203)."""
+        out = [f"non-personalized/{e.name}" for e in self.non_personalized]
+        out += [f"item-to-item/{e.name}" for e in self.item_to_item]
+        out += [f"user-to-user/{e.name}" for e in self.user_to_user]
+        out += [f"external/{e.name}" for e in self.external]
+        out.append("collaborative")
+        out.append("latest")
+        return out
+
+    def hash(self) -> str:
+        """Digest of exactly the recommenders feeding offline recommendation
+        (reference: RecommendConfig.Hash config/config.go:205-237): only
+        entries named in ranker.recommenders (or all when that list is
+        empty) contribute, and feedback-type-dependent similarities fold the
+        positive/negative feedback expressions into their digest."""
+        selected = set(self.ranker.recommenders) or set(self.list_recommenders())
+        fb_types = "|".join(
+            self.data_source.positive_feedback_types
+            + self.data_source.negative_feedback_types
+        )
+        digests: list[str] = []
+        for np_e in self.non_personalized:
+            if f"non-personalized/{np_e.name}" in selected:
+                digests.append(
+                    hashlib.md5(
+                        f"{np_e.name}{np_e.score}{np_e.filter}".encode()
+                    ).hexdigest()
+                )
+        for i2i in self.item_to_item:
+            if f"item-to-item/{i2i.name}" in selected:
+                extra = fb_types if i2i.type == "users" else ""
+                digests.append(
+                    hashlib.md5(
+                        f"{i2i.name}{i2i.type}{i2i.column}{i2i.prompt}{extra}".encode()
+                    ).hexdigest()
+                )
+        for u2u in self.user_to_user:
+            if f"user-to-user/{u2u.name}" in selected:
+                extra = fb_types if u2u.type == "items" else ""
+                digests.append(
+                    hashlib.md5(
+                        f"{u2u.name}{u2u.type}{u2u.column}{extra}".encode()
+                    ).hexdigest()
+                )
+        for ext in self.external:
+            if f"external/{ext.name}" in selected:
+                digests.append(ext.digest())
+        if "collaborative" in selected:
+            digests.append(hashlib.md5(fb_types.encode()).hexdigest())
+        if "latest" in selected:
+            digests.append("latest")
+        return hashlib.md5("".join(digests).encode()).hexdigest()
+
 
 @dataclasses.dataclass
 class OpenAIConfig:
