@@ -428,7 +428,12 @@ class MasterRestServer(RestServer):
         return [{"Name": p.name, "Timestamp": p.timestamp, "Value": p.value} for p in points]
 
     def get_config(self, req) -> dict:
-        return json.loads(self.config.to_json())
+        cfg = json.loads(self.config.to_json())
+        if self.config.master.dashboard_redacted:
+            # hide store URLs/credentials from dashboard viewers
+            # (reference: getConfig deletes "database", master/rest.go:594-601)
+            cfg.pop("database", None)
+        return cfg
 
     def post_config(self, req) -> dict:
         """Persist a recommend-config override into the meta store and apply

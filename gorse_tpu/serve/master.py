@@ -597,11 +597,13 @@ class Master:
         self.update_user_to_user(data)
         self.train_collaborative_filtering(data)
         self.train_click_through_rate(data)
-        if search:
-            self.search_model(data, "cf")
-        # periodic hyper-parameter search (reference: master/tasks.go:260-266 —
-        # optimize tasks appended when OptimizePeriod > 0)
         now = time.time()
+        if search:
+            self._last_optimize["cf"] = now
+            self.search_model(data, "cf")
+        # periodic hyper-parameter search (reference: master/tasks.go:260-266
+        # runs the optimize task when OptimizePeriod > 0; here additionally
+        # throttled to at most once per optimize_period)
         cf_cfg = self.config.recommend.collaborative
         if (
             cf_cfg.optimize_period > 0

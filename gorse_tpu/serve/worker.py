@@ -111,8 +111,10 @@ class Worker:
         worker/pipeline.go:316-369), clause for clause: (1) empty cache is
         stale; (2) missing/mismatched digest is stale; (3) missing update
         time is stale; (4) older than recommend.cache_expire is stale;
-        (5) a user inactive since the last update stays fresh until
-        ranker.cache_expire; an active-since-update user is stale."""
+        (5) a user inactive since the last update is additionally re-checked
+        against ranker.cache_expire (only tightens staleness when it is set
+        below recommend.cache_expire — clause 4 dominates otherwise, exactly
+        as in the reference); an active-since-update user is stale."""
         if not self.cache.search_scores(ck.RECOMMEND, user_id):
             return True
         digest = self.cache.get(key(ck.RECOMMEND_DIGEST, user_id))
@@ -269,7 +271,11 @@ class Worker:
         (reference: rankByCollaborativeFiltering / rankByClickTroughRate
         worker/pipeline.go:421-470)."""
         cfg = self.config.recommend
-        if cfg.ranker.type == "llm" and self.openai_client is not None:
+        # the reranker-API path needs no OpenAI client (reference:
+        # NewChatReranker only takes RerankerAPIConfig + templates)
+        if cfg.ranker.type == "llm" and (
+            cfg.ranker.reranker_api.url or self.openai_client is not None
+        ):
             return self._rank_llm(candidates)
         if cfg.ranker.type != "fm" or self.ctr_model is None or not self.ctr_model.is_fitted():
             return {

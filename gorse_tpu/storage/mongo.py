@@ -292,7 +292,7 @@ class MongoCacheStore(CacheStore):
         reply = self.conn.command(
             self.db,
             {
-                "findAndModify": "queue",
+                "findAndModify": self._n("queue"),
                 "query": {"name": name},
                 "sort": {"seq": 1},
                 "remove": True,

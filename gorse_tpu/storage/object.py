@@ -646,8 +646,9 @@ def open_blob_store_from_config(blob_cfg, override: str = "", fallback: str = ""
     u = urllib.parse.urlsplit(uri)
     if u.username is not None or "@" in u.netloc:
         return open_blob_store(uri)  # credentials inline already
-    if u.scheme == "s3" and blob_cfg.s3.endpoint:
-        ep = blob_cfg.s3.endpoint
+    if u.scheme == "s3" and (blob_cfg.s3.endpoint or blob_cfg.s3.access_key_id):
+        # credentials without an endpoint mean real AWS S3
+        ep = blob_cfg.s3.endpoint or "https://s3.amazonaws.com"
         secure = ep.startswith("https://")
         host = ep.split("://")[-1].rstrip("/")
         creds = (

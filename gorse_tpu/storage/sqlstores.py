@@ -448,20 +448,20 @@ class GenericSQLDataStore(DataStore):
 
     # -- counts / lifecycle --------------------------------------------------
     def count_users(self) -> int:
-        return int(self.conn.query(self.d.count("users"))[0][0])
+        return int(self._q(self.d.count("users"))[0][0])
 
     def count_items(self) -> int:
-        return int(self.conn.query(self.d.count("items"))[0][0])
+        return int(self._q(self.d.count("items"))[0][0])
 
     def count_feedback(self) -> int:
-        return int(self.conn.query(self.d.count("feedback"))[0][0])
+        return int(self._q(self.d.count("feedback"))[0][0])
 
     def purge(self) -> None:
         for t in ("users", "items", "feedback"):
             if self.d.name == "clickhouse":
-                self.conn.query(f"TRUNCATE TABLE {t}")
+                self._q(f"TRUNCATE TABLE {t}")
             else:
-                self.conn.query(f"DELETE FROM {t}")
+                self._q(f"DELETE FROM {t}")
 
     def ping(self) -> bool:
         return self.conn.ping()

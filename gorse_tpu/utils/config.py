@@ -614,48 +614,50 @@ def _from_dict(cls, d: dict):
 
 
 # GORSE_* environment overrides (reference: config/config.go:690-721
-# viper.BindEnv table — same variable names, applied over the file config)
-_ENV_BINDINGS: list[tuple[str, str]] = [
-    ("database.cache_store", "GORSE_CACHE_STORE"),
-    ("database.data_store", "GORSE_DATA_STORE"),
-    ("database.vector_store", "GORSE_VECTOR_STORE"),
-    ("database.table_prefix", "GORSE_TABLE_PREFIX"),
-    ("database.cache_table_prefix", "GORSE_CACHE_TABLE_PREFIX"),
-    ("database.cache_client_name", "GORSE_CACHE_CLIENT_NAME"),
-    ("database.data_table_prefix", "GORSE_DATA_TABLE_PREFIX"),
-    ("database.vector_table_prefix", "GORSE_VECTOR_TABLE_PREFIX"),
-    ("database.vector.quantization_type", "GORSE_VECTOR_QUANTIZATION_TYPE"),
-    ("database.vector.quantization_bits", "GORSE_VECTOR_QUANTIZATION_BITS"),
-    ("master.port", "GORSE_MASTER_PORT"),
-    ("master.host", "GORSE_MASTER_HOST"),
-    ("master.ssl_mode", "GORSE_MASTER_SSL_MODE"),
-    ("master.ssl_ca", "GORSE_MASTER_SSL_CA"),
-    ("master.ssl_cert", "GORSE_MASTER_SSL_CERT"),
-    ("master.ssl_key", "GORSE_MASTER_SSL_KEY"),
-    ("master.http_port", "GORSE_MASTER_HTTP_PORT"),
-    ("master.http_host", "GORSE_MASTER_HTTP_HOST"),
-    ("master.n_jobs", "GORSE_MASTER_JOBS"),
-    ("master.dashboard_user_name", "GORSE_DASHBOARD_USER_NAME"),
-    ("master.dashboard_password", "GORSE_DASHBOARD_PASSWORD"),
-    ("master.dashboard_redacted", "GORSE_DASHBOARD_REDACTED"),
-    ("master.admin_api_key", "GORSE_ADMIN_API_KEY"),
-    ("server.api_key", "GORSE_SERVER_API_KEY"),
-    ("oidc.enable", "GORSE_OIDC_ENABLE"),
-    ("oidc.issuer", "GORSE_OIDC_ISSUER"),
-    ("oidc.client_id", "GORSE_OIDC_CLIENT_ID"),
-    ("oidc.client_secret", "GORSE_OIDC_CLIENT_SECRET"),
-    ("oidc.redirect_url", "GORSE_OIDC_REDIRECT_URL"),
-    ("blob.uri", "GORSE_BLOB_URI"),
+# viper.BindEnv table — same variable names, applied over the file config).
+# The third element is the target type: env strings are coerced by the
+# DESTINATION field's type, never by what the value happens to look like
+# (an api key of "123456" must stay a string).
+_ENV_BINDINGS: list[tuple[str, str, type]] = [
+    ("database.cache_store", "GORSE_CACHE_STORE", str),
+    ("database.data_store", "GORSE_DATA_STORE", str),
+    ("database.vector_store", "GORSE_VECTOR_STORE", str),
+    ("database.table_prefix", "GORSE_TABLE_PREFIX", str),
+    ("database.cache_table_prefix", "GORSE_CACHE_TABLE_PREFIX", str),
+    ("database.cache_client_name", "GORSE_CACHE_CLIENT_NAME", str),
+    ("database.data_table_prefix", "GORSE_DATA_TABLE_PREFIX", str),
+    ("database.vector_table_prefix", "GORSE_VECTOR_TABLE_PREFIX", str),
+    ("database.vector.quantization_type", "GORSE_VECTOR_QUANTIZATION_TYPE", str),
+    ("database.vector.quantization_bits", "GORSE_VECTOR_QUANTIZATION_BITS", int),
+    ("master.port", "GORSE_MASTER_PORT", int),
+    ("master.host", "GORSE_MASTER_HOST", str),
+    ("master.ssl_mode", "GORSE_MASTER_SSL_MODE", bool),
+    ("master.ssl_ca", "GORSE_MASTER_SSL_CA", str),
+    ("master.ssl_cert", "GORSE_MASTER_SSL_CERT", str),
+    ("master.ssl_key", "GORSE_MASTER_SSL_KEY", str),
+    ("master.http_port", "GORSE_MASTER_HTTP_PORT", int),
+    ("master.http_host", "GORSE_MASTER_HTTP_HOST", str),
+    ("master.n_jobs", "GORSE_MASTER_JOBS", int),
+    ("master.dashboard_user_name", "GORSE_DASHBOARD_USER_NAME", str),
+    ("master.dashboard_password", "GORSE_DASHBOARD_PASSWORD", str),
+    ("master.dashboard_redacted", "GORSE_DASHBOARD_REDACTED", bool),
+    ("master.admin_api_key", "GORSE_ADMIN_API_KEY", str),
+    ("server.api_key", "GORSE_SERVER_API_KEY", str),
+    ("oidc.enable", "GORSE_OIDC_ENABLE", bool),
+    ("oidc.issuer", "GORSE_OIDC_ISSUER", str),
+    ("oidc.client_id", "GORSE_OIDC_CLIENT_ID", str),
+    ("oidc.client_secret", "GORSE_OIDC_CLIENT_SECRET", str),
+    ("oidc.redirect_url", "GORSE_OIDC_REDIRECT_URL", str),
+    ("blob.uri", "GORSE_BLOB_URI", str),
 ]
 
 
-def _env_value(s: str):
-    if s.lower() in ("true", "false"):
-        return s.lower() == "true"
-    try:
+def _env_value(s: str, target: type):
+    if target is bool:
+        return s.strip().lower() in ("1", "true", "yes", "on")
+    if target is int:
         return int(s)
-    except ValueError:
-        return s
+    return s
 
 
 def apply_env_overrides(raw: dict, environ=None) -> dict:
@@ -663,13 +665,13 @@ def apply_env_overrides(raw: dict, environ=None) -> dict:
     import os
 
     environ = os.environ if environ is None else environ
-    for key, env in _ENV_BINDINGS:
+    for key, env, target in _ENV_BINDINGS:
         if env in environ:
             parts = key.split(".")
             d = raw
             for p in parts[:-1]:
                 d = d.setdefault(p, {})
-            d[parts[-1]] = _env_value(environ[env])
+            d[parts[-1]] = _env_value(environ[env], target)
     return raw
 
 

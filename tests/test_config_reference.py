@@ -444,3 +444,62 @@ def test_env_overrides(tmp_path, monkeypatch):
     cfg2 = default_config()
     assert cfg2.database.data_store == "sqlite://env.db"
     assert cfg2.master.http_port == 9999
+
+
+def test_env_value_types(monkeypatch):
+    """Env coercion follows the destination field's type: numeric-looking
+    api keys stay strings (review finding)."""
+    from gorse_tpu.utils.config import default_config
+
+    monkeypatch.setenv("GORSE_SERVER_API_KEY", "123456")
+    monkeypatch.setenv("GORSE_TABLE_PREFIX", "123")
+    monkeypatch.setenv("GORSE_MASTER_PORT", "9001")
+    monkeypatch.setenv("GORSE_MASTER_SSL_MODE", "false")
+    cfg = default_config()
+    assert cfg.server.api_key == "123456"
+    assert cfg.database.table_prefix == "123"
+    assert cfg.master.port == 9001
+    assert cfg.master.ssl_mode is False
+
+
+def test_sql_prefix_counts_and_purge_isolated():
+    """count_*/purge respect the table prefix (review finding: they must not
+    touch another tenant's unprefixed tables)."""
+    from gorse_tpu.storage.data import open_data_store
+    from gorse_tpu.storage.minisql import MiniPostgres
+    from gorse_tpu.storage.types import User
+
+    mini = MiniPostgres().start()
+    try:
+        a = open_data_store(mini.url(), table_prefix="a_")
+        b = open_data_store(mini.url(), table_prefix="b_")
+        a.insert_users([User("u1")])
+        b.insert_users([User("u2"), User("u3")])
+        assert a.count_users() == 1
+        assert b.count_users() == 2
+        a.purge()
+        assert a.count_users() == 0
+        assert b.count_users() == 2, "purge must not cross the prefix boundary"
+        a.close()
+        b.close()
+    finally:
+        mini.stop()
+
+
+def test_mongo_prefix_queue_pop():
+    from gorse_tpu.storage.minimongo import MiniMongo
+    from gorse_tpu.storage.mongo import MongoCacheStore
+
+    mini = MiniMongo().start()
+    try:
+        a = MongoCacheStore(mini.url(), collection_prefix="a_")
+        b = MongoCacheStore(mini.url(), collection_prefix="b_")
+        a.push("q", "va")
+        b.push("q", "vb")
+        assert a.pop("q") == "va"
+        assert b.pop("q") == "vb"
+        assert a.pop("q") is None
+        a.close()
+        b.close()
+    finally:
+        mini.stop()

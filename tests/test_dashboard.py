@@ -385,3 +385,15 @@ def test_chat_completions_proxy(node):
         n.master.config.openai.base_url = ""
         n.master.config.openai.chat_completion_model = ""
         server.close()
+
+
+def test_dashboard_redacted_config(node):
+    """dashboard_redacted hides the database section (reference:
+    master/rest.go:594-601)."""
+    n, base = node
+    status, cfg = _get(base, "/api/dashboard/config")
+    assert status == 200 and "database" in cfg
+    n.config.master.dashboard_redacted = True
+    status, cfg = _get(base, "/api/dashboard/config")
+    assert status == 200 and "database" not in cfg
+    n.config.master.dashboard_redacted = False

@@ -140,3 +140,72 @@ def test_worker_llm_ranking(tmp_path, mock_server, client):
     n = worker.sync_and_recommend(master)
     assert n == 10
     assert cache.search_scores(ck.RECOMMEND, "u1", None, 0, 5)
+
+
+def test_worker_reranker_api_without_openai(tmp_path):
+    """ranker.type=llm with [reranker_api] configured ranks through the
+    reranker HTTP API and needs no OpenAI client (reference:
+    NewChatReranker worker/pipeline.go:233-242)."""
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from gorse_tpu.serve import Master, Worker
+    from gorse_tpu.storage import BlobStore, Feedback, MemoryCacheStore, MemoryDataStore, MetaStore
+    from gorse_tpu.storage import cache as ck
+    from gorse_tpu.storage import Item as SItem
+    from gorse_tpu.utils.config import Config
+
+    seen = {}
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            body = _json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+            seen["query"] = body["query"]
+            seen["auth"] = self.headers.get("Authorization")
+            # reverse order, descending relevance
+            results = [
+                {"index": i, "relevance_score": float(i)}
+                for i in range(len(body["documents"]) - 1, -1, -1)
+            ]
+            payload = _json.dumps({"results": results}).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        config = Config()
+        config.recommend.ranker.type = "llm"
+        config.recommend.ranker.recommenders = ["collaborative"]
+        config.recommend.ranker.reranker_api.url = f"http://127.0.0.1:{httpd.server_port}/rerank"
+        config.recommend.ranker.reranker_api.auth_token = "sekret"
+        config.recommend.ranker.query_template = "user={{ user.user_id }}"
+        config.recommend.ranker.document_template = "doc={{ item.item_id }}"
+        data = MemoryDataStore()
+        rng = np.random.default_rng(1)
+        data.insert_items([SItem(f"i{k}", timestamp=float(k)) for k in range(20)])
+        data.insert_feedback(
+            [
+                Feedback("like", f"u{u}", f"i{i}", timestamp=float(rng.integers(1, 100)))
+                for u in range(5)
+                for i in rng.choice(20, size=5, replace=False)
+            ]
+        )
+        cache = MemoryCacheStore()
+        blob = BlobStore(tmp_path / "blobs")
+        master = Master(config, data, cache, blob, MetaStore())
+        master.run_tasks_once()
+        worker = Worker(config, data, cache, blob, node_id="w0")  # no openai client
+        n = worker.sync_and_recommend(master)
+        assert n == 5
+        assert cache.search_scores(ck.RECOMMEND, "u1", None, 0, 5)
+        assert seen["query"] == "user=u1" or seen["query"].startswith("user=u")
+        assert seen["auth"] == "Bearer sekret"
+    finally:
+        httpd.shutdown()
