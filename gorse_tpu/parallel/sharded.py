@@ -189,14 +189,23 @@ def shard_bpr_inputs(mesh: Mesh, user_factors, item_factors, padded_pos, pos_cou
             [np.asarray(x), np.full((pad,) + x.shape[1:], fill, dtype=x.dtype)], axis=0
         )
 
+    def place(host_array, spec):
+        # make_array_from_callback works on single-process meshes AND on
+        # multi-host meshes where this process only addresses its own
+        # devices (each host holds the identical full array and contributes
+        # its addressable shards) — device_put would reject non-addressable
+        # placements under jax.distributed.
+        host_array = np.asarray(host_array)
+        return jax.make_array_from_callback(
+            host_array.shape, NamedSharding(mesh, spec), lambda idx: host_array[idx]
+        )
+
     uids = np.arange(n_users + pad, dtype=np.int32)
-    p = jax.device_put(pad_rows(np.asarray(user_factors), 0.0), NamedSharding(mesh, P(axes, None)))
-    q = jax.device_put(np.asarray(item_factors), NamedSharding(mesh, P()))
-    pp = jax.device_put(pad_rows(np.asarray(padded_pos), -1), NamedSharding(mesh, P(axes, None)))
-    pc = jax.device_put(
-        pad_rows(np.asarray(pos_counts, dtype=np.int32), 0), NamedSharding(mesh, P(axes))
-    )
-    uid_arr = jax.device_put(uids, NamedSharding(mesh, P(axes)))
+    p = place(pad_rows(np.asarray(user_factors), 0.0), P(axes, None))
+    q = place(np.asarray(item_factors), P())
+    pp = place(pad_rows(np.asarray(padded_pos), -1), P(axes, None))
+    pc = place(pad_rows(np.asarray(pos_counts, dtype=np.int32), 0), P(axes))
+    uid_arr = place(uids, P(axes))
     return p, q, pp, pc, uid_arr, n_users
 
 
