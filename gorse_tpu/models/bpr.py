@@ -283,12 +283,16 @@ class BPR(MatrixFactorization):
                 mesh, p, q, csr.padded, csr.counts
             )
             if use_fused:
-                from jax.sharding import NamedSharding, PartitionSpec as P
+                from jax.sharding import PartitionSpec as P
+
+                from ..parallel.sharded import place_global
 
                 epoch_sharded = make_sharded_bpr_epoch_fused(
                     mesh, n_steps=n_steps, n_items=n_items, lr=self.lr, reg=self.reg,
                 )
-                q = jax.device_put(pack_items(q), NamedSharding(mesh, P()))
+                # multihost-safe replicated placement (device_put rejects
+                # non-addressable devices under jax.distributed)
+                q = place_global(mesh, pack_items(q), P())
             else:
                 epoch_sharded = make_sharded_bpr_epoch(
                     mesh, n_steps=n_steps, n_items=n_items, lr=self.lr, reg=self.reg

@@ -198,84 +198,83 @@ def _fully_fused_kernel(
         cost_scratch[0, 0] = 0.0
 
     qp_mm = qp_ref[:].astype(mm_dtype)
-    if True:
-        qd = qd_scratch[:]
-        cost = cost_scratch[0, 0]
-        pc = pc_ref[:]  # [TB, 1]
-        pp = pp_ref[:]  # [TB, L]
-        active = (pc > 0).astype(jnp.float32)
-        p = p_ref[:]
+    qd = qd_scratch[:]
+    cost = cost_scratch[0, 0]
+    pc = pc_ref[:]  # [TB, 1]
+    pp = pp_ref[:]  # [TB, L]
+    active = (pc > 0).astype(jnp.float32)
+    p = p_ref[:]
 
-        # --- positive: uniform slot in [0, count), one-hot select from pp
-        bits = pltpu.bitcast(pltpu.prng_random_bits((block_u, 1)), jnp.uint32)
-        slot = (bits % jnp.maximum(pc, 1).astype(jnp.uint32)).astype(jnp.int32)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (block_u, max_len), 1)
-        pos = jnp.sum(jnp.where(lane == slot, pp, 0), axis=1, keepdims=True)
-        pos = jnp.maximum(pos, 0)  # [TB, 1]
+    # --- positive: uniform slot in [0, count), one-hot select from pp
+    bits = pltpu.bitcast(pltpu.prng_random_bits((block_u, 1)), jnp.uint32)
+    slot = (bits % jnp.maximum(pc, 1).astype(jnp.uint32)).astype(jnp.int32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (block_u, max_len), 1)
+    pos = jnp.sum(jnp.where(lane == slot, pp, 0), axis=1, keepdims=True)
+    pos = jnp.maximum(pos, 0)  # [TB, 1]
 
-        # --- negative: K-way rejection against pp (first non-colliding
-        # draw wins; if all K collide, fall back to the first draw — the
-        # XLA path's semantics, probability ~ density**K)
-        neg = jnp.zeros((block_u, 1), jnp.int32)
-        first_draw = jnp.zeros((block_u, 1), jnp.int32)
-        ok = jnp.zeros((block_u, 1), jnp.bool_)
-        for t in range(n_tries):
-            cbits = pltpu.bitcast(pltpu.prng_random_bits((block_u, 1)), jnp.uint32)
-            c = (cbits % jnp.uint32(n_items)).astype(jnp.int32)
-            if t == 0:
-                first_draw = c
-            collides = jnp.any(pp == c, axis=1, keepdims=True)
-            take = jnp.logical_and(jnp.logical_not(ok), jnp.logical_not(collides))
-            neg = jnp.where(take, c, neg)
-            ok = jnp.logical_or(ok, jnp.logical_not(collides))
-        neg = jnp.where(ok, neg, first_draw)
-        pos_out_ref[:] = pos
-        neg_out_ref[:] = neg
+    # --- negative: K-way rejection against pp (first non-colliding
+    # draw wins; if all K collide, fall back to the first draw — the
+    # XLA path's semantics, probability ~ density**K)
+    neg = jnp.zeros((block_u, 1), jnp.int32)
+    first_draw = jnp.zeros((block_u, 1), jnp.int32)
+    ok = jnp.zeros((block_u, 1), jnp.bool_)
+    for t in range(n_tries):
+        cbits = pltpu.bitcast(pltpu.prng_random_bits((block_u, 1)), jnp.uint32)
+        c = (cbits % jnp.uint32(n_items)).astype(jnp.int32)
+        if t == 0:
+            first_draw = c
+        collides = jnp.any(pp == c, axis=1, keepdims=True)
+        take = jnp.logical_and(jnp.logical_not(ok), jnp.logical_not(collides))
+        neg = jnp.where(take, c, neg)
+        ok = jnp.logical_or(ok, jnp.logical_not(collides))
+    neg = jnp.where(ok, neg, first_draw)
+    pos_out_ref[:] = pos
+    neg_out_ref[:] = neg
 
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (block_u, rows_pad), 1)
-        oh_pos = (row_ids == pos // pack).astype(mm_dtype)
-        oh_neg = (row_ids == neg // pack).astype(mm_dtype)
-        g_pos = jnp.dot(oh_pos, qp_mm, preferred_element_type=jnp.float32)
-        g_neg = jnp.dot(oh_neg, qp_mm, preferred_element_type=jnp.float32)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (block_u, rows_pad), 1)
+    oh_pos = (row_ids == pos // pack).astype(mm_dtype)
+    oh_neg = (row_ids == neg // pack).astype(mm_dtype)
+    g_pos = jnp.dot(oh_pos, qp_mm, preferred_element_type=jnp.float32)
+    g_neg = jnp.dot(oh_neg, qp_mm, preferred_element_type=jnp.float32)
 
-        if pack == 1:
-            qi, qj = g_pos, g_neg
-        else:
-            lane_pos = pos % pack
-            lane_neg = neg % pack
-            qi = jnp.zeros((block_u, k), jnp.float32)
-            qj = jnp.zeros((block_u, k), jnp.float32)
-            for g in range(pack):
-                qi = qi + jnp.where(lane_pos == g, g_pos[:, g * k:(g + 1) * k], 0.0)
-                qj = qj + jnp.where(lane_neg == g, g_neg[:, g * k:(g + 1) * k], 0.0)
+    if pack == 1:
+        qi, qj = g_pos, g_neg
+    else:
+        lane_pos = pos % pack
+        lane_neg = neg % pack
+        qi = jnp.zeros((block_u, k), jnp.float32)
+        qj = jnp.zeros((block_u, k), jnp.float32)
+        for g in range(pack):
+            qi = qi + jnp.where(lane_pos == g, g_pos[:, g * k:(g + 1) * k], 0.0)
+            qj = qj + jnp.where(lane_neg == g, g_neg[:, g * k:(g + 1) * k], 0.0)
 
-        diff = jnp.sum(p * (qi - qj), axis=-1, keepdims=True)
-        cost = cost + jnp.sum(active * jnp.logaddexp(0.0, -diff))
-        grad = active * jax.nn.sigmoid(-diff)
-        d_qi = active * (lr * (grad * p - reg * qi))
-        d_qj = active * (lr * (-grad * p - reg * qj))
-        d_pu = active * (lr * (grad * (qi - qj) - reg * p))
-        p_out_ref[:] = p + d_pu
+    diff = jnp.sum(p * (qi - qj), axis=-1, keepdims=True)
+    cost = cost + jnp.sum(active * jnp.logaddexp(0.0, -diff))
+    grad = active * jax.nn.sigmoid(-diff)
+    d_qi = active * (lr * (grad * p - reg * qi))
+    d_qj = active * (lr * (-grad * p - reg * qj))
+    d_pu = active * (lr * (grad * (qi - qj) - reg * p))
+    p_out_ref[:] = p + d_pu
 
-        if pack == 1:
-            dp_pos, dp_neg = d_qi, d_qj
-        else:
-            dp_pos = jnp.concatenate(
-                [jnp.where(lane_pos == g, d_qi, 0.0) for g in range(pack)], axis=1
-            )
-            dp_neg = jnp.concatenate(
-                [jnp.where(lane_neg == g, d_qj, 0.0) for g in range(pack)], axis=1
-            )
-        qd = qd + jax.lax.dot_general(
-            oh_pos, dp_pos.astype(mm_dtype), dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+    if pack == 1:
+        dp_pos, dp_neg = d_qi, d_qj
+    else:
+        dp_pos = jnp.concatenate(
+            [jnp.where(lane_pos == g, d_qi, 0.0) for g in range(pack)], axis=1
         )
-        qd = qd + jax.lax.dot_general(
-            oh_neg, dp_neg.astype(mm_dtype), dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        dp_neg = jnp.concatenate(
+            [jnp.where(lane_neg == g, d_qj, 0.0) for g in range(pack)], axis=1
         )
-        qd_scratch[:] = qd
-        cost_scratch[0, 0] = cost
+    qd = qd + jax.lax.dot_general(
+        oh_pos, dp_pos.astype(mm_dtype), dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    qd = qd + jax.lax.dot_general(
+        oh_neg, dp_neg.astype(mm_dtype), dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    qd_scratch[:] = qd
+    cost_scratch[0, 0] = cost
 
     @pl.when(blk == pl.num_programs(0) - 1)
     def _():

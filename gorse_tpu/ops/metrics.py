@@ -87,21 +87,25 @@ def auc(labels: jax.Array, predictions: jax.Array, valid: jax.Array | None = Non
         valid = jnp.ones_like(labels, dtype=bool)
     # push invalid entries to the bottom so their ranks don't disturb positives
     preds = jnp.where(valid, predictions, NEG_INF)
-    order = jnp.argsort(preds)
-    ranks = jnp.empty_like(order).at[order].set(jnp.arange(1, len(order) + 1))
+    # TRUE average ranks for ties via two searchsorted passes (a double
+    # argsort assigns arbitrary distinct ranks to ties, making the result
+    # depend on row order — on fully tied inputs it returned 0.0 or 1.0)
+    sorted_p = jnp.sort(preds)
+    lo = jnp.searchsorted(sorted_p, preds, side="left")
+    hi = jnp.searchsorted(sorted_p, preds, side="right")
+    avg_rank = (lo + hi + 1).astype(jnp.float32) * 0.5  # 1-based average rank
     pos = (labels > 0.5) & valid
-    n_pos = jnp.sum(pos)
-    n_neg = jnp.sum(valid) - n_pos
-    sum_pos_ranks = jnp.sum(jnp.where(pos, ranks, 0))
+    # float32 throughout: int32 rank sums / n_pos*n_neg overflow past ~46k
+    # positives; the f32 rounding error is ~2^-24 RELATIVE to the rank sum,
+    # which divides by a same-magnitude denominator, so AUC error stays ~1e-7
+    n_pos = jnp.sum(pos).astype(jnp.float32)
+    n_valid = jnp.sum(valid).astype(jnp.float32)
+    n_neg = n_valid - n_pos
     # invalid entries occupy the lowest ranks; shift positive ranks down
-    n_invalid = len(order) - jnp.sum(valid)
-    sum_pos_ranks = sum_pos_ranks - n_pos * n_invalid
-    numer = sum_pos_ranks - n_pos * (n_pos + 1) // 2
-    return jnp.where(
-        (n_pos > 0) & (n_neg > 0),
-        numer.astype(jnp.float32) / (n_pos * n_neg).astype(jnp.float32),
-        0.5,
-    )
+    n_invalid = jnp.float32(preds.shape[0]) - n_valid
+    sum_pos_ranks = jnp.sum(jnp.where(pos, avg_rank, 0.0)) - n_pos * n_invalid
+    numer = sum_pos_ranks - n_pos * (n_pos + 1.0) * 0.5
+    return jnp.where((n_pos > 0) & (n_neg > 0), numer / (n_pos * n_neg), 0.5)
 
 
 @jax.jit

@@ -99,6 +99,8 @@ def sq_topk(
     "euclidean" (needs ``norms2 = ||v||^2``; returns negative distances so
     larger is always better).
     """
+    if metric == "euclidean" and norms2 is None:
+        raise ValueError("sq_topk(metric='euclidean') requires norms2 (||v||^2 per row)")
     q = queries.astype(jnp.float32)
     partial = jnp.dot(
         q, codes.astype(jnp.bfloat16).T, preferred_element_type=jnp.float32

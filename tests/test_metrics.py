@@ -116,3 +116,45 @@ def test_classification_metrics():
     assert float(out["Accuracy"]) == 0.5
     assert float(out["Precision"]) == 0.5
     assert float(out["Recall"]) == 0.5
+
+
+def test_auc_tie_symmetry():
+    """Tied predictions give 0.5 credit regardless of row order
+    (review finding: double-argsort ranks made AUC order-dependent)."""
+    import jax.numpy as jnp
+
+    from gorse_tpu.ops.metrics import auc
+
+    assert float(auc(jnp.array([1.0, 0.0]), jnp.array([0.5, 0.5]))) == 0.5
+    assert float(auc(jnp.array([0.0, 1.0]), jnp.array([0.5, 0.5]))) == 0.5
+    # mixed ties: positives tied with half the negatives
+    labels = jnp.array([1.0, 1.0, 0.0, 0.0])
+    preds = jnp.array([0.7, 0.5, 0.5, 0.1])
+    # pairs: (p1,n1)=win, (p1,n2)=win, (p2,n1)=tie(0.5), (p2,n2)=win -> 3.5/4
+    assert float(auc(labels, preds)) == 0.875
+
+
+def test_auc_large_no_overflow():
+    """Rank sums stay finite past the int32 range (review finding:
+    n_pos*n_neg overflowed at ~46k positives)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gorse_tpu.ops.metrics import auc
+
+    rng = np.random.default_rng(0)
+    n = 120_000
+    labels = (rng.random(n) < 0.5).astype(np.float32)
+    preds = labels * 0.8 + rng.standard_normal(n).astype(np.float32)
+    a = float(auc(jnp.asarray(labels), jnp.asarray(preds)))
+    # float64 reference with average ranks
+    order = np.argsort(preds, kind="stable")
+    ranks = np.empty(n); ranks[order] = np.arange(1, n + 1)
+    # average tie ranks
+    sp = np.sort(preds)
+    lo = np.searchsorted(sp, preds, "left"); hi = np.searchsorted(sp, preds, "right")
+    avg = (lo + hi + 1) / 2.0
+    npos = labels.sum(); nneg = n - npos
+    ref = (avg[labels > 0.5].sum() - npos * (npos + 1) / 2) / (npos * nneg)
+    assert 0.0 <= a <= 1.0
+    assert abs(a - ref) < 1e-5
