@@ -9,6 +9,7 @@ master over HTTP and at shared store URLs.
 from __future__ import annotations
 
 import argparse
+import os
 import logging
 import threading
 
@@ -51,7 +52,7 @@ def master_main() -> None:
 
         vectors = open_vector_store(config.database.vector_store)
     master = Master(config, data, cache, blob, meta, vector_store=vectors)
-    rest = MasterRestServer(master, api_key=config.master.admin_api_key)
+    rest = MasterRestServer(master, api_key=config.server.api_key)
     rest.serve(args.host or config.master.http_host, args.port or config.master.http_port)
     # gRPC control plane: meta/progress/blob + storage proxy for node-local
     # stores (reference: master/master.go:371-393), mTLS per config.
@@ -92,6 +93,8 @@ def server_main() -> None:
     from .. import __version__
 
     parser.add_argument("--version", action="version", version=f"gorse-tpu-server {__version__}")
+    parser.add_argument("--api-key", default=os.environ.get("GORSE_ADMIN_API_KEY", ""),
+                        help="master admin API key for /api/admin sync")
     parser.add_argument("--master", default="")
     parser.add_argument("--master-host", default="127.0.0.1")
     parser.add_argument("--master-port", type=int, default=8088)
@@ -100,7 +103,7 @@ def server_main() -> None:
     args = parser.parse_args()
     _logging()
     master_url = args.master or f"http://{args.master_host}:{args.master_port}"
-    node = ServerNode(master_url)
+    node = ServerNode(master_url, api_key=args.api_key)
     node.serve(args.http_host, args.http_port)
     threading.Event().wait()
 
@@ -112,6 +115,8 @@ def worker_main() -> None:
     from .. import __version__
 
     parser.add_argument("--version", action="version", version=f"gorse-tpu-worker {__version__}")
+    parser.add_argument("--api-key", default=os.environ.get("GORSE_ADMIN_API_KEY", ""),
+                        help="master admin API key for /api/admin sync")
     parser.add_argument("--master", default="")
     parser.add_argument("--master-host", default="127.0.0.1")
     parser.add_argument("--master-port", type=int, default=8088)
@@ -121,7 +126,7 @@ def worker_main() -> None:
     args = parser.parse_args()
     _logging()
     master_url = args.master or f"http://{args.master_host}:{args.master_port}"
-    node = WorkerNode(master_url, meta_timeout=args.meta_timeout)
+    node = WorkerNode(master_url, meta_timeout=args.meta_timeout, api_key=args.api_key)
     if args.http_port:
         node.serve_http(args.http_host, args.http_port)
     node.serve()

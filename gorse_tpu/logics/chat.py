@@ -203,5 +203,10 @@ class LLMReranker:
             s = by_id.pop(item_id, None)
             if s is not None:
                 out.append(Score(s.id, float(len(ranked_ids) - rank), s.categories, s.timestamp))
-        out.extend(by_id.values())  # unranked keep original relative order
+        # unranked leftovers keep their relative order but must score BELOW
+        # every LLM-ranked item — results are served from a score-ordered
+        # cache, so leaving their original (e.g. timestamp-scale) scores
+        # would put an omitted candidate above the whole LLM ranking
+        for i, s in enumerate(by_id.values()):
+            out.append(Score(s.id, float(-1 - i), s.categories, s.timestamp))
         return out

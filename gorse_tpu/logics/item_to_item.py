@@ -25,6 +25,17 @@ from ..ops.similarity import embedding_neighbors, idf_neighbors, incidence_matri
 from ..storage.types import Item, Score
 
 
+def derive_idf(label_lists: list[list[int]], n_docs: int) -> np.ndarray:
+    """IDF weights from a pushed corpus: log(N / doc-frequency) (reference:
+    the IDF derivations in logics/item_to_item.go:324-366)."""
+    n_labels = max((max(l) + 1 for l in label_lists if l), default=1)
+    counts = np.zeros(n_labels)
+    for ls in label_lists:
+        for l in ls:
+            counts[l] += 1
+    return np.log(max(n_docs, 1) / np.maximum(counts, 1)).astype(np.float32)
+
+
 @dataclasses.dataclass
 class ItemToItemConfig:
     """Mirror of config.ItemToItemConfig."""
@@ -130,19 +141,16 @@ class TagsItemToItem(BaseItemToItem):
         k = min(self.n, len(self.items) - 1)
         return idf_neighbors(jnp.asarray(inc), jnp.asarray(idf), k_top=k)
 
+    def effective_idf(self) -> np.ndarray:
+        """Configured IDF, or one derived from the pushed corpus."""
+        if self.idf is not None:
+            return self.idf
+        return derive_idf(self.label_lists, len(self.items))
+
     def pop_all(self):
         if len(self.items) < 2:
             return [(i.item_id, []) for i in self.items]
-        idf = self.idf
-        if idf is None:
-            # derive IDF from pushed corpus
-            n_labels = max((max(l) + 1 for l in self.label_lists if l), default=1)
-            counts = np.zeros(n_labels)
-            for ls in self.label_lists:
-                for l in ls:
-                    counts[l] += 1
-            idf = np.log(max(len(self.items), 1) / np.maximum(counts, 1)).astype(np.float32)
-        dists, idxs = self._neighbors(self.label_lists, idf)
+        dists, idxs = self._neighbors(self.label_lists, self.effective_idf())
         return self._emit(np.asarray(dists), np.asarray(idxs))
 
 
@@ -152,7 +160,6 @@ class UsersItemToItem(TagsItemToItem):
 
     def __init__(self, cfg, n, timestamp=None, user_idf: np.ndarray | None = None):
         super().__init__(cfg, n, timestamp, idf=user_idf)
-        self.feedback_lists: list[list[int]] = []
 
     def push(self, item: Item, feedback: list[int]) -> None:
         self.items.append(item)
@@ -177,26 +184,20 @@ class AutoItemToItem(BaseItemToItem):
     def pop_all(self):
         if len(self.items) < 2:
             return [(i.item_id, []) for i in self.items]
+        import jax.numpy as jnp
+
+        from ..ops.similarity import idf_distance_matrix, incidence_matrix
+
         n_items = len(self.items)
 
-        def full_dist(t: TagsItemToItem):
-            idf = t.idf
-            if idf is None:
-                n_labels = max((max(l) + 1 for l in t.label_lists if l), default=1)
-                counts = np.zeros(n_labels)
-                for ls in t.label_lists:
-                    for l in ls:
-                        counts[l] += 1
-                idf = np.log(max(n_items, 1) / np.maximum(counts, 1)).astype(np.float32)
-            d, i = t._neighbors(t.label_lists, idf)
-            # expand top-k to a dense matrix so the two halves can be averaged
-            dense = np.ones((n_items, n_items), dtype=np.float32)
-            rows = np.repeat(np.arange(n_items), np.asarray(i).shape[1])
-            dense[rows, np.asarray(i).ravel()] = np.asarray(d).ravel()
-            return dense
+        def full_dist(t: TagsItemToItem) -> np.ndarray:
+            # the EXACT full pairwise distance for this half — averaging two
+            # top-k-only lists would substitute a sentinel for any pair
+            # outside one half's top-k and misrank the combined neighbors
+            idf = t.effective_idf()
+            inc = incidence_matrix(t.label_lists, len(idf))
+            return np.asarray(idf_distance_matrix(jnp.asarray(inc), jnp.asarray(idf)))
 
-        # exact averaged distance: recompute both as dense (catalog-size
-        # host matrices; fine at the scales the reference targets)
         dense = (full_dist(self.tags) + full_dist(self.users)) / 2.0
         np.fill_diagonal(dense, np.inf)
         k = min(self.n, n_items - 1)

@@ -21,6 +21,7 @@ from .item_to_item import (
     EmbeddingItemToItem,
     ItemToItemConfig,
     TagsItemToItem,
+    UsersItemToItem,
 )
 
 
@@ -75,21 +76,16 @@ class UserToUser:
         elif cfg.type == "tags":
             self._engine = TagsItemToItem(icfg, n, ts, idf=tag_idf, label_index=label_index)
         elif cfg.type == "items":
-            # co-consumed item sets, IDF-weighted by item popularity
-            self._engine = TagsItemToItem(icfg, n, ts, idf=item_idf)
-            self._engine._labels_of = None  # push() supplies sets directly
+            # co-consumed item sets, IDF-weighted by item popularity —
+            # UsersItemToItem's push already takes the set directly
+            self._engine = UsersItemToItem(icfg, n, ts, user_idf=item_idf)
         elif cfg.type == "auto":
             self._engine = AutoItemToItem(icfg, n, ts, tag_idf=tag_idf, user_idf=item_idf, label_index=label_index)
         else:
             raise ValueError(f"unknown user-to-user type {cfg.type!r}")
 
     def push(self, user: User, feedback: list[int]) -> None:
-        shim = _UserShim(user)
-        if self.cfg.type == "items":
-            self._engine.items.append(shim)
-            self._engine.label_lists.append(sorted(set(feedback)))
-        else:
-            self._engine.push(shim, feedback)
+        self._engine.push(_UserShim(user), feedback)
 
     def pop_all(self) -> list[tuple[str, list[Score]]]:
         return self._engine.pop_all()

@@ -91,6 +91,34 @@ def idf_neighbors(
     return dists.reshape(n_pad, k_top)[:n], idxs.reshape(n_pad, k_top)[:n]
 
 
+
+
+@jax.jit
+def idf_distance_matrix(incidence: jax.Array, idf: jax.Array) -> jax.Array:
+    """Full [N, N] IDF-weighted set-distance matrix (same formula and
+    special cases as :func:`idf_neighbors`, without top-k selection or
+    self-exclusion). Used where two similarity halves must be averaged
+    EXACTLY over every pair (the 'auto' type) — a top-k-only result would
+    substitute sentinels for out-of-top-k pairs."""
+    weighted = incidence * idf[None, :]
+    wsum = jnp.maximum(incidence @ idf, 0.0)
+    counts = jnp.sum(incidence, axis=1)
+    sqrt_wsum = jnp.sqrt(wsum)
+    common_sum = incidence @ weighted.T
+    common_cnt = incidence @ incidence.T
+    denom = sqrt_wsum[:, None] * sqrt_wsum[None, :] * (common_cnt + SHRINKAGE)
+    dist = 1.0 - common_sum * common_cnt / jnp.maximum(denom, 1e-12)
+    # identical sets -> 0 (counts equal on both sides and all common)
+    same = (
+        (counts[:, None] == counts[None, :])
+        & (common_cnt == counts[:, None])
+        & (counts[:, None] > 0)
+    )
+    dist = jnp.where(same, 0.0, dist)
+    # disjoint or empty -> 1
+    return jnp.where(common_cnt == 0, 1.0, dist)
+
+
 @functools.partial(jax.jit, static_argnames=("k_top", "metric"))
 def embedding_neighbors(
     embeddings: jax.Array,  # [N, d]

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import io
+import html
 import json
 import time
 
@@ -155,7 +156,7 @@ class MasterRestServer(RestServer):
         cursor = req.query.get("cursor", "")
         users = list(self.data.get_users(begin_id=cursor, limit=n))
         return {
-            "Cursor": users[-1].user_id if len(users) == n else "",
+            "Cursor": users[-1].user_id if users and len(users) == n else "",
             "Users": [self._user_detail(u) for u in users],
         }
 
@@ -308,6 +309,7 @@ class MasterRestServer(RestServer):
         html = (Path(__file__).parent / "dashboard.html").read_bytes()
         return RawResponse(html, "text/html; charset=utf-8")
     _PROTECTED_PREFIXES = (
+        "/api/admin",
         "/api/dashboard",
         "/api/dump",
         "/api/restore",
@@ -319,18 +321,20 @@ class MasterRestServer(RestServer):
     )
 
     def dispatch(self, method, path, query, body, headers):
-        # when dashboard login is configured, admin routes require a session
-        # (or the admin API key) even if no API key gates the public API
-        # (reference: master/rest.go:344-366)
+        # admin/dashboard routes (incl. /api/admin node sync, which carries
+        # the full config with credentials) require a login session or the
+        # admin API key whenever either protection is configured
+        # (reference: master/rest.go:344-366 + master.admin_api_key)
         hl = {k.lower(): v for k, v in headers.items()}
-        login_configured = bool(self.master.config.master.dashboard_user_name) or self.oidc is not None
-        if (
-            login_configured
-            and path.startswith(self._PROTECTED_PREFIXES)
-            and not self._session_ok(hl)
-            and not (self.api_key and hl.get("x-api-key") == self.api_key)
-        ):
-            return 401, {"error": "unauthorized"}
+        mcfg = self.master.config.master
+        login_configured = bool(mcfg.dashboard_user_name) or self.oidc is not None
+        admin_key = mcfg.admin_api_key
+        if (login_configured or admin_key) and path.startswith(self._PROTECTED_PREFIXES):
+            authed = self._session_ok(hl) or (
+                bool(admin_key) and hl.get("x-api-key") == admin_key
+            )
+            if not authed:
+                return 401, {"error": "unauthorized"}
         return super().dispatch(method, path, query, body, headers)
 
     def _session_ok(self, headers: dict) -> bool:
@@ -346,7 +350,9 @@ class MasterRestServer(RestServer):
             return Redirect(self.oidc.auth_url(self.oidc.new_state()))
         msg = req.query.get("msg", "")
         return RawResponse(
-            _LOGIN_FORM.format(msg=f"<p>{msg}</p>" if msg else "").encode(),
+            _LOGIN_FORM.format(
+                msg=f"<p>{html.escape(msg)}</p>" if msg else ""
+            ).encode(),
             "text/html",
         )
 

@@ -136,7 +136,23 @@ class Master:
 
     def _load_models_from_meta(self) -> None:
         """Resume serving the last trained models after restart
-        (reference: master/master.go:331-359)."""
+        (reference: master/master.go:331-359), plus any dashboard
+        recommend-config override persisted in the meta store (reference:
+        RECOMMEND_CONFIG applied over the file config, master/master.go:160-172)."""
+        from ..storage.meta import RECOMMEND_CONFIG
+
+        raw_override = self.meta.get(RECOMMEND_CONFIG)
+        if raw_override:
+            try:
+                override = json.loads(raw_override)
+                merged = json.loads(self.config.to_json())
+                merged["recommend"].update(override.get("recommend", override))
+                new_cfg = Config.from_json(json.dumps(merged))
+                new_cfg.validate()
+                self.config.recommend = new_cfg.recommend
+                logger.info("applied persisted recommend-config override")
+            except Exception as e:  # noqa: BLE001 — a bad override must not block startup
+                logger.warning("ignoring invalid RECOMMEND_CONFIG override: %s", e)
         cf_id = self.meta.get(COLLABORATIVE_FILTERING_MODEL)
         if cf_id and self.blob.exists(cf_id):
             try:

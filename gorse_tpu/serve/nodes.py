@@ -33,10 +33,22 @@ class MasterClient:
     """HTTP client for the master's node-sync endpoints (the gRPC
     MasterClient analog, worker/worker.go:139-259)."""
 
-    def __init__(self, master_url: str, node_type: str, node_id: str | None = None) -> None:
+    def __init__(
+        self, master_url: str, node_type: str, node_id: str | None = None,
+        api_key: str = "",
+    ) -> None:
         self.master_url = master_url.rstrip("/")
         self.node_type = node_type
         self.node_id = node_id or f"{node_type}-{uuid_mod.uuid4().hex[:8]}"
+        self.api_key = api_key
+
+    def _headers(self) -> dict:
+        h = {"Content-Type": "application/json"}
+        if self.api_key:
+            # master.admin_api_key gates /api/admin (reference: AdminAPIKey,
+            # config/config.go:148); nodes authenticate with it
+            h["X-API-Key"] = self.api_key
+        return h
 
     def get_meta(self) -> dict:
         payload = json.dumps(
@@ -48,9 +60,7 @@ class MasterClient:
             }
         ).encode()
         req = urllib.request.Request(
-            self.master_url + "/api/admin/meta",
-            data=payload,
-            headers={"Content-Type": "application/json"},
+            self.master_url + "/api/admin/meta", data=payload, headers=self._headers()
         )
         with urllib.request.urlopen(req, timeout=10) as resp:
             return json.loads(resp.read().decode())
@@ -58,9 +68,7 @@ class MasterClient:
     def push_progress(self, spans: list[dict]) -> None:
         payload = json.dumps({"uuid": self.node_id, "spans": spans}).encode()
         req = urllib.request.Request(
-            self.master_url + "/api/admin/progress",
-            data=payload,
-            headers={"Content-Type": "application/json"},
+            self.master_url + "/api/admin/progress", data=payload, headers=self._headers()
         )
         with urllib.request.urlopen(req, timeout=10) as resp:
             resp.read()
@@ -70,8 +78,8 @@ class ServerNode:
     """REST frontend node (reference: server/server.go): syncs config from
     the master each meta_timeout, serves the public API from the stores."""
 
-    def __init__(self, master_url: str, meta_timeout: float = 10.0) -> None:
-        self.client = MasterClient(master_url, "server")
+    def __init__(self, master_url: str, meta_timeout: float = 10.0, api_key: str = "") -> None:
+        self.client = MasterClient(master_url, "server", api_key=api_key)
         self.meta_timeout = meta_timeout
         self.config: Config | None = None
         self.rest: RestServer | None = None
@@ -93,6 +101,8 @@ class ServerNode:
                 self.rest.config = new_config
                 self.rest.data = data
                 self.rest.cache = cache
+                # api-key rotation must take effect without a restart
+                self.rest.api_key = new_config.server.api_key
             logger.info("server config synced from master")
 
     def serve(self, host: str = "127.0.0.1", port: int = 8087):
@@ -119,9 +129,10 @@ class WorkerNode:
     syncs config/models from the master, recomputes its rendezvous shard."""
 
     def __init__(
-        self, master_url: str, meta_timeout: float = 10.0, node_id: str | None = None
+        self, master_url: str, meta_timeout: float = 10.0, node_id: str | None = None,
+        api_key: str = "",
     ) -> None:
-        self.client = MasterClient(master_url, "worker", node_id=node_id)
+        self.client = MasterClient(master_url, "worker", node_id=node_id, api_key=api_key)
         self.meta_timeout = meta_timeout
         self.config: Config | None = None
         self.worker: Worker | None = None

@@ -336,7 +336,7 @@ class RestServer:
         n = req.int_query("n", self.config.server.default_n)
         cursor = req.query.get("cursor", "")
         users = list(self.data.get_users(begin_id=cursor, limit=n))
-        next_cursor = users[-1].user_id if len(users) == n else ""
+        next_cursor = users[-1].user_id if users and len(users) == n else ""
         return {"Users": [u.to_dict() for u in users], "Cursor": next_cursor}
 
     # items
@@ -423,7 +423,7 @@ class RestServer:
             return {"Items": [i.to_dict() for i in items], "Cursor": ""}
         cursor = req.query.get("cursor", "")
         items = list(self.data.get_items(begin_id=cursor, limit=n))
-        next_cursor = items[-1].item_id if len(items) == n else ""
+        next_cursor = items[-1].item_id if items and len(items) == n else ""
         return {"Items": [i.to_dict() for i in items], "Cursor": next_cursor}
 
     def insert_item_category(self, req) -> dict:

@@ -172,9 +172,18 @@ class Worker:
                 cf_results = self.cf_index.search_users(
                     todo, cfg.cache_size, exclude=exclude, use_pallas=False
                 )
+                run_ts = time.time()
                 for user_id, scores in zip(todo, cf_results):
                     if scores:
+                        for s in scores:
+                            s.timestamp = run_ts
                         self.cache.add_scores(ck.COLLABORATIVE, user_id, scores)
+                        # drop rows from older models / dropped items
+                        # (reference: DeleteScores(CollaborativeFiltering,
+                        # Before=start, Subset=user), pipeline.go:404-419)
+                        self.cache.delete_scores(
+                            ck.COLLABORATIVE, [user_id], before=run_ts
+                        )
                         self.cache.set(
                             key(ck.COLLABORATIVE_DIGEST, user_id), self.cf_model_id
                         )

@@ -397,3 +397,70 @@ def test_dashboard_redacted_config(node):
     status, cfg = _get(base, "/api/dashboard/config")
     assert status == 200 and "database" not in cfg
     n.config.master.dashboard_redacted = False
+
+
+def test_admin_meta_requires_auth_when_login_configured(tmp_path):
+    """/api/admin/* is login/admin-key gated: the full config (passwords,
+    DSNs) must not be readable anonymously when a dashboard login exists
+    (review finding)."""
+    import urllib.error
+
+    config = Config()
+    config.master.dashboard_user_name = "admin"
+    config.master.dashboard_password = "hunter2"
+    config.master.admin_api_key = "adminkey"
+    node = InOneNode(config, workdir=str(tmp_path))
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    node.serve("127.0.0.1", port, background_loop=False)
+    base = f"http://127.0.0.1:{port}"
+    try:
+        req = urllib.request.Request(base + "/api/admin/meta", data=b"{}")
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("anonymous /api/admin/meta should be rejected")
+        except urllib.error.HTTPError as e:
+            assert e.code == 401
+        # the admin API key authenticates node sync
+        req = urllib.request.Request(
+            base + "/api/admin/meta", data=b"{}", headers={"X-API-Key": "adminkey"}
+        )
+        with urllib.request.urlopen(req) as resp:
+            meta = json.loads(resp.read().decode())
+        assert "config" in meta
+    finally:
+        node.shutdown()
+
+
+def test_login_msg_escaped(node):
+    """Reflected XSS: /login?msg= must escape HTML (review finding)."""
+    n, base = node
+    n.config.master.dashboard_user_name = "admin"
+    n.config.master.dashboard_password = "pw"
+    try:
+        status, body, _ = _get_raw(
+            base, "/login?msg=%3Cscript%3Ealert(1)%3C/script%3E"
+        )
+        assert status == 200
+        assert b"<script>" not in body
+        assert b"&lt;script&gt;" in body
+    finally:
+        n.config.master.dashboard_user_name = ""
+        n.config.master.dashboard_password = ""
+
+
+def test_recommend_config_override_survives_restart(tmp_path):
+    """POST /api/dashboard/config persists and re-applies after a master
+    restart (reference: master/master.go:160-172; review finding)."""
+    from gorse_tpu.serve import Master
+    from gorse_tpu.storage import BlobStore, MemoryCacheStore, MemoryDataStore, MetaStore
+    from gorse_tpu.storage.meta import RECOMMEND_CONFIG
+
+    config = Config()
+    meta = MetaStore()
+    meta.put(RECOMMEND_CONFIG, json.dumps({"recommend": {"cache_size": 42}}))
+    master = Master(config, MemoryDataStore(), MemoryCacheStore(), BlobStore(tmp_path / "b"), meta)
+    assert master.config.recommend.cache_size == 42

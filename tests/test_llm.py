@@ -209,3 +209,20 @@ def test_worker_reranker_api_without_openai(tmp_path):
         assert seen["auth"] == "Bearer sekret"
     finally:
         httpd.shutdown()
+
+
+def test_llm_reranker_leftovers_rank_below(client, mock_server):
+    """Candidates the LLM omits must score BELOW every ranked item — the
+    serving cache orders by score (review finding)."""
+    from gorse_tpu.storage.types import Score
+
+    mock_server.queue_completion('["b", "a"]')
+    reranker = LLMReranker(client)
+    candidates = [
+        Score("a", 5.0, [], 0.0),
+        Score("b", 3.0, [], 0.0),
+        Score("omitted", 1.7e9, [], 0.0),  # timestamp-scale score
+    ]
+    out = reranker.rank(None, [], candidates, {})
+    order = [s.id for s in sorted(out, key=lambda s: -s.score)]
+    assert order == ["b", "a", "omitted"]
