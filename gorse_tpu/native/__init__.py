@@ -96,7 +96,10 @@ def parse_libfm_bytes(buf: bytes):
         ctypes.byref(max_label),
     )
     assert parsed == r, f"libfm row mismatch: counted {r}, parsed {parsed}"
-    return targets, indptr, indices, values, int(max_label.value)
+    # the count pass sizes an UPPER BOUND (tokens per line); malformed
+    # tokens are skipped by the parser, so trim to the entries written
+    written = int(indptr[r])
+    return targets, indptr, indices[:written], values[:written], int(max_label.value)
 
 
 def parse_ncf_bytes(buf: bytes):

@@ -21,21 +21,26 @@ extern "C" {
 // Format per line: <target> <idx>:<val> <idx>:<val> ...
 
 void libfm_count(const char* buf, int64_t n, int64_t* out_rows, int64_t* out_nnz) {
-    int64_t rows = 0, nnz = 0;
-    bool in_line = false, has_field = false;
+    // nnz upper bound = feature TOKENS per line (tokens - 1, the first token
+    // is the target) — counting ':' undersized the buffers for bare-index
+    // tokens ("1 3 4"), which libfm_parse accepts with value=1.0 like the
+    // Python fallback, and oversizes harmlessly for malformed tokens that
+    // libfm_parse skips.
+    int64_t rows = 0, nnz = 0, tokens = 0;
+    bool in_tok = false;
     for (int64_t i = 0; i < n; i++) {
         char c = buf[i];
         if (c == '\n') {
-            if (has_field) rows++;
-            in_line = false;
-            has_field = false;
-        } else if (c == ':') {
-            nnz++;
-        } else if (c != ' ' && c != '\r' && c != '\t') {
-            if (!in_line) { in_line = true; has_field = true; }
+            if (tokens > 0) { rows++; nnz += tokens - 1; }
+            tokens = 0;
+            in_tok = false;
+        } else if (c == ' ' || c == '\t' || c == '\r') {
+            in_tok = false;
+        } else {
+            if (!in_tok) { in_tok = true; tokens++; }
         }
     }
-    if (has_field) rows++;
+    if (tokens > 0) { rows++; nnz += tokens - 1; }
     *out_rows = rows;
     *out_nnz = nnz;
 }
@@ -77,17 +82,29 @@ int64_t libfm_parse(const char* buf, int64_t n, float* targets, int64_t* indptr,
         while (p < end && *p != '\n') {
             p = skip_ws(p, end);
             if (p >= end || *p == '\n') break;
+            const char* tok_start = p;
             double idx;
             p = parse_double(p, end, &idx);
+            bool valid = p > tok_start;  // the index must actually parse
             double val = 1.0;
             if (p < end && *p == ':') {
                 p++;
                 p = parse_double(p, end, &val);
             }
-            indices[k] = (int32_t)idx;
-            values[k] = (float)val;
-            if (indices[k] > max_label) max_label = indices[k];
-            k++;
+            // always advance past the rest of the token — a non-numeric
+            // char must never stall the loop (it used to spin forever
+            // writing past the end of the arrays); junk suffixes also
+            // invalidate the token instead of half-parsing it
+            while (p < end && *p != ' ' && *p != '\t' && *p != '\r' && *p != '\n') {
+                p++;
+                valid = false;
+            }
+            if (valid && idx >= 0) {
+                indices[k] = (int32_t)idx;
+                values[k] = (float)val;
+                if (indices[k] > max_label) max_label = indices[k];
+                k++;
+            }
         }
         row++;
         indptr[row] = k;

@@ -37,6 +37,7 @@ struct Index {
     std::vector<float> data;              // n * dim
     std::vector<int64_t> labels;          // internal id -> label
     std::vector<uint8_t> deleted;         // soft-delete flags
+    int64_t n_deleted = 0;                // live count of set flags
     std::vector<int> levels;              // node level
     // links[l][i] = neighbor list of node i at level l (flat with counts)
     std::vector<std::vector<int>> links;  // per node: concatenated per-level
@@ -138,6 +139,7 @@ void add_one(Index& ix, int64_t label, const float* v_in) {
         // for upserts of slowly-moving embeddings), undelete
         std::memcpy(ix.data.data() + (size_t)it->second * ix.dim, v,
                     sizeof(float) * ix.dim);
+        if (ix.deleted[it->second]) ix.n_deleted--;
         ix.deleted[it->second] = 0;
         return;
     }
@@ -238,6 +240,7 @@ int hnsw_mark_deleted(void* h, int64_t label) {
     std::unique_lock lk(ix->mu);
     auto it = ix->label_to_id.find(label);
     if (it == ix->label_to_id.end()) return 0;
+    if (!ix->deleted[it->second]) ix->n_deleted++;
     ix->deleted[it->second] = 1;
     return 1;
 }
@@ -279,8 +282,14 @@ void hnsw_search(void* h, int64_t nq, const float* queries, int k, int ef,
             }
         }
         std::priority_queue<HeapItem> res;
-        // oversample ef when deletes exist so k survivors remain
-        search_layer(*ix, q, ep, 0, ef, res);
+        // oversample ef by the number of soft-deleted nodes so k live
+        // survivors remain after filtering (bounded by the index size)
+        int64_t ef_eff = (int64_t)ef;
+        if (ix->n_deleted > 0) {
+            ef_eff = std::min<int64_t>(ef_eff + ix->n_deleted,
+                                       (int64_t)ix->labels.size());
+        }
+        search_layer(*ix, q, ep, 0, (int)ef_eff, res);
         std::vector<HeapItem> hits;
         while (!res.empty()) { hits.push_back(res.top()); res.pop(); }
         std::sort(hits.begin(), hits.end());
@@ -359,6 +368,7 @@ void* hnsw_load(const char* path) {
     }
     std::fclose(f);
     if (!ok) { hnsw_free(ix); return nullptr; }
+    for (uint8_t d : ix->deleted) ix->n_deleted += (d != 0);
     return ix;
 }
 

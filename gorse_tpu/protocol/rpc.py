@@ -23,6 +23,23 @@ from .. import __version__
 
 logger = logging.getLogger(__name__)
 
+def _safe_relpath(filename: str) -> str:
+    """Reject absolute or parent-escaping file paths inside a blob (both the
+    Upload RPC and the download client consume peer-supplied filenames;
+    without this an Upload chunk with filename=../../x writes outside the
+    blob store)."""
+    from pathlib import PurePosixPath, PureWindowsPath
+
+    if not filename or filename != filename.strip():
+        raise ValueError(f"invalid blob filename {filename!r}")
+    pp = PurePosixPath(filename)
+    if pp.is_absolute() or PureWindowsPath(filename).is_absolute():
+        raise ValueError(f"absolute blob filename {filename!r}")
+    if any(part in ("..", "") for part in pp.parts):
+        raise ValueError(f"blob filename escapes blob directory: {filename!r}")
+    return filename
+
+
 CHUNK_SIZE = 1 << 20  # 1 MiB chunks (reference streams model blobs in chunks)
 
 _MASTER = "gorse_tpu.Master"
@@ -92,7 +109,7 @@ def serve_master_grpc(
         names: set[str] = set()
         started: set[tuple[str, str]] = set()
         for chunk in request_iterator:
-            target = blob_store.create(chunk.name) / chunk.filename
+            target = blob_store.create(chunk.name) / _safe_relpath(chunk.filename)
             target.parent.mkdir(parents=True, exist_ok=True)
             # first chunk of each file truncates; later chunks append
             key = (chunk.name, chunk.filename)
@@ -277,12 +294,16 @@ class BlobStoreClient:
                 if not path.is_file():
                     continue
                 rel = str(path.relative_to(local_dir))
+                sent_any = False
                 with open(path, "rb") as f:
                     while True:
                         data = f.read(CHUNK_SIZE)
                         if not data:
                             break
+                        sent_any = True
                         yield pb.BlobChunk(name=name, filename=rel, data=data)
+                if not sent_any:  # zero-byte file still needs creating
+                    yield pb.BlobChunk(name=name, filename=rel, data=b"")
 
         return self._upload(chunks()).bytes_received
 
@@ -292,10 +313,15 @@ class BlobStoreClient:
         open_files: dict[str, object] = {}
         try:
             for chunk in self._download(pb.BlobRequest(name=name)):
+                _safe_relpath(chunk.filename)  # reject traversal from the server
                 if chunk.eof:
                     f = open_files.pop(chunk.filename, None)
                     if f:
                         f.close()
+                    else:  # zero-byte file: only the eof chunk arrives
+                        target = local_dir / chunk.filename
+                        target.parent.mkdir(parents=True, exist_ok=True)
+                        target.touch()
                     continue
                 if chunk.filename not in open_files:
                     target = local_dir / chunk.filename

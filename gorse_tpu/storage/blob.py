@@ -24,7 +24,10 @@ class BlobStore:
 
     def path(self, name: str) -> Path:
         p = (self.root / name).resolve()
-        if not str(p).startswith(str(self.root.resolve())):
+        root = self.root.resolve()
+        # is_relative_to, NOT a string-prefix check: /var/blobs-evil would
+        # pass startswith("/var/blobs")
+        if p != root and not p.is_relative_to(root):
             raise ValueError(f"blob name escapes store root: {name!r}")
         return p
 

@@ -129,7 +129,8 @@ class MemoryCacheStore(CacheStore):
         self._queues: dict[str, list[str]] = {}
         # collection -> subset -> {id -> Score} (scores sorted at query time)
         self._scores: dict[str, dict[str, dict[str, Score]]] = {}
-        self._hidden: set[str] = set()
+        # hidden flags scoped per collection: (collection, id)
+        self._hidden: set[tuple[str, str]] = set()
         self._ts: list[TimeSeriesPoint] = []
 
     def set(self, k, v) -> None:
@@ -171,7 +172,8 @@ class MemoryCacheStore(CacheStore):
             matched = [
                 s
                 for s in sub.values()
-                if s.id not in self._hidden and _match_categories(s.categories, categories)
+                if (collection, s.id) not in self._hidden
+                and _match_categories(s.categories, categories)
             ]
         matched.sort(key=lambda s: -s.score)
         if end < 0:
@@ -194,11 +196,15 @@ class MemoryCacheStore(CacheStore):
 
     def update_scores(self, collections, subset, item_id, categories=None, is_hidden=None) -> None:
         with self._lock:
+            # hidden state is scoped to the collections named in the call —
+            # a store-global flag leaked hides across unrelated collections
+            # (e.g. hiding item "42" also hid user "42" in user-to-user)
             if is_hidden is not None:
-                if is_hidden:
-                    self._hidden.add(item_id)
-                else:
-                    self._hidden.discard(item_id)
+                for collection in collections:
+                    if is_hidden:
+                        self._hidden.add((collection, item_id))
+                    else:
+                        self._hidden.discard((collection, item_id))
             for collection in collections:
                 coll = self._scores.get(collection, {})
                 subsets = [subset] if subset is not None else list(coll)

@@ -178,13 +178,9 @@ class MemoryDataStore(DataStore):
     def insert_items(self, items: Iterable[Item]) -> None:
         with self._lock:
             for i in items:
-                existing = self._items.get(i.item_id)
-                if existing is not None:
-                    # merge semantics: keep prior fields when unset
-                    if not i.categories:
-                        i.categories = existing.categories
-                    if i.labels is None:
-                        i.labels = existing.labels
+                # overwrite semantics, matching every other backend (SQLite
+                # / server-SQL upsert all columns, Mongo $set the full doc);
+                # partial updates go through modify_item/PATCH instead
                 self._items[i.item_id] = i
 
     def get_item(self, item_id: str) -> Item | None:

@@ -306,12 +306,14 @@ class MongoCacheStore(CacheStore):
 
     # -- scored collections -------------------------------------------------------
     def add_scores(self, collection, subset, scores) -> None:
-        # hidden items keep their flag when re-added (the hidden set is
-        # global, MemoryCacheStore._hidden)
+        # hidden items keep their flag when re-added; flags are scoped per
+        # collection (a global flag would hide user "42" in user-to-user
+        # because item "42" was hidden)
         hidden = {
-            d["_id"]
+            d["i"]
             for d in self.conn.find_all(
-                self.db, self._n("hidden"), {"_id": {"$in": [s.id for s in scores]}}
+                self.db, self._n("hidden"),
+                {"_id": {"$in": [f"{collection}\x00{s.id}" for s in scores]}},
             )
         }
         for s in scores:
@@ -355,18 +357,21 @@ class MongoCacheStore(CacheStore):
 
     def update_scores(self, collections, subset, item_id, categories=None, is_hidden=None) -> None:
         if is_hidden is not None:
-            if is_hidden:
-                self._upsert("hidden", item_id, {"i": item_id})
-            else:
-                self._delete("hidden", {"_id": item_id})
-            # flag every document of the item so searches filter server-side
+            for collection in collections:
+                hid = f"{collection}\x00{item_id}"
+                if is_hidden:
+                    self._upsert("hidden", hid, {"c": collection, "i": item_id})
+                else:
+                    self._delete("hidden", {"_id": hid})
+            # flag the item's documents in the NAMED collections so searches
+            # filter server-side (a {"i": item_id} query hit every collection)
             self.conn.command(
                 self.db,
                 {
                     "update": self._n("documents"),
                     "updates": [
                         {
-                            "q": {"i": item_id},
+                            "q": {"c": {"$in": list(collections)}, "i": item_id},
                             "u": {"$set": {"hidden": bool(is_hidden)}},
                             "multi": True,
                         }

@@ -17,6 +17,10 @@ import socketserver
 import threading
 
 
+class Simple(str):
+    """RESP simple-string status reply (+OK/+PONG) — distinct from data."""
+
+
 class RespError(Exception):
     pass
 
@@ -175,6 +179,8 @@ class MiniRedis:
             def _encode(v) -> bytes:
                 if isinstance(v, RespError):
                     return b"-ERR %s\r\n" % str(v).encode()
+                if isinstance(v, Simple):
+                    return b"+%s\r\n" % str(v).encode()
                 if isinstance(v, bool):
                     return b":%d\r\n" % int(v)
                 if isinstance(v, int):
@@ -182,8 +188,10 @@ class MiniRedis:
                 if v is None:
                     return b"$-1\r\n"
                 if isinstance(v, str):
-                    if v.startswith("+"):
-                        return b"%s\r\n" % v.encode()
+                    # data strings are ALWAYS bulk strings — encoding values
+                    # that merely start with '+' as simple strings corrupts
+                    # them on read-back (and \r\n in a value would break
+                    # protocol framing)
                     b = v.encode()
                     return b"$%d\r\n%s\r\n" % (len(b), b)
                 if isinstance(v, list):
@@ -195,13 +203,13 @@ class MiniRedis:
                 s = state
                 with s.lock:
                     if cmd == "PING":
-                        return "+PONG"
+                        return Simple("PONG")
                     if cmd in ("AUTH", "SELECT"):
-                        return "+OK"
+                        return Simple("OK")
                     if cmd == "SET":
                         s.delete(rest[0])
                         s.strings[rest[0]] = rest[1]
-                        return "+OK"
+                        return Simple("OK")
                     if cmd == "GET":
                         return s.strings.get(rest[0])
                     if cmd == "DEL":
@@ -213,7 +221,7 @@ class MiniRedis:
                     if cmd in ("FLUSHDB", "FLUSHALL"):
                         for space in (s.strings, s.lists, s.sets, s.zsets, s.hashes):
                             space.clear()
-                        return "+OK"
+                        return Simple("OK")
                     if cmd == "RPUSH":
                         q = s.lists.setdefault(rest[0], [])
                         q.extend(rest[1:])

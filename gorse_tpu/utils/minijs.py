@@ -1557,9 +1557,10 @@ class Interpreter:
             return self._unary(node[1], node[2], env)
         if op == "update":
             _, kind, prefix, target = node
-            old = js_num(self._read_target(target, env))
+            ref = self._resolve_target(target, env)
+            old = js_num(self._ref_read(ref, env))
             new = old + (1.0 if kind == "++" else -1.0)
-            self._write_target(target, new, env)
+            self._ref_write(ref, new, env)
             return new if prefix else old
         if op == "assign":
             _, aop, target, value_expr = node
@@ -1569,7 +1570,8 @@ class Interpreter:
                         and not value.name and target[0] == "name":
                     value.name = target[1]
             elif aop in ("&&=", "||=", "??="):
-                cur = self._read_target(target, env)
+                ref = self._resolve_target(target, env)
+                cur = self._ref_read(ref, env)
                 if aop == "&&=" and not js_truthy(cur):
                     return cur
                 if aop == "||=" and js_truthy(cur):
@@ -1577,10 +1579,15 @@ class Interpreter:
                 if aop == "??=" and not (cur is None or cur is UNDEFINED):
                     return cur
                 value = self.eval_expr(value_expr, env)
+                self._ref_write(ref, value, env)
+                return value
             else:
-                cur = self._read_target(target, env)
+                ref = self._resolve_target(target, env)
+                cur = self._ref_read(ref, env)
                 rhs = self.eval_expr(value_expr, env)
                 value = self._apply_binary(aop[:-1], cur, rhs)
+                self._ref_write(ref, value, env)
+                return value
             self._write_target(target, value, env)
             return value
         if op == "comma":
@@ -1631,6 +1638,8 @@ class Interpreter:
             else:
                 prop = callee[2]
             fn = self.js_get(obj, prop)
+            if node[0] == "optcall" and (fn is None or fn is UNDEFINED):
+                return UNDEFINED  # a.b?.() with no such method (ES2020)
             if not is_callable(fn):
                 throw_type_error(
                     f"{js_str(obj)[:40]}.{prop} is not a function"
@@ -1655,6 +1664,30 @@ class Interpreter:
         return result if isinstance(result, (dict, list)) else obj
 
     # -- assignment targets -------------------------------------------------
+    def _resolve_target(self, target: tuple, env: Env):
+        """Evaluate a member/index target's base (and computed key) ONCE,
+        returning a reference for read-then-write ops — compound assignment
+        and ++/-- must not re-run side effects in the base expression
+        (``f().total++`` must call f once)."""
+        if target[0] == "name":
+            return ("name", target[1])
+        obj = self.eval_expr(target[1], env)
+        if target[0] == "member":
+            return ("prop", obj, target[2])
+        return ("prop", obj, self.eval_expr(target[2], env))
+
+    def _ref_read(self, ref, env: Env) -> Any:
+        if ref[0] == "name":
+            e = env.lookup(ref[1])
+            return e.vars[ref[1]] if e is not None else UNDEFINED
+        return self.js_get(ref[1], ref[2])
+
+    def _ref_write(self, ref, value: Any, env: Env) -> None:
+        if ref[0] == "name":
+            env.set(ref[1], value)
+        else:
+            self.js_set(ref[1], ref[2], value)
+
     def _read_target(self, target: tuple, env: Env) -> Any:
         if target[0] == "name":
             e = env.lookup(target[1])

@@ -74,3 +74,26 @@ def test_hnsw_vector_store_rejects_quantization():
     store = HNSWVectorStore()
     with pytest.raises(ValueError):
         store.create_collection("q", 8, quantization="sq", bits=8)
+
+
+def test_search_oversamples_past_deletes(tmp_path):
+    """After deleting many near neighbors, search must still return k live
+    results when they exist (review finding: ef was not widened)."""
+    import numpy as np
+
+    from gorse_tpu.native.hnsw import HNSWIndex
+
+    rng = np.random.default_rng(0)
+    dim, n = 16, 2000
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    idx = HNSWIndex(dim, space="l2", m=16, ef_construction=100)
+    idx.add(np.arange(n, dtype=np.int64), vecs)
+    q = vecs[0:1]
+    # delete the 60 nearest to the query, then ask for 50 with small ef
+    labels, dists = idx.search(q, k=60, ef=100)
+    for l in labels[0]:
+        if l >= 0:
+            idx.mark_deleted(int(l))
+    labels2, dists2 = idx.search(q, k=50, ef=60)
+    live = [l for l in labels2[0] if l >= 0]
+    assert len(live) == 50, f"only {len(live)} live results returned"

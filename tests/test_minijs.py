@@ -519,3 +519,30 @@ class TestRecommenderScript:
         }
         """)
         assert out == '["i4","i9"]'
+
+
+def test_optional_call_on_missing_method():
+    """a.b?.() short-circuits to undefined (review finding)."""
+    assert ev("let a = {}; a.missing?.() === undefined") is True
+    assert ev("let a = {f: () => 7}; a.f?.()") == 7
+    assert ev("let a = null; a?.f() === undefined") is True
+
+
+def test_compound_assignment_single_base_eval():
+    """counts[next()] += 1 evaluates next() once (review finding)."""
+    src = """
+    let calls = 0;
+    function next() { calls++; return 0; }
+    let counts = [10];
+    counts[next()] += 1;
+    [calls, counts[0]]
+    """
+    assert ev(src) == [1.0, 11.0]
+    src2 = """
+    let calls = 0;
+    function obj() { calls++; return state; }
+    let state = {total: 5};
+    obj().total++;
+    [calls, state.total]
+    """
+    assert ev(src2) == [1.0, 6.0]

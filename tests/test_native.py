@@ -80,3 +80,28 @@ def test_native_throughput():
     assert len(targets) == 50_000 and indptr[-1] == 150_000
     # memory-bandwidth territory: well under a second for 50k rows
     assert dt < 1.0, f"native parse too slow: {dt:.3f}s"
+
+
+def test_libfm_parse_bare_indices_and_junk():
+    """Bare indices (no ':') must not overflow the nnz-sized buffers, and
+    non-numeric tokens must not stall the parser (review finding: the count
+    pass sized by ':' occurrences while the parse pass wrote per token, and
+    an unparseable char spun the token loop forever)."""
+    from gorse_tpu.native import load_native, parse_libfm_bytes
+
+    if load_native() is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    # bare indices: value defaults to 1.0 (python-fallback behavior)
+    targets, indptr, indices, values, max_label = parse_libfm_bytes(b"1 3 4\n0 2:0.5\n")
+    assert list(indptr) == [0, 2, 3]
+    assert list(indices) == [3, 4, 2]
+    assert list(values) == [1.0, 1.0, 0.5]
+    assert max_label == 4
+    # junk tokens are skipped, negative indices rejected, parser terminates
+    targets, indptr, indices, values, max_label = parse_libfm_bytes(
+        b"1 a:2 5:1.5 xyz -3:9\n"
+    )
+    assert list(indices) == [5]
+    assert list(values) == [1.5]
