@@ -54,59 +54,91 @@ def unpack_items(q_packed: jax.Array, n_items: int, k: int) -> jax.Array:
     return q_packed.reshape(-1, k)[:n_items]
 
 
-def _fused_kernel(
-    pos_ref, neg_ref, active_ref, p_ref, qp_ref,
-    p_out_ref, qd_out_ref, cost_ref,
-    *, k: int, lr: float, reg: float, block_u: int, rows_pad: int, mm_dtype, n_blocks: int,
+def _kernel_sample_pair(pp, pc, block_u, max_len, n_items, n_tries):
+    """On-chip PRNG (pos, neg) pair per user of a block — shared by the
+    fully-fused and epoch-resident kernels. Positive: uniform slot in
+    [0, count) selected one-hot from the padded positives; negative: K-way
+    rejection against pp (first non-colliding draw wins; if all K collide,
+    fall back to the first draw — the XLA path's semantics, probability
+    ~ density**K)."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits((block_u, 1)), jnp.uint32)
+    slot = (bits % jnp.maximum(pc, 1).astype(jnp.uint32)).astype(jnp.int32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (block_u, max_len), 1)
+    pos = jnp.sum(jnp.where(lane == slot, pp, 0), axis=1, keepdims=True)
+    pos = jnp.maximum(pos, 0)  # [TB, 1]
+
+    neg = jnp.zeros((block_u, 1), jnp.int32)
+    first_draw = jnp.zeros((block_u, 1), jnp.int32)
+    ok = jnp.zeros((block_u, 1), jnp.bool_)
+    for t in range(n_tries):
+        cbits = pltpu.bitcast(pltpu.prng_random_bits((block_u, 1)), jnp.uint32)
+        c = (cbits % jnp.uint32(n_items)).astype(jnp.int32)
+        if t == 0:
+            first_draw = c
+        collides = jnp.any(pp == c, axis=1, keepdims=True)
+        take = jnp.logical_and(jnp.logical_not(ok), jnp.logical_not(collides))
+        neg = jnp.where(take, c, neg)
+        ok = jnp.logical_or(ok, jnp.logical_not(collides))
+    return pos, jnp.where(ok, neg, first_draw)
+
+
+def _kernel_block_update(
+    pos, neg, active, p, qp_mm, qd, cost,
+    *, k, lr, reg, block_u, rows_pad, mm_dtype, transposed_scatter,
 ):
-    """Single pallas invocation; internal fori_loop over user blocks keeps
-    the q-delta accumulator live in VMEM with no per-block grid overhead."""
+    """The packed one-hot gather / BPR update / scatter-delta block shared
+    by all three kernels. Returns (p_new, qd, cost).
+
+    ``transposed_scatter`` selects how the scatter one-hots reach the MXU:
+    the epoch-resident kernel builds TRANSPOSED one-hots directly by
+    iota-compare (a fresh compare is free; transposing the [TB, R] one-hot
+    is not), the grid kernels contract the gather one-hots on dim 0 — kept
+    per-kernel so numerics match their committed baselines exactly."""
     pack = LANES // k
-    qp_mm = qp_ref[:].astype(mm_dtype)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (block_u, rows_pad), 1)
+    oh_pos = (row_ids == pos // pack).astype(mm_dtype)  # [TB, R]
+    oh_neg = (row_ids == neg // pack).astype(mm_dtype)
+    g_pos = jnp.dot(oh_pos, qp_mm, preferred_element_type=jnp.float32)  # [TB, 128]
+    g_neg = jnp.dot(oh_neg, qp_mm, preferred_element_type=jnp.float32)
 
-    def body(blk, carry):
-        qd, cost = carry
-        sl = pl.ds(blk * block_u, block_u)
-        pos = pos_ref[sl, :]  # [TB, 1] int32
-        neg = neg_ref[sl, :]
-        active = active_ref[sl, :].astype(jnp.float32)  # [TB, 1]
-        p = p_ref[sl, :]  # [TB, k]
+    if pack == 1:
+        qi, qj = g_pos, g_neg
+    else:
+        lane_pos = pos % pack  # [TB, 1]
+        lane_neg = neg % pack
+        qi = jnp.zeros((block_u, k), jnp.float32)
+        qj = jnp.zeros((block_u, k), jnp.float32)
+        for g in range(pack):
+            qi = qi + jnp.where(lane_pos == g, g_pos[:, g * k:(g + 1) * k], 0.0)
+            qj = qj + jnp.where(lane_neg == g, g_neg[:, g * k:(g + 1) * k], 0.0)
 
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (block_u, rows_pad), 1)
-        oh_pos = (row_ids == pos // pack).astype(mm_dtype)  # [TB, R]
-        oh_neg = (row_ids == neg // pack).astype(mm_dtype)
-        g_pos = jnp.dot(oh_pos, qp_mm, preferred_element_type=jnp.float32)  # [TB, 128]
-        g_neg = jnp.dot(oh_neg, qp_mm, preferred_element_type=jnp.float32)
+    diff = jnp.sum(p * (qi - qj), axis=-1, keepdims=True)  # [TB, 1]
+    cost = cost + jnp.sum(active * jnp.logaddexp(0.0, -diff))
+    grad = active * jax.nn.sigmoid(-diff)  # [TB, 1]
+    d_qi = active * (lr * (grad * p - reg * qi))
+    d_qj = active * (lr * (-grad * p - reg * qj))
+    d_pu = active * (lr * (grad * (qi - qj) - reg * p))
 
-        if pack == 1:
-            qi, qj = g_pos, g_neg
-        else:
-            lane_pos = pos % pack  # [TB, 1]
-            lane_neg = neg % pack
-            qi = jnp.zeros((block_u, k), jnp.float32)
-            qj = jnp.zeros((block_u, k), jnp.float32)
-            for g in range(pack):
-                qi = qi + jnp.where(lane_pos == g, g_pos[:, g * k:(g + 1) * k], 0.0)
-                qj = qj + jnp.where(lane_neg == g, g_neg[:, g * k:(g + 1) * k], 0.0)
-
-        diff = jnp.sum(p * (qi - qj), axis=-1, keepdims=True)  # [TB, 1]
-        cost = cost + jnp.sum(active * jnp.logaddexp(0.0, -diff))
-        grad = active * jax.nn.sigmoid(-diff)  # [TB, 1]
-        d_qi = active * (lr * (grad * p - reg * qi))
-        d_qj = active * (lr * (-grad * p - reg * qj))
-        d_pu = active * (lr * (grad * (qi - qj) - reg * p))
-        p_out_ref[sl, :] = p + d_pu
-
-        if pack == 1:
-            dp_pos, dp_neg = d_qi, d_qj
-        else:
-            dp_pos = jnp.concatenate(
-                [jnp.where(lane_pos == g, d_qi, 0.0) for g in range(pack)], axis=1
-            )
-            dp_neg = jnp.concatenate(
-                [jnp.where(lane_neg == g, d_qj, 0.0) for g in range(pack)], axis=1
-            )
-
+    if pack == 1:
+        dp_pos, dp_neg = d_qi, d_qj
+    else:
+        dp_pos = jnp.concatenate(
+            [jnp.where(lane_pos == g, d_qi, 0.0) for g in range(pack)], axis=1
+        )
+        dp_neg = jnp.concatenate(
+            [jnp.where(lane_neg == g, d_qj, 0.0) for g in range(pack)], axis=1
+        )
+    if transposed_scatter:
+        row_ids_t = jax.lax.broadcasted_iota(jnp.int32, (rows_pad, block_u), 0)
+        oh_pos_t = (row_ids_t == jnp.transpose(pos // pack)).astype(mm_dtype)
+        oh_neg_t = (row_ids_t == jnp.transpose(neg // pack)).astype(mm_dtype)
+        qd = qd + jnp.dot(
+            oh_pos_t, dp_pos.astype(mm_dtype), preferred_element_type=jnp.float32
+        )
+        qd = qd + jnp.dot(
+            oh_neg_t, dp_neg.astype(mm_dtype), preferred_element_type=jnp.float32
+        )
+    else:
         qd = qd + jax.lax.dot_general(
             oh_pos, dp_pos.astype(mm_dtype), dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -115,6 +147,28 @@ def _fused_kernel(
             oh_neg, dp_neg.astype(mm_dtype), dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+    return p + d_pu, qd, cost
+
+
+def _fused_kernel(
+    pos_ref, neg_ref, active_ref, p_ref, qp_ref,
+    p_out_ref, qd_out_ref, cost_ref,
+    *, k: int, lr: float, reg: float, block_u: int, rows_pad: int, mm_dtype, n_blocks: int,
+):
+    """Single pallas invocation; internal fori_loop over user blocks keeps
+    the q-delta accumulator live in VMEM with no per-block grid overhead."""
+    qp_mm = qp_ref[:].astype(mm_dtype)
+
+    def body(blk, carry):
+        qd, cost = carry
+        sl = pl.ds(blk * block_u, block_u)
+        p_new, qd, cost = _kernel_block_update(
+            pos_ref[sl, :], neg_ref[sl, :],
+            active_ref[sl, :].astype(jnp.float32), p_ref[sl, :], qp_mm, qd, cost,
+            k=k, lr=lr, reg=reg, block_u=block_u, rows_pad=rows_pad,
+            mm_dtype=mm_dtype, transposed_scatter=False,
+        )
+        p_out_ref[sl, :] = p_new
         return qd, cost
 
     qd0 = jnp.zeros((rows_pad, LANES), jnp.float32)
@@ -198,81 +252,18 @@ def _fully_fused_kernel(
         cost_scratch[0, 0] = 0.0
 
     qp_mm = qp_ref[:].astype(mm_dtype)
-    qd = qd_scratch[:]
-    cost = cost_scratch[0, 0]
     pc = pc_ref[:]  # [TB, 1]
     pp = pp_ref[:]  # [TB, L]
-    active = (pc > 0).astype(jnp.float32)
-    p = p_ref[:]
-
-    # --- positive: uniform slot in [0, count), one-hot select from pp
-    bits = pltpu.bitcast(pltpu.prng_random_bits((block_u, 1)), jnp.uint32)
-    slot = (bits % jnp.maximum(pc, 1).astype(jnp.uint32)).astype(jnp.int32)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (block_u, max_len), 1)
-    pos = jnp.sum(jnp.where(lane == slot, pp, 0), axis=1, keepdims=True)
-    pos = jnp.maximum(pos, 0)  # [TB, 1]
-
-    # --- negative: K-way rejection against pp (first non-colliding
-    # draw wins; if all K collide, fall back to the first draw — the
-    # XLA path's semantics, probability ~ density**K)
-    neg = jnp.zeros((block_u, 1), jnp.int32)
-    first_draw = jnp.zeros((block_u, 1), jnp.int32)
-    ok = jnp.zeros((block_u, 1), jnp.bool_)
-    for t in range(n_tries):
-        cbits = pltpu.bitcast(pltpu.prng_random_bits((block_u, 1)), jnp.uint32)
-        c = (cbits % jnp.uint32(n_items)).astype(jnp.int32)
-        if t == 0:
-            first_draw = c
-        collides = jnp.any(pp == c, axis=1, keepdims=True)
-        take = jnp.logical_and(jnp.logical_not(ok), jnp.logical_not(collides))
-        neg = jnp.where(take, c, neg)
-        ok = jnp.logical_or(ok, jnp.logical_not(collides))
-    neg = jnp.where(ok, neg, first_draw)
+    pos, neg = _kernel_sample_pair(pp, pc, block_u, max_len, n_items, n_tries)
     pos_out_ref[:] = pos
     neg_out_ref[:] = neg
-
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (block_u, rows_pad), 1)
-    oh_pos = (row_ids == pos // pack).astype(mm_dtype)
-    oh_neg = (row_ids == neg // pack).astype(mm_dtype)
-    g_pos = jnp.dot(oh_pos, qp_mm, preferred_element_type=jnp.float32)
-    g_neg = jnp.dot(oh_neg, qp_mm, preferred_element_type=jnp.float32)
-
-    if pack == 1:
-        qi, qj = g_pos, g_neg
-    else:
-        lane_pos = pos % pack
-        lane_neg = neg % pack
-        qi = jnp.zeros((block_u, k), jnp.float32)
-        qj = jnp.zeros((block_u, k), jnp.float32)
-        for g in range(pack):
-            qi = qi + jnp.where(lane_pos == g, g_pos[:, g * k:(g + 1) * k], 0.0)
-            qj = qj + jnp.where(lane_neg == g, g_neg[:, g * k:(g + 1) * k], 0.0)
-
-    diff = jnp.sum(p * (qi - qj), axis=-1, keepdims=True)
-    cost = cost + jnp.sum(active * jnp.logaddexp(0.0, -diff))
-    grad = active * jax.nn.sigmoid(-diff)
-    d_qi = active * (lr * (grad * p - reg * qi))
-    d_qj = active * (lr * (-grad * p - reg * qj))
-    d_pu = active * (lr * (grad * (qi - qj) - reg * p))
-    p_out_ref[:] = p + d_pu
-
-    if pack == 1:
-        dp_pos, dp_neg = d_qi, d_qj
-    else:
-        dp_pos = jnp.concatenate(
-            [jnp.where(lane_pos == g, d_qi, 0.0) for g in range(pack)], axis=1
-        )
-        dp_neg = jnp.concatenate(
-            [jnp.where(lane_neg == g, d_qj, 0.0) for g in range(pack)], axis=1
-        )
-    qd = qd + jax.lax.dot_general(
-        oh_pos, dp_pos.astype(mm_dtype), dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+    p_new, qd, cost = _kernel_block_update(
+        pos, neg, (pc > 0).astype(jnp.float32), p_ref[:], qp_mm,
+        qd_scratch[:], cost_scratch[0, 0],
+        k=k, lr=lr, reg=reg, block_u=block_u, rows_pad=rows_pad,
+        mm_dtype=mm_dtype, transposed_scatter=False,
     )
-    qd = qd + jax.lax.dot_general(
-        oh_neg, dp_neg.astype(mm_dtype), dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    p_out_ref[:] = p_new
     qd_scratch[:] = qd
     cost_scratch[0, 0] = cost
 
@@ -298,7 +289,6 @@ def _epoch_resident_kernel(
     of repeated positive-table traffic per epoch in the grid-form kernel).
     Item deltas accumulate per sweep and fold into the resident table at
     each step boundary, matching _fully_fused_kernel's semantics."""
-    pack = LANES // k
     pltpu.prng_seed(seed_ref[0])
     p_out_ref[:] = p_ref[:]
     qp_out_ref[:] = qp_ref[:]
@@ -312,77 +302,14 @@ def _epoch_resident_kernel(
             sl = pl.ds(b * block_u, block_u)
             pp = pp_ref[sl, :]
             count = pc_ref[sl, :]
-            active = (count > 0).astype(jnp.float32)
-            p = p_out_ref[sl, :]
-
-            bits = pltpu.bitcast(pltpu.prng_random_bits((block_u, 1)), jnp.uint32)
-            slot = (bits % jnp.maximum(count, 1).astype(jnp.uint32)).astype(jnp.int32)
-            lane = jax.lax.broadcasted_iota(jnp.int32, (block_u, max_len), 1)
-            pos = jnp.sum(jnp.where(lane == slot, pp, 0), axis=1, keepdims=True)
-            pos = jnp.maximum(pos, 0)
-
-            neg = jnp.zeros((block_u, 1), jnp.int32)
-            first_draw = jnp.zeros((block_u, 1), jnp.int32)
-            ok = jnp.zeros((block_u, 1), jnp.bool_)
-            for t in range(n_tries):
-                cbits = pltpu.bitcast(pltpu.prng_random_bits((block_u, 1)), jnp.uint32)
-                c = (cbits % jnp.uint32(n_items)).astype(jnp.int32)
-                if t == 0:
-                    first_draw = c
-                collides = jnp.any(pp == c, axis=1, keepdims=True)
-                take = jnp.logical_and(jnp.logical_not(ok), jnp.logical_not(collides))
-                neg = jnp.where(take, c, neg)
-                ok = jnp.logical_or(ok, jnp.logical_not(collides))
-            neg = jnp.where(ok, neg, first_draw)
-
-            row_ids = jax.lax.broadcasted_iota(jnp.int32, (block_u, rows_pad), 1)
-            oh_pos = (row_ids == pos // pack).astype(mm_dtype)
-            oh_neg = (row_ids == neg // pack).astype(mm_dtype)
-            g_pos = jnp.dot(oh_pos, qp_mm, preferred_element_type=jnp.float32)
-            g_neg = jnp.dot(oh_neg, qp_mm, preferred_element_type=jnp.float32)
-
-            if pack == 1:
-                qi, qj = g_pos, g_neg
-            else:
-                lane_pos = pos % pack
-                lane_neg = neg % pack
-                qi = jnp.zeros((block_u, k), jnp.float32)
-                qj = jnp.zeros((block_u, k), jnp.float32)
-                for g in range(pack):
-                    qi = qi + jnp.where(lane_pos == g, g_pos[:, g * k:(g + 1) * k], 0.0)
-                    qj = qj + jnp.where(lane_neg == g, g_neg[:, g * k:(g + 1) * k], 0.0)
-
-            diff = jnp.sum(p * (qi - qj), axis=-1, keepdims=True)
-            cost = cost + jnp.sum(active * jnp.logaddexp(0.0, -diff))
-            grad = active * jax.nn.sigmoid(-diff)
-            d_qi = active * (lr * (grad * p - reg * qi))
-            d_qj = active * (lr * (-grad * p - reg * qj))
-            d_pu = active * (lr * (grad * (qi - qj) - reg * p))
-            p_out_ref[sl, :] = p + d_pu
-
-            if pack == 1:
-                dp_pos, dp_neg = d_qi, d_qj
-            else:
-                dp_pos = jnp.concatenate(
-                    [jnp.where(lane_pos == g, d_qi, 0.0) for g in range(pack)], axis=1
-                )
-                dp_neg = jnp.concatenate(
-                    [jnp.where(lane_neg == g, d_qj, 0.0) for g in range(pack)], axis=1
-                )
-            # scatter via matmuls in standard orientation: build the
-            # TRANSPOSED one-hots directly by iota-compare (a fresh compare
-            # is free; transposing the [TB, R] one-hot is not)
-            row_ids_t = jax.lax.broadcasted_iota(jnp.int32, (rows_pad, block_u), 0)
-            pos_t = jnp.transpose(pos // pack)  # [1, TB]
-            neg_t = jnp.transpose(neg // pack)
-            oh_pos_t = (row_ids_t == pos_t).astype(mm_dtype)  # [R, TB]
-            oh_neg_t = (row_ids_t == neg_t).astype(mm_dtype)
-            qd = qd + jnp.dot(
-                oh_pos_t, dp_pos.astype(mm_dtype), preferred_element_type=jnp.float32
+            pos, neg = _kernel_sample_pair(pp, count, block_u, max_len, n_items, n_tries)
+            p_new, qd, cost = _kernel_block_update(
+                pos, neg, (count > 0).astype(jnp.float32), p_out_ref[sl, :],
+                qp_mm, qd, cost,
+                k=k, lr=lr, reg=reg, block_u=block_u, rows_pad=rows_pad,
+                mm_dtype=mm_dtype, transposed_scatter=True,
             )
-            qd = qd + jnp.dot(
-                oh_neg_t, dp_neg.astype(mm_dtype), preferred_element_type=jnp.float32
-            )
+            p_out_ref[sl, :] = p_new
             return qd, cost
 
         qd0 = jnp.zeros((rows_pad, LANES), jnp.float32)
