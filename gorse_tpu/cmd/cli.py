@@ -2,14 +2,17 @@
 
 Covers the reference's cmd/gorse-cli (main.go:97-138): get users/items/
 feedback, recommendations, cluster info, task list (ps), stats, config,
-schedule training, dump/restore and CSV import/export — all against a
-running node's HTTP API.
+schedule training, dump/restore, CSV import/export, and named endpoint
+contexts (context.go:299-424) — all against a running node's HTTP API.
 """
 
 from __future__ import annotations
 
 import argparse
+import getpass
 import json
+import os
+import re
 import sys
 import urllib.request
 
@@ -75,6 +78,145 @@ def _json_patch(doc: dict, patch: list[dict]) -> dict:
     return doc
 
 
+_CONTEXT_NAME = re.compile(r"^[A-Za-z0-9_.-]+$")
+
+
+class Contexts:
+    """Named endpoint/API-key profiles (reference: cmd/gorse-cli/context.go).
+
+    The reference stores contexts in the OS keyring; this build uses a
+    0600-mode JSON file (``~/.config/gorse-tpu/contexts.json`` by default,
+    override with GORSE_CLI_CONTEXTS) since a system keyring isn't a given on
+    TPU hosts. Schema: {"current": name, "contexts": {name: {endpoint, api_key}}}.
+    """
+
+    def __init__(self, path: str | None = None) -> None:
+        self.path = path or os.environ.get("GORSE_CLI_CONTEXTS") or os.path.join(
+            os.path.expanduser("~"), ".config", "gorse-tpu", "contexts.json"
+        )
+
+    def _load(self) -> dict:
+        try:
+            with open(self.path) as f:
+                doc = json.load(f)
+        except (OSError, ValueError):
+            return {"current": "", "contexts": {}}
+        doc.setdefault("current", "")
+        doc.setdefault("contexts", {})
+        return doc
+
+    def _store(self, doc: dict) -> None:
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        fd = os.open(self.path, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o600)
+        with os.fdopen(fd, "w") as f:
+            json.dump(doc, f, indent=2)
+
+    def save(self, name: str, endpoint: str, api_key: str) -> None:
+        if not _CONTEXT_NAME.match(name):
+            raise ValueError(f"context name {name!r} must match {_CONTEXT_NAME.pattern!r}")
+        if not endpoint:
+            raise ValueError("GORSE_ADMIN_ENDPOINT or --endpoint is required")
+        doc = self._load()
+        doc["contexts"][name] = {"endpoint": endpoint, "api_key": api_key}
+        doc["current"] = name  # add selects, as in the reference
+        self._store(doc)
+
+    def load(self, name: str) -> dict:
+        ctx = self._load()["contexts"].get(name)
+        if ctx is None:
+            raise KeyError(f"context {name!r} not found")
+        return ctx
+
+    def names(self) -> list[str]:
+        return sorted(self._load()["contexts"])
+
+    def current(self) -> str:
+        return self._load()["current"]
+
+    def use(self, name: str) -> None:
+        doc = self._load()
+        if name not in doc["contexts"]:
+            raise KeyError(f"context {name!r} not found")
+        doc["current"] = name
+        self._store(doc)
+
+    def delete(self, name: str) -> None:
+        doc = self._load()
+        if name not in doc["contexts"]:
+            raise KeyError(f"context {name!r} not found")
+        del doc["contexts"][name]
+        if doc["current"] == name:
+            names = sorted(doc["contexts"])
+            doc["current"] = names[0] if names else ""
+        self._store(doc)
+
+
+def _resolve_endpoint(args) -> tuple[str, str]:
+    """Flags > env > --context > current context > local default
+    (reference: getEndpointAndKey, cmd/gorse-cli/context.go:207-258)."""
+    endpoint = args.url or os.environ.get("GORSE_ADMIN_ENDPOINT", "")
+    api_key = args.api_key or os.environ.get("GORSE_ADMIN_API_KEY", "")
+    contexts = Contexts()
+    if not endpoint or not api_key:
+        name = getattr(args, "context", "") or contexts.current()
+        if name:
+            try:
+                ctx = contexts.load(name)
+            except KeyError as exc:
+                raise SystemExit(
+                    f"Error: {exc.args[0]}.\nList available contexts:\n"
+                    "  gorse-tpu-cli context list"
+                )
+            endpoint = endpoint or ctx["endpoint"]
+            api_key = api_key or ctx.get("api_key", "")
+    return endpoint or "http://127.0.0.1:8087", api_key
+
+
+def _run_context(args) -> int:
+    contexts = Contexts()
+    if args.context_cmd == "add":
+        endpoint = args.endpoint or os.environ.get("GORSE_ADMIN_ENDPOINT", "")
+        api_key = args.key or os.environ.get("GORSE_ADMIN_API_KEY", "")
+        if not api_key and not args.no_prompt:
+            api_key = getpass.getpass("gorse admin API key: ")
+        try:
+            contexts.save(args.name, endpoint, api_key)
+        except ValueError as exc:
+            print(f"Error: {exc}", file=sys.stderr)
+            return 1
+        print(f"Context {args.name!r} saved and selected.")
+    elif args.context_cmd == "list":
+        names = contexts.names()
+        if not names:
+            print("No contexts configured.")
+            return 0
+        current = contexts.current()
+        for name in names:
+            marker = "*" if name == current else " "
+            print(f"{marker} {name}\t{contexts.load(name)['endpoint']}")
+    elif args.context_cmd == "use":
+        try:
+            contexts.use(args.name)
+        except KeyError as exc:
+            print(f"Error: {exc.args[0]}", file=sys.stderr)
+            return 1
+        print(f"Switched to context {args.name!r}.")
+    elif args.context_cmd == "delete":
+        try:
+            contexts.delete(args.name)
+        except KeyError as exc:
+            print(f"Error: {exc.args[0]}", file=sys.stderr)
+            return 1
+        print(f"Context {args.name!r} deleted.")
+    elif args.context_cmd == "current":
+        name = contexts.current()
+        if not name:
+            print("No current context.")
+        else:
+            print(f"Name:\t\t{name}\nEndpoint:\t{contexts.load(name)['endpoint']}")
+    return 0
+
+
 def _print(obj) -> None:
     if isinstance(obj, bytes):
         sys.stdout.buffer.write(obj)
@@ -84,9 +226,24 @@ def _print(obj) -> None:
 
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="gorse-tpu-cli", description="gorse_tpu admin CLI")
-    parser.add_argument("--url", default="http://127.0.0.1:8087", help="node base URL")
+    parser.add_argument("--url", default="", help="node base URL (default: context or http://127.0.0.1:8087)")
     parser.add_argument("--api-key", default="")
+    parser.add_argument("--context", default="", help="named context to use for this invocation")
     sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("context", help="manage endpoint/API-key profiles")
+    csub = p.add_subparsers(dest="context_cmd", required=True)
+    pc = csub.add_parser("add", help="add or update a context (and select it)")
+    pc.add_argument("name")
+    pc.add_argument("--endpoint", default="")
+    pc.add_argument("--key", default="", help="admin API key (prompted if omitted)")
+    pc.add_argument("--no-prompt", action="store_true")
+    csub.add_parser("list")
+    pc = csub.add_parser("use")
+    pc.add_argument("name")
+    pc = csub.add_parser("delete")
+    pc.add_argument("name")
+    csub.add_parser("current")
 
     sub.add_parser("version")
     sub.add_parser("cluster-info", help="list cluster nodes")
@@ -147,7 +304,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("path")
 
     args = parser.parse_args(argv)
-    client = AdminClient(args.url, args.api_key)
+    if args.cmd == "context":
+        return _run_context(args)
+    endpoint, api_key = _resolve_endpoint(args)
+    client = AdminClient(endpoint, api_key)
 
     if args.cmd == "version":
         from .. import __version__

@@ -104,3 +104,59 @@ def test_bench_reranker_and_embedding(capsys):
     ]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["items"] == 40 and 0.0 <= out["recall_vs_coconsumption"] <= 1.0
+
+
+def test_cli_contexts(tmp_path, capsys, monkeypatch):
+    """Named endpoint contexts (reference: cmd/gorse-cli/context.go)."""
+    import os
+
+    from gorse_tpu.cmd.cli import Contexts, _resolve_endpoint
+
+    store = tmp_path / "contexts.json"
+    monkeypatch.setenv("GORSE_CLI_CONTEXTS", str(store))
+    monkeypatch.delenv("GORSE_ADMIN_ENDPOINT", raising=False)
+    monkeypatch.delenv("GORSE_ADMIN_API_KEY", raising=False)
+
+    assert main(["context", "list"]) == 0
+    assert "No contexts configured" in capsys.readouterr().out
+    assert main(["context", "add", "prod", "--endpoint",
+                 "http://prod:8087", "--key", "k1"]) == 0
+    assert main(["context", "add", "dev", "--endpoint",
+                 "http://dev:8087", "--key", "k2"]) == 0
+    assert oct(os.stat(store).st_mode & 0o777) == "0o600"
+    capsys.readouterr()
+
+    # add selects: dev is current
+    assert main(["context", "current"]) == 0
+    assert "dev" in capsys.readouterr().out
+    assert main(["context", "use", "prod"]) == 0
+    assert main(["context", "list"]) == 0
+    out = capsys.readouterr().out
+    assert "* prod" in out and "http://dev:8087" in out
+
+    # resolution order: flags > env > --context > current
+    class A:
+        url, api_key, context = "", "", ""
+    assert _resolve_endpoint(A()) == ("http://prod:8087", "k1")
+    A.context = "dev"
+    assert _resolve_endpoint(A()) == ("http://dev:8087", "k2")
+    monkeypatch.setenv("GORSE_ADMIN_ENDPOINT", "http://env:1")
+    assert _resolve_endpoint(A())[0] == "http://env:1"
+    A.url = "http://flag:1"
+    assert _resolve_endpoint(A())[0] == "http://flag:1"
+
+    # delete falls back to the next name; unknown context errors
+    assert main(["context", "delete", "prod"]) == 0
+    assert main(["context", "current"]) == 0
+    assert "dev" in capsys.readouterr().out
+    assert main(["context", "use", "ghost"]) == 1
+    assert main(["context", "add", "bad name", "--endpoint", "x", "--no-prompt"]) == 1
+    assert main(["context", "delete", "dev"]) == 0
+    assert main(["context", "current"]) == 0
+    assert "No current context" in capsys.readouterr().out
+
+    # with no flags/env/contexts the default endpoint applies
+    class B:
+        url, api_key, context = "", "", ""
+    monkeypatch.delenv("GORSE_ADMIN_ENDPOINT", raising=False)
+    assert _resolve_endpoint(B()) == ("http://127.0.0.1:8087", "")
