@@ -29,6 +29,26 @@ USER_TO_USER_PREFIX = "user-to-user/"
 EXTERNAL_PREFIX = "external/"
 
 
+def step_label(fullname: str) -> str:
+    """Map a recommender source name to the reference's offline_recommend
+    step label (worker/pipeline.go:282-286)."""
+    if fullname == COLLABORATIVE:
+        return "collaborative_recommend"
+    if fullname == LATEST:
+        return "latest_recommend"
+    if fullname == NON_PERSONALIZED_PREFIX + "popular":
+        return "popular_recommend"
+    if fullname.startswith(NON_PERSONALIZED_PREFIX):
+        return "non_personalized_recommend"
+    if fullname.startswith(ITEM_TO_ITEM_PREFIX):
+        return "item_based_recommend"
+    if fullname.startswith(USER_TO_USER_PREFIX):
+        return "user_based_recommend"
+    if fullname.startswith(EXTERNAL_PREFIX):
+        return "external_recommend"
+    return "unknown_recommend"
+
+
 def md5(*parts: str) -> str:
     return hashlib.md5("".join(parts).encode()).hexdigest()
 
@@ -92,13 +112,25 @@ class Recommender:
         return result
 
     def recommend_sequential(
-        self, result: list[Score], limit: int, names: list[str]
+        self,
+        result: list[Score],
+        limit: int,
+        names: list[str],
+        timings: dict[str, float] | None = None,
     ) -> tuple[list[Score], str]:
-        """Reference: RecommendSequential :130-151."""
+        """Reference: RecommendSequential :130-151. When ``timings`` is given,
+        per-source elapsed seconds accumulate into it under the reference's
+        offline_recommend_step labels (worker/pipeline.go:282-286)."""
         digests = []
         for name in names:
             fn = self.parse(name)
-            scores, digest = fn()
+            if timings is None:
+                scores, digest = fn()
+            else:
+                t0 = time.perf_counter()
+                scores, digest = fn()
+                label = step_label(name)
+                timings[label] = timings.get(label, 0.0) + time.perf_counter() - t0
             for s in scores:
                 self.exclude_set.add(s.id)
             result = result + scores

@@ -39,7 +39,9 @@ class MasterRestServer(RestServer):
 
     def __init__(self, master, api_key: str = "", metrics: MetricsRegistry | None = None) -> None:
         self.master = master
-        self.metrics = metrics or MetricsRegistry()
+        # share the master's registry so task-time gauges (gorse_master_*)
+        # and request histograms render from one /metrics endpoint
+        self.metrics = metrics or getattr(master, "metrics", None) or MetricsRegistry(namespace="gorse")
         # login sessions + optional OIDC single sign-on
         # (reference: master/master.go:402-418, master/rest.go:271-287)
         self.sessions = SessionManager()
@@ -54,8 +56,7 @@ class MasterRestServer(RestServer):
     def _register_routes(self) -> None:
         super()._register_routes()
         r = self.route
-        r("GET", "/", self.get_ui)
-        r("GET", "/metrics", self.get_metrics)
+        r("GET", "/", self.get_ui)  # /metrics comes from the base RestServer
         # dashboard (reference: master/rest.go:81-279)
         r("GET", "/api/dashboard/cluster", self.get_cluster)
         r("GET", "/api/dashboard/stats", self.get_stats)
@@ -417,10 +418,42 @@ class MasterRestServer(RestServer):
         ]
 
     def get_stats(self, req) -> dict:
+        """Full status payload (reference: getStats master/rest.go:638-730 —
+        counters come from the global_meta cache keys the task loop writes,
+        falling back to live data-store counts before the first run)."""
+        from ..storage import cache as ck
+        from ..storage.cache import key
+
+        def meta_int(name: str, fallback: int = 0) -> int:
+            raw = self.cache.get(key(ck.GLOBAL_META, name))
+            return int(raw) if raw else fallback
+
+        def meta_time(name: str) -> float:
+            raw = self.cache.get(key(ck.GLOBAL_META, name))
+            return float(raw) if raw else 0.0
+
+        nodes = self.master.meta.list_nodes()
+        cf_meta = json.loads(self.master.meta.get("CF_MODEL_META") or "null") or {}
         return {
             "Version": __version__,
-            "NumUsers": self.data.count_users(),
-            "NumItems": self.data.count_items(),
+            "BinaryVersion": __version__,
+            "NumServers": sum(1 for n in nodes if n.node_type == "server"),
+            "NumWorkers": sum(1 for n in nodes if n.node_type == "worker"),
+            "NumUsers": meta_int(ck.NUM_USERS, self.data.count_users()),
+            "NumItems": meta_int(ck.NUM_ITEMS, self.data.count_items()),
+            "NumUserLabels": meta_int(ck.NUM_USER_LABELS),
+            "NumItemLabels": meta_int(ck.NUM_ITEM_LABELS),
+            "NumTotalPosFeedback": meta_int(
+                ck.NUM_TOTAL_POS_FEEDBACKS, self.data.count_feedback()
+            ),
+            "NumValidPosFeedback": meta_int(ck.NUM_VALID_POS_FEEDBACKS),
+            "NumValidNegFeedback": meta_int(ck.NUM_VALID_NEG_FEEDBACKS),
+            "PopularItemsUpdateTime": meta_time(ck.LAST_UPDATE_POPULAR_ITEMS_TIME),
+            "LatestItemsUpdateTime": meta_time(ck.LAST_UPDATE_LATEST_ITEMS_TIME),
+            "MatchingModelFitTime": float(self.cache.get(ck.LAST_FIT_MATCHING_MODEL_TIME) or 0),
+            "MatchingModelScore": {"NDCG": cf_meta.get("score", 0.0)},
+            "RankingModelFitTime": float(self.cache.get(ck.LAST_FIT_RANKING_MODEL_TIME) or 0),
+            # kept for the embedded dashboard UI + CLI `stats`
             "NumTotalPos": self.data.count_feedback(),
             "CFModel": self.master.meta.get("COLLABORATIVE_FILTERING_MODEL") or "",
             "RankingModel": self.master.meta.get("CLICK_THROUGH_RATE_MODEL") or "",
@@ -640,23 +673,27 @@ class MasterRestServer(RestServer):
     # -------------------------------------------------------------- metrics
 
     def get_metrics(self, req) -> RawResponse:
-        self.metrics.gauge_set("users_total", self.data.count_users())
-        self.metrics.gauge_set("items_total", self.data.count_items())
-        self.metrics.gauge_set("feedback_total", self.data.count_feedback())
-        # memory accounting (reference: common/sizeof memory_inuse gauges,
-        # master/tasks.go:211-222) — process RSS here
+        # scrape-time refresh of the catalog gauges (the task loop also sets
+        # these at load time; reference names: gorse_master_*, master/metrics.go)
+        self.metrics.gauge_set("master_users_total", self.data.count_users())
+        self.metrics.gauge_set("master_items_total", self.data.count_items())
+        self.metrics.gauge_set("master_feedbacks_total", self.data.count_feedback())
+        # memory accounting (reference: MemoryInUseBytesVec{data=...},
+        # master/tasks.go:211-222) — process RSS as its own series
         try:
             with open("/proc/self/status") as f:
                 for line in f:
                     if line.startswith("VmRSS:"):
                         self.metrics.gauge_set(
-                            "memory_inuse_bytes", int(line.split()[1]) * 1024
+                            "master_memory_inuse_bytes",
+                            int(line.split()[1]) * 1024,
+                            labels={"data": "process_rss"},
                         )
                         break
         except OSError:
             pass
         for comp, nbytes in getattr(self.master, "memory_inuse", {}).items():
             self.metrics.gauge_set(
-                "memory_inuse_bytes_component", nbytes, labels={"component": comp}
+                "master_memory_inuse_bytes", nbytes, labels={"data": comp}
             )
         return RawResponse(self.metrics.render().encode(), "text/plain; version=0.0.4")

@@ -78,6 +78,12 @@ class Master:
         self.meta = meta_store
         self.vectors = vector_store
         self.progress = ProgressTracker()
+        # Prometheus metric names match the reference's exactly
+        # (gorse_master_*, master/metrics.go:33-215) so existing dashboards
+        # keep working after migration
+        from .metrics import MetricsRegistry
+
+        self.metrics = MetricsRegistry(namespace="gorse")
         self.cf_model = None
         self.cf_index: MatrixFactorizationIndex | None = None
         self.ctr_model: AFM | None = None
@@ -190,7 +196,10 @@ class Master:
                         self._reconciling = False
 
                 threading.Thread(target=_reconcile, daemon=True).start()
+            t_task = time.perf_counter()
+            step_seconds = self.metrics.gauge_set
             dataset = Dataset()
+            t0 = time.perf_counter()
             items = list(self.data.get_items())
             item_categories = []
             for item in items:
@@ -198,17 +207,33 @@ class Master:
 
                 dataset.add_item(item.item_id, labels=_flatten_labels(item.labels))
                 item_categories.append(item.categories)
+            step_seconds(
+                "master_load_dataset_step_seconds",
+                time.perf_counter() - t0, labels={"step": "load_items"},
+            )
+            t0 = time.perf_counter()
             users = list(self.data.get_users())
             for user in users:
                 from ..logics.item_to_item import _flatten_labels
 
                 dataset.add_user(user.user_id, labels=_flatten_labels(user.labels))
+            step_seconds(
+                "master_load_dataset_step_seconds",
+                time.perf_counter() - t0, labels={"step": "load_users"},
+            )
             positive_ttl = cfg.data_source.positive_feedback_ttl
             cutoff = time.time() - positive_ttl * 86400 if positive_ttl > 0 else None
             positive_edges: set[tuple[str, str]] = set()
             negative_edges: list[tuple[str, str]] = []
+            t0 = time.perf_counter()
+            n_feedback_rows = n_implicit = 0
+            active_users: set[str] = set()
+            active_items: set[str] = set()
             for fb in self.data.get_feedback(end_time=time.time()):
+                n_feedback_rows += 1
                 if match_any(cfg.data_source.positive_feedback_types, fb.feedback_type, fb.value):
+                    active_users.add(fb.user_id)
+                    active_items.add(fb.item_id)
                     if cutoff is not None and fb.timestamp < cutoff:
                         continue
                     if (fb.user_id, fb.item_id) not in positive_edges:
@@ -216,11 +241,58 @@ class Master:
                         dataset.add_feedback(fb.user_id, fb.item_id, fb.timestamp)
                 elif match_any(cfg.data_source.negative_feedback_types, fb.feedback_type, fb.value):
                     negative_edges.append((fb.user_id, fb.item_id))
+                else:
+                    n_implicit += 1
+            step_seconds(
+                "master_load_dataset_step_seconds",
+                time.perf_counter() - t0, labels={"step": "load_positive_feedback"},
+            )
+            t0 = time.perf_counter()
             train, test = dataset.split_cf(seed=0)
+            step_seconds(
+                "master_load_dataset_step_seconds",
+                time.perf_counter() - t0, labels={"step": "split_ranking_dataset"},
+            )
+            t0 = time.perf_counter()
             ctr = self._build_ctr_dataset(dataset, positive_edges, negative_edges)
-            self._record_ts("UsersTotal", dataset.count_users())
-            self._record_ts("ItemsTotal", dataset.count_items())
-            self._record_ts("FeedbacksTotal", dataset.count_feedback())
+            step_seconds(
+                "master_load_dataset_step_seconds",
+                time.perf_counter() - t0, labels={"step": "create_ranking_dataset"},
+            )
+            step_seconds("master_load_dataset_total_seconds", time.perf_counter() - t_task)
+            # catalog gauges (reference: master/metrics.go:151-215, set at
+            # the end of LoadDataFromDatabase master/tasks.go:313-437)
+            g = self.metrics.gauge_set
+            g("master_users_total", dataset.count_users())
+            g("master_items_total", dataset.count_items())
+            g("master_user_labels_total", len(dataset.user_label_dict))
+            g("master_item_labels_total", len(dataset.item_label_dict))
+            g("master_feedbacks_total", n_feedback_rows)
+            g("master_positive_feedbacks_total", len(positive_edges))
+            g("master_negative_feedbacks_total", len(negative_edges))
+            g("master_implicit_feedbacks_total", n_implicit)
+            g("master_active_users_total", len(active_users))
+            g("master_inactive_users_total", max(len(users) - len(active_users), 0))
+            g("master_active_items_total", len(active_items))
+            g("master_inactive_items_total", max(len(items) - len(active_items), 0))
+            # global-meta KV + statistics time series under the reference's
+            # names (master/tasks.go:127-142, storage/cache/database.go:54-65)
+            # — getStats and the dashboard charts read these
+            for kv, value in (
+                (ck.NUM_USERS, dataset.count_users()),
+                (ck.NUM_ITEMS, dataset.count_items()),
+                (ck.NUM_USER_LABELS, len(dataset.user_label_dict)),
+                (ck.NUM_ITEM_LABELS, len(dataset.item_label_dict)),
+                (ck.NUM_TOTAL_POS_FEEDBACKS, n_feedback_rows),
+                (ck.NUM_VALID_POS_FEEDBACKS, len(positive_edges)),
+                (ck.NUM_VALID_NEG_FEEDBACKS, len(negative_edges)),
+            ):
+                self.cache.set(key(ck.GLOBAL_META, kv), str(int(value)))
+            self._record_ts(ck.NUM_USERS, dataset.count_users())
+            self._record_ts(ck.NUM_ITEMS, dataset.count_items())
+            self._record_ts(ck.NUM_FEEDBACK, len(ctr) if ctr is not None else 0)
+            self._record_ts(ck.NUM_POS_FEEDBACKS, ctr.count_positive() if ctr is not None else 0)
+            self._record_ts(ck.NUM_NEG_FEEDBACKS, ctr.count_negative() if ctr is not None else 0)
             return LoadedData(dataset, train, test, ctr, item_categories, items)
 
     def _build_ctr_dataset(self, dataset: Dataset, positive_edges, negative_edges) -> CTRDataset:
@@ -295,6 +367,17 @@ class Master:
                 self.cache.add_scores(ck.NON_PERSONALIZED, entry.name, engine.pop_all())
                 self.cache.set(digest_key, cfg.digest())
                 self.cache.set(key(ck.NON_PERSONALIZED_UPDATE_TIME, entry.name), str(time.time()))
+                # global update-time stamps surfaced by getStats
+                # (reference: LastUpdate{Popular,Latest}ItemsTime,
+                # storage/cache/database.go:67-68)
+                if entry.name == "popular":
+                    self.cache.set(
+                        key(ck.GLOBAL_META, ck.LAST_UPDATE_POPULAR_ITEMS_TIME), str(time.time())
+                    )
+                elif entry.name == "latest":
+                    self.cache.set(
+                        key(ck.GLOBAL_META, ck.LAST_UPDATE_LATEST_ITEMS_TIME), str(time.time())
+                    )
 
     def _data_changed(self) -> bool:
         return True  # incremental data-digest optimization arrives with events
@@ -335,6 +418,7 @@ class Master:
                 tag_idf = data.dataset.item_label_idf()
                 user_idf = data.dataset.user_idf()
             with self.progress.span(f"item_to_item/{entry.name}"):
+                t0 = time.perf_counter()
                 engine = new_item_to_item(
                     cfg, self.config.recommend.cache_size,
                     tag_idf=tag_idf, user_idf=user_idf,
@@ -348,13 +432,21 @@ class Master:
                         else []
                     )
                     engine.push(item, feedback)
+                n_updated = 0
                 for item_id, scores in engine.pop_all():
                     self.cache.add_scores(ck.ITEM_TO_ITEM, key(entry.name, item_id), scores)
                     self.cache.set(
                         key(ck.ITEM_TO_ITEM_DIGEST, entry.name, item_id), cfg.digest()
                     )
+                    n_updated += 1
                 self.cache.set(key(ck.ITEM_TO_ITEM_DIGEST, entry.name, "_config"), corpus_digest)
                 self.cache.set(key(ck.ITEM_TO_ITEM_UPDATE_TIME, entry.name), str(time.time()))
+                # reference: FindItemNeighborsTotalSeconds +
+                # UpdateItemNeighborsTotal, master/metrics.go:55-72
+                self.metrics.gauge_set(
+                    "master_find_item_neighbors_total_seconds", time.perf_counter() - t0
+                )
+                self.metrics.gauge_set("master_update_item_neighbors_total", n_updated)
 
     def update_user_to_user(self, data: LoadedData) -> None:
         """Reference: updateUserToUser master/tasks.go:859-961."""
@@ -376,6 +468,7 @@ class Master:
                 tag_idf = data.dataset.user_label_idf()
                 users = list(self.data.get_users())
             with self.progress.span(f"user_to_user/{entry.name}"):
+                t0 = time.perf_counter()
                 engine = UserToUser(
                     cfg, self.config.recommend.cache_size,
                     tag_idf=tag_idf, item_idf=item_idf,
@@ -389,13 +482,19 @@ class Master:
                         else []
                     )
                     engine.push(user, feedback)
+                n_updated = 0
                 for user_id, scores in engine.pop_all():
                     self.cache.add_scores(ck.USER_TO_USER, key(entry.name, user_id), scores)
                     self.cache.set(
                         key(ck.USER_TO_USER_DIGEST, entry.name, user_id), cfg.digest()
                     )
+                    n_updated += 1
                 self.cache.set(key(ck.USER_TO_USER_DIGEST, entry.name, "_config"), corpus_digest)
                 self.cache.set(key(ck.USER_TO_USER_UPDATE_TIME, entry.name), str(time.time()))
+                self.metrics.gauge_set(
+                    "master_find_user_neighbors_total_seconds", time.perf_counter() - t0
+                )
+                self.metrics.gauge_set("master_update_user_neighbors_total", n_updated)
 
     def train_collaborative_filtering(self, data: LoadedData) -> None:
         """Reference: trainCollaborativeFiltering master/tasks.go:963-1109."""
@@ -427,6 +526,7 @@ class Master:
             if cfg.fit_epoch > 0:
                 params = Params({"n_epochs": cfg.fit_epoch}).merged(params)
             model = create_mf_model(mtype, params)
+            t0 = time.perf_counter()
             score = model.fit(
                 data.train, data.test,
                 FitConfig(
@@ -434,9 +534,18 @@ class Master:
                     mesh=self.training_mesh(),
                 ),
             )
-            self._record_ts("CFModelNDCG", score.ndcg)
-            self._record_ts("CFModelPrecision", score.precision)
-            self._record_ts("CFModelRecall", score.recall)
+            # reference: CollaborativeFilteringFitSeconds + model-quality
+            # gauges, master/metrics.go:90-118
+            g = self.metrics.gauge_set
+            g("master_collaborative_filtering_fit_seconds", time.perf_counter() - t0)
+            g("master_collaborative_filtering_ndcg_10", score.ndcg)
+            g("master_collaborative_filtering_precision_10", score.precision)
+            g("master_collaborative_filtering_recall_10", score.recall)
+            # time-series names match the reference (cache.CFNDCG...,
+            # master/tasks.go:1087-1092)
+            self._record_ts(ck.CF_NDCG, score.ndcg)
+            self._record_ts(ck.CF_PRECISION, score.precision)
+            self._record_ts(ck.CF_RECALL, score.recall)
         self.cf_model = model
         self.cf_index = MatrixFactorizationIndex.from_model(
             model, item_categories=data.item_categories, timestamp=time.time()
@@ -522,6 +631,7 @@ class Master:
             if ranker_cfg.fit_epoch > 0:
                 params = Params({"n_epochs": ranker_cfg.fit_epoch}).merged(params)
             model = AFM(params)
+            t0 = time.perf_counter()
             score = model.fit(
                 train, test,
                 FitConfig(
@@ -529,7 +639,16 @@ class Master:
                     mesh=self.training_mesh(),
                 ),
             )
-            self._record_ts("RankingModelAUC", score.auc)
+            # reference: RankingFitSeconds + RankingAUC/Precision/Recall,
+            # master/metrics.go:121-144
+            g = self.metrics.gauge_set
+            g("master_ranking_fit_seconds", time.perf_counter() - t0)
+            g("master_ranking_model_auc", score.auc)
+            g("master_ranking_model_precision", score.precision)
+            g("master_ranking_model_recall", score.recall)
+            self._record_ts(ck.CTR_AUC, score.auc)
+            self._record_ts(ck.CTR_PRECISION, score.precision)
+            self._record_ts(ck.CTR_RECALL, score.recall)
         self.ctr_model = model
         model_id = self.blob.new_model_id()
         model.save(self.blob.create(model_id))
@@ -552,6 +671,7 @@ class Master:
             cfg.optimize_trials if kind == "cf" else ranker_cfg.optimize_trials
         )
         with self.progress.span(f"search_{kind}_model"):
+            t0 = time.perf_counter()
             if kind == "cf":
                 # model type is part of the search space (reference:
                 # cf.ModelSearch over {"BPR","ALS"}, master/tasks.go:1318-1324)
@@ -583,12 +703,24 @@ class Master:
                     return model.fit(train, test, FitConfig(verbose=cfg.model_search_epoch)).auc
 
                 best, value, _ = model_search(objective, AFM_SPACE, n_trials=n_trials)
+            # reference: CollaborativeFilteringSearchSeconds/Precision10 and
+            # RankingSearchSeconds/Precision gauges, master/metrics.go:96-148
+            g = self.metrics.gauge_set
+            if kind == "cf":
+                g("master_collaborative_filtering_search_seconds", time.perf_counter() - t0)
+                g("master_collaborative_filtering_search_precision_10", value)
+            else:
+                g("master_ranking_search_seconds", time.perf_counter() - t0)
+                g("master_ranking_search_precision", value)
             self.meta.put(f"BEST_PARAMS_{kind.upper()}", json.dumps(dict(best)))
             logger.info("model search %s: best=%.4f params=%s", kind, value, dict(best))
             return dict(best)
 
-    def collect_garbage(self) -> None:
-        """Drop stale model blobs (reference: master/tasks.go:1221-1247)."""
+    def collect_garbage(self, data: LoadedData | None = None) -> None:
+        """Drop stale model blobs (reference: master/tasks.go:1221-1247) and
+        prune cache score collections whose subset refers to a removed
+        recommender config or a deleted user/item (reference: collectGarbage
+        master/tasks.go:1249-1301)."""
         keep = {
             self.meta.get(COLLABORATIVE_FILTERING_MODEL),
             self.meta.get(CLICK_THROUGH_RATE_MODEL),
@@ -596,6 +728,54 @@ class Master:
         for name in self.blob.list():
             if name not in keep:
                 self.blob.remove(name)
+        if data is None:
+            return
+        t0 = time.perf_counter()
+        cfg = self.config.recommend
+        # built-in popular/latest are registered by update_non_personalized
+        np_names = {e.name for e in cfg.non_personalized} | {"popular", "latest"}
+        i2i_names = {e.name for e in cfg.item_to_item}
+        u2u_names = {e.name for e in cfg.user_to_user}
+        dataset = data.dataset
+        before = time.time()
+        scanned = reclaimed = 0
+        for collection in (ck.NON_PERSONALIZED, ck.ITEM_TO_ITEM, ck.USER_TO_USER, ck.COLLABORATIVE):
+            subsets: set[str] = set()
+            for subset, _score in self.cache.scan_scores(collection):
+                subsets.add(subset)
+            scanned += len(subsets)
+            stale: list[str] = []
+            for subset in subsets:
+                if collection == ck.NON_PERSONALIZED:
+                    if subset not in np_names:
+                        stale.append(subset)
+                elif collection == ck.ITEM_TO_ITEM:
+                    name, _, item_id = subset.partition("/")
+                    if name not in i2i_names or dataset.item_dict.to_number(item_id) < 0:
+                        stale.append(subset)
+                elif collection == ck.USER_TO_USER:
+                    name, _, user_id = subset.partition("/")
+                    if name not in u2u_names or dataset.user_dict.to_number(user_id) < 0:
+                        stale.append(subset)
+                else:  # collaborative filtering: subset is the user id
+                    if dataset.user_dict.to_number(subset) < 0:
+                        stale.append(subset)
+            if stale:
+                # non-personalized rows for removed configs go unconditionally;
+                # entity-keyed rows keep anything written after this scan began
+                # (reference passes Before=dataset timestamp except for
+                # NonPersonalized, master/tasks.go:1255-1297)
+                self.cache.delete_scores(
+                    collection, stale,
+                    before=None if collection == ck.NON_PERSONALIZED else before,
+                )
+                reclaimed += len(stale)
+        # reference: CacheScannedTotal/CacheReclaimedTotal/CacheScannedSeconds,
+        # master/metrics.go:74-88
+        g = self.metrics.gauge_set
+        g("master_cache_scanned_total", scanned)
+        g("master_cache_reclaimed_total", reclaimed)
+        g("master_cache_scanned_seconds", time.perf_counter() - t0)
 
     def _record_ts(self, name: str, value: float) -> None:
         self.cache.add_time_series_points(
@@ -639,7 +819,7 @@ class Master:
         ):
             self._last_optimize["ctr"] = now
             self.search_model(data, "ctr")
-        self.collect_garbage()
+        self.collect_garbage(data)
         # deep memory accounting per component (reference: sizeof.DeepSize
         # gauges, master/tasks.go:211-222), rendered at /metrics
         from ..utils.sizeof import deep_size
@@ -649,6 +829,11 @@ class Master:
             "cf_index": deep_size(self.cf_index),
             "ctr_model": deep_size(self.ctr_model),
         }
+        for component, nbytes in self.memory_inuse.items():
+            # reference: MemoryInUseBytesVec{data=...}, master/metrics.go:211-222
+            self.metrics.gauge_set(
+                "master_memory_inuse_bytes", nbytes, labels={"data": component}
+            )
         return data
 
     def trigger(self) -> None:

@@ -15,7 +15,9 @@ import time
 from ..storage.types import TimeSeriesPoint
 from ..utils.expression import FeedbackTypeExpression, match_any
 
-POSITIVE_FEEDBACK_RATIO = "PositiveFeedbackRatio"
+# time-series name matches the reference (cache.PositiveFeedbackRatio,
+# storage/cache/database.go:76) so migrated dashboards keep their charts
+POSITIVE_FEEDBACK_RATIO = "positive_feedback_ratio"
 _DAY = 86400.0
 
 
@@ -29,6 +31,8 @@ class MetricsRegistry:
         self._values: dict[tuple[str, tuple], float] = {}
         self._types: dict[str, str] = {}
         self._help: dict[str, str] = {}
+        self._hist: dict[tuple[str, tuple], list] = {}
+        self._buckets: dict[str, tuple] = {}
 
     def _key(self, name: str, labels: dict | None):
         return (name, tuple(sorted((labels or {}).items())))
@@ -53,6 +57,34 @@ class MetricsRegistry:
         timing gauges per pipeline step, e.g. master/metrics.go:110-215)."""
         self.gauge_set(name + "_seconds", seconds, labels)
 
+    # default prometheus.DefBuckets — what the reference's HistogramVec uses
+    # (server/metrics.go:23-27)
+    DEF_BUCKETS = (0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5, 5.0, 10.0)
+
+    def histogram_observe(
+        self,
+        name: str,
+        value: float,
+        labels: dict | None = None,
+        buckets: tuple = DEF_BUCKETS,
+    ) -> None:
+        """Prometheus histogram: cumulative `_bucket{le=}` counters plus
+        `_sum`/`_count` (reference: gorse_server_rest_api_request_seconds is
+        a HistogramVec, server/metrics.go:23-27)."""
+        with self._lock:
+            self._types[name] = "histogram"
+            self._buckets[name] = buckets
+            k = self._key(name, labels)
+            counts, total = self._hist.setdefault(k, [[0] * (len(buckets) + 1), 0.0])
+            # non-cumulative per-bucket tallies; render() cumulates
+            for i, le in enumerate(buckets):
+                if value <= le:
+                    counts[i] += 1
+                    break
+            else:
+                counts[-1] += 1  # above every finite bucket
+            self._hist[k] = [counts, total + value]
+
     def render(self) -> str:
         with self._lock:
             lines = []
@@ -70,6 +102,25 @@ class MetricsRegistry:
                         lines.append(f"{full}{{{label_str}}} {value}")
                     else:
                         lines.append(f"{full} {value}")
+            hist_by_name: dict[str, list] = {}
+            for (name, labels), (counts, total) in sorted(self._hist.items()):
+                hist_by_name.setdefault(name, []).append((labels, counts, total))
+            for name, entries in hist_by_name.items():
+                full = f"{self.namespace}_{name}"
+                lines.append(f"# TYPE {full} histogram")
+                buckets = self._buckets[name]
+                for labels, counts, total in entries:
+                    base = ",".join(f'{k}="{v}"' for k, v in labels)
+                    cum = 0
+                    sep = "," if base else ""
+                    for i, le in enumerate(buckets):
+                        cum += counts[i]
+                        lines.append(f'{full}_bucket{{{base}{sep}le="{le}"}} {cum}')
+                    n_total = cum + counts[-1]
+                    lines.append(f'{full}_bucket{{{base}{sep}le="+Inf"}} {n_total}')
+                    lbl = f"{{{base}}}" if base else ""
+                    lines.append(f"{full}_sum{lbl} {total}")
+                    lines.append(f"{full}_count{lbl} {n_total}")
             return "\n".join(lines) + "\n"
 
 

@@ -183,7 +183,7 @@ class WorkerNode:
         from .metrics import MetricsRegistry
 
         node = self
-        metrics = MetricsRegistry(namespace="gorse_tpu_worker")
+        fallback_metrics = MetricsRegistry(namespace="gorse")
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *args):
@@ -198,10 +198,15 @@ class WorkerNode:
                     body = json.dumps({"status": "ready" if ready else "not ready"}).encode()
                     ctype = "application/json"
                 elif self.path == "/metrics":
-                    if node.worker is not None:
-                        spans = node.worker.progress.list()
+                    # the pipeline worker (and its gorse_worker_* registry) is
+                    # created lazily on first sync and replaced on config change
+                    # — resolve at request time
+                    worker = node.worker
+                    metrics = worker.metrics if worker is not None else fallback_metrics
+                    if worker is not None:
+                        spans = worker.progress.list()
                         done = sum(1 for s in spans if s.get("Status") == "complete")
-                        metrics.gauge_set("tasks_complete", done)
+                        metrics.gauge_set("worker_tasks_complete", done)
                     body, ctype, status = metrics.render().encode(), "text/plain", 200
                 else:
                     body, ctype, status = b'{"error": "not found"}', "application/json", 404

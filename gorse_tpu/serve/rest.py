@@ -75,15 +75,23 @@ class RestServer:
         data_store: DataStore,
         cache_store: CacheStore,
         api_key: str = "",
+        metrics=None,
     ) -> None:
         self.config = config
         self.data = data_store
         self.cache = cache_store
         self.api_key = api_key
-        self._routes: list[tuple[str, re.Pattern, callable]] = []
+        if metrics is None and not hasattr(self, "metrics"):
+            from .metrics import MetricsRegistry
+
+            metrics = MetricsRegistry(namespace="gorse")
+        if metrics is not None:
+            self.metrics = metrics
+        self._routes: list[tuple[str, re.Pattern, callable, str]] = []
         self._route_templates: list[tuple[str, str, callable]] = []
         self._register_routes()
         self.route("GET", "/apidocs.json", lambda req: self.openapi_spec())
+        self.route("GET", "/metrics", self.get_metrics)
         self._httpd: ThreadingHTTPServer | None = None
 
     # ------------------------------------------------------------- routing
@@ -99,7 +107,7 @@ class RestServer:
             )
             + "/?$"
         )
-        self._routes.append((method, regex, handler))
+        self._routes.append((method, regex, handler, pattern))
         self._route_templates.append((method, pattern, handler))
 
     def openapi_spec(self) -> dict:
@@ -215,10 +223,10 @@ class RestServer:
             and path not in self._public_paths
             and not self._session_ok(headers)
         ):
-            matched = any(p.match(path) for m, p, _ in self._routes if m == method)
+            matched = any(p.match(path) for m, p, _, _ in self._routes if m == method)
             if "/health/" not in path and path != "/metrics":
                 return (401, {"error": "unauthorized"}) if matched else (404, {"error": "not found"})
-        for m, pattern, handler in self._routes:
+        for m, pattern, handler, template in self._routes:
             if m != method:
                 continue
             match = pattern.match(path)
@@ -248,7 +256,7 @@ class RestServer:
                         span.set_attribute("status_code", out[0])
                         if out[0] >= 500:
                             span.status = f"error: {out[1].get('error', '')}"
-                self._observe(method, pattern.pattern, out[0], time.perf_counter() - t0)
+                self._observe(method, template, out[0], time.perf_counter() - t0)
                 return out
         return 404, {"error": "not found"}
 
@@ -263,9 +271,18 @@ class RestServer:
             metrics.counter_inc(
                 "rest_api_requests", labels={"method": method, "status": str(status)}
             )
-            metrics.observe_seconds("rest_api_request", seconds, labels={"method": method})
+            # the reference's HistogramVec keyed by route template
+            # (gorse_server_rest_api_request_seconds{api=...}, server/metrics.go:23-27)
+            metrics.histogram_observe(
+                "server_rest_api_request_seconds", seconds, labels={"api": route}
+            )
 
     # ------------------------------------------------------------- handlers
+
+    def get_metrics(self, req) -> "RawResponse":
+        """Prometheus scrape endpoint (reference: each node exposes promhttp;
+        server metrics are gorse_server_*, server/metrics.go)."""
+        return RawResponse(self.metrics.render().encode(), "text/plain; version=0.0.4")
 
     def check_live(self, req) -> dict:
         return {"status": "live"}

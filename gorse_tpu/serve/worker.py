@@ -67,6 +67,10 @@ class Worker:
         self.blob = blob_store
         self.node_id = node_id
         self.progress = ProgressTracker()
+        # Prometheus names match the reference (gorse_worker_*, worker/metrics.go)
+        from .metrics import MetricsRegistry
+
+        self.metrics = MetricsRegistry(namespace="gorse")
         self.cf_index: MatrixFactorizationIndex | None = None
         self.cf_model_id = ""
         self.ctr_model: AFM | None = None
@@ -161,10 +165,15 @@ class Worker:
             u for u in user_ids if force or (self.is_active(u) and self.needs_update(u))
         ]
         if not todo:
+            self.metrics.gauge_set("worker_update_user_recommend_total", 0)
+            self.metrics.gauge_set("worker_offline_recommend_total_seconds", 0.0)
             return 0
         self.items.clear()  # fresh metadata per pipeline run
+        t_total = time.perf_counter()
+        step_timings: dict[str, float] = {}
         with self.progress.span("recommend", total=len(todo)) as span:
             # STEP 1: collaborative scores for the whole shard in ONE batch
+            t_cf = time.perf_counter()
             if self.cf_index is not None:
                 exclude = [
                     [fb.item_id for fb in self.data.get_user_feedback(u)] for u in todo
@@ -187,6 +196,7 @@ class Worker:
                         self.cache.set(
                             key(ck.COLLABORATIVE_DIGEST, user_id), self.cf_model_id
                         )
+            step_timings["collaborative_recommend"] = time.perf_counter() - t_cf
             # STEP 2: per-user candidate assembly via the recommender chain;
             # replacement items join the candidate set BEFORE ranking
             # (reference: addReplacementCandidates worker/pipeline.go:542-588)
@@ -197,12 +207,16 @@ class Worker:
                     cfg, self.cache, self.data, online=False, user_id=user_id
                 )
                 chain = cfg.ranker.recommenders or ["collaborative"]
-                scores, _ = recommender.recommend_sequential([], cfg.cache_size, chain)
+                scores, _ = recommender.recommend_sequential(
+                    [], cfg.cache_size, chain, timings=step_timings
+                )
                 scores, pos, neg = self._add_replacement_candidates(scores, recommender)
                 candidates[user_id] = scores
                 replacement_sets[user_id] = (pos, neg)
             # STEP 3: ranking — FM model over all rows at once, or passthrough
+            t_rank = time.perf_counter()
             ranked = self._rank(candidates)
+            step_timings["ranking"] = time.perf_counter() - t_rank
             now = time.time()
             for user_id, scores in ranked.items():
                 # decay applies to the RANKED scores (reference:
@@ -217,6 +231,17 @@ class Worker:
                 # prune stale entries from previous runs (reference :257-273)
                 self.cache.delete_scores(ck.RECOMMEND, [user_id], before=now)
                 span.add(1)
+        # reference: UpdateUserRecommendTotal + OfflineRecommendStepSecondsVec
+        # + OfflineRecommendTotalSeconds + MemoryInuseBytesVec,
+        # worker/pipeline.go:280-286,140
+        g = self.metrics.gauge_set
+        g("worker_update_user_recommend_total", len(todo))
+        g("worker_offline_recommend_total_seconds", time.perf_counter() - t_total)
+        for step, seconds in step_timings.items():
+            g("worker_offline_recommend_step_seconds", seconds, labels={"step": step})
+        from ..utils.sizeof import deep_size
+
+        g("worker_memory_inuse_bytes", deep_size(self.items), labels={"data": "item_cache"})
         return len(todo)
 
     def _add_replacement_candidates(

@@ -42,6 +42,30 @@ LAST_MODIFY_ITEM_TIME = "last_modify_item_time"
 LAST_UPDATE_USER_RECOMMEND_TIME = "last_update_user_recommend_time"
 LAST_FIT_MATCHING_MODEL_TIME = "last_fit_matching_model_time"
 LAST_FIT_RANKING_MODEL_TIME = "last_fit_ranking_model_time"
+LAST_UPDATE_LATEST_ITEMS_TIME = "last_update_latest_items_time"
+LAST_UPDATE_POPULAR_ITEMS_TIME = "last_update_popular_items_time"
+
+# global-meta KV keys + time-series names (reference:
+# storage/cache/database.go:54-76) — the dashboard stats endpoint and charts
+# read these, so the names must match for migrated deployments
+GLOBAL_META = "global_meta"
+NUM_USERS = "num_users"
+NUM_ITEMS = "num_items"
+NUM_FEEDBACK = "num_feedback"
+NUM_POS_FEEDBACKS = "num_pos_feedbacks"
+NUM_NEG_FEEDBACKS = "num_neg_feedbacks"
+NUM_USER_LABELS = "num_user_labels"
+NUM_ITEM_LABELS = "num_item_labels"
+NUM_TOTAL_POS_FEEDBACKS = "num_total_pos_feedbacks"
+NUM_VALID_POS_FEEDBACKS = "num_valid_pos_feedbacks"
+NUM_VALID_NEG_FEEDBACKS = "num_valid_neg_feedbacks"
+CF_NDCG = "cf_ndcg"
+CF_PRECISION = "cf_precision"
+CF_RECALL = "cf_recall"
+CTR_PRECISION = "ctr_precision"
+CTR_RECALL = "ctr_recall"
+CTR_AUC = "ctr_auc"
+POSITIVE_FEEDBACK_RATIO = "positive_feedback_ratio"
 
 
 def key(*parts: str) -> str:

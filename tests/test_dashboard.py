@@ -63,16 +63,35 @@ def test_csv_round_trip():
 
 
 def test_metrics_registry():
-    reg = MetricsRegistry()
-    reg.gauge_set("users_total", 5, help="number of users")
+    reg = MetricsRegistry(namespace="gorse")
+    reg.gauge_set("master_users_total", 5, help="number of users")
     reg.counter_inc("requests", labels={"path": "/api/recommend"})
     reg.counter_inc("requests", labels={"path": "/api/recommend"})
-    reg.observe_seconds("load_dataset", 1.5)
+    reg.observe_seconds("master_load_dataset", 1.5)
     text = reg.render()
-    assert "# TYPE gorse_tpu_users_total gauge" in text
-    assert "gorse_tpu_users_total 5.0" in text
-    assert 'gorse_tpu_requests{path="/api/recommend"} 2.0' in text
-    assert "gorse_tpu_load_dataset_seconds 1.5" in text
+    assert "# TYPE gorse_master_users_total gauge" in text
+    assert "gorse_master_users_total 5.0" in text
+    assert 'gorse_requests{path="/api/recommend"} 2.0' in text
+    assert "gorse_master_load_dataset_seconds 1.5" in text
+
+
+def test_metrics_histogram():
+    """Prometheus histogram exposition (reference:
+    gorse_server_rest_api_request_seconds HistogramVec, server/metrics.go)."""
+    reg = MetricsRegistry(namespace="gorse")
+    for v in (0.003, 0.02, 0.02, 7.0, 99.0):
+        reg.histogram_observe(
+            "server_rest_api_request_seconds", v, labels={"api": "/api/recommend/{user-id}"}
+        )
+    text = reg.render()
+    assert "# TYPE gorse_server_rest_api_request_seconds histogram" in text
+    assert 'le="0.005"} 1' in text          # 0.003
+    assert 'le="0.025"} 3' in text          # + two 0.02s
+    assert 'le="10.0"} 4' in text           # + 7.0
+    assert 'le="+Inf"} 5' in text           # + 99.0
+    assert 'gorse_server_rest_api_request_seconds_count{api="/api/recommend/{user-id}"} 5' in text
+    total = 0.003 + 0.02 + 0.02 + 7.0 + 99.0
+    assert f'gorse_server_rest_api_request_seconds_sum{{api="/api/recommend/{{user-id}}"}} {total}' in text
 
 
 def test_online_evaluator():
@@ -86,14 +105,14 @@ def test_online_evaluator():
     # no positive feedback at all, master/metrics.go:287-289)
     ev.add("read", 0, 1, 3, now)
     points = ev.evaluate()
-    overall = [p for p in points if p.name == "PositiveFeedbackRatio"]
+    overall = [p for p in points if p.name == "positive_feedback_ratio"]
     assert overall and abs(overall[0].value - 0.5) < 1e-9
-    typed = [p for p in points if p.name == "PositiveFeedbackRatio_like"]
+    typed = [p for p in points if p.name == "positive_feedback_ratio_like"]
     assert typed and abs(typed[0].value - 0.5) < 1e-9
     # user 1 likes something else -> now counted with ratio 0 for reads
     ev.add("like", 0, 1, 9, now)
     points = ev.evaluate()
-    overall = [p for p in points if p.name == "PositiveFeedbackRatio"]
+    overall = [p for p in points if p.name == "positive_feedback_ratio"]
     assert abs(overall[0].value - 0.25) < 1e-9  # mean(0.5, 0)
 
 
@@ -161,7 +180,7 @@ def test_dashboard_endpoints(node):
     _, schema = _get(base, "/api/dashboard/config/schema")
     assert "recommend" in schema["properties"]
     # timeseries recorded during training
-    _, ts = _get(base, "/api/dashboard/timeseries/CFModelNDCG")
+    _, ts = _get(base, "/api/dashboard/timeseries/cf_ndcg")
     assert ts and "Value" in ts[0]
     # schedule triggers the loop flag
     _post(base, "/api/dashboard/schedule", {})
@@ -172,7 +191,13 @@ def test_metrics_endpoint(node):
     _, base = node
     status, body, ctype = _get_raw(base, "/metrics")
     text = body.decode()
-    assert "gorse_tpu_users_total 8.0" in text
+    assert "gorse_master_users_total 8.0" in text
+    # request histogram appears once an API route has been observed
+    _get_raw(base, "/api/users")
+    _, body, _ = _get_raw(base, "/metrics")
+    text = body.decode()
+    assert "gorse_server_rest_api_request_seconds_bucket" in text
+    assert 'api="/api/users"' in text
     assert ctype.startswith("text/plain")
 
 
@@ -464,3 +489,19 @@ def test_recommend_config_override_survives_restart(tmp_path):
     meta.put(RECOMMEND_CONFIG, json.dumps({"recommend": {"cache_size": 42}}))
     master = Master(config, MemoryDataStore(), MemoryCacheStore(), BlobStore(tmp_path / "b"), meta)
     assert master.config.recommend.cache_size == 42
+
+
+def test_stats_reference_fields(node):
+    """getStats payload carries the reference's field set, populated from the
+    global_meta cache keys (master/rest.go:638-730)."""
+    _, base = node
+    _, stats = _get(base, "/api/dashboard/stats")
+    assert stats["BinaryVersion"]
+    assert stats["NumUsers"] == 8 and stats["NumItems"] == 15
+    assert stats["NumValidPosFeedback"] > 0
+    assert stats["NumTotalPosFeedback"] >= stats["NumValidPosFeedback"]
+    assert stats["PopularItemsUpdateTime"] > 0
+    assert stats["LatestItemsUpdateTime"] > 0
+    assert stats["MatchingModelFitTime"] > 0
+    assert "NDCG" in stats["MatchingModelScore"]
+    assert stats["NumServers"] == 0 and stats["NumWorkers"] == 0

@@ -117,6 +117,10 @@ def test_worker_http_health_and_metrics(master_env):
         with urllib.request.urlopen(base + "/api/health/ready") as r:
             assert json.loads(r.read())["status"] == "ready"
         with urllib.request.urlopen(base + "/metrics") as r:
-            assert b"gorse_tpu_worker_tasks_complete" in r.read()
+            body = r.read()
+            assert b"gorse_worker_tasks_complete" in body
+            # reference worker gauges (worker/metrics.go:28-47)
+            assert b"gorse_worker_update_user_recommend_total" in body
+            assert b"gorse_worker_offline_recommend_total_seconds" in body
     finally:
         w.shutdown()

@@ -423,3 +423,74 @@ def test_master_cf_search_writes_target(env):
     target = json.loads(meta.get("CF_SEARCH_TARGET"))
     assert target["type"] in ("bpr", "als")
     assert "params" in target and target["score"] > 0
+
+
+def test_master_task_metrics(env):
+    """Task-loop Prometheus gauges use the reference's names
+    (gorse_master_*, master/metrics.go:33-215)."""
+    config, data, cache, blob, meta = env
+    master = Master(config, data, cache, blob, meta)
+    master.run_tasks_once()
+    text = master.metrics.render()
+    for name in (
+        "gorse_master_load_dataset_total_seconds",
+        'gorse_master_load_dataset_step_seconds{step="load_items"}',
+        'gorse_master_load_dataset_step_seconds{step="load_users"}',
+        'gorse_master_load_dataset_step_seconds{step="load_positive_feedback"}',
+        "gorse_master_users_total 30.0",
+        "gorse_master_items_total 40.0",
+        "gorse_master_active_users_total 30.0",
+        "gorse_master_positive_feedbacks_total",
+        "gorse_master_collaborative_filtering_fit_seconds",
+        "gorse_master_collaborative_filtering_ndcg_10",
+        "gorse_master_ranking_fit_seconds",
+        "gorse_master_ranking_model_auc",
+        "gorse_master_cache_scanned_total",
+        "gorse_master_cache_reclaimed_total 0.0",
+        'gorse_master_memory_inuse_bytes{data="dataset"}',
+    ):
+        assert name in text, name
+
+
+def test_master_cache_gc(env):
+    """collect_garbage prunes cache collections for removed configs and
+    deleted entities (reference: collectGarbage master/tasks.go:1249-1301)."""
+    from gorse_tpu.storage.types import Score
+
+    config, data, cache, blob, meta = env
+    config.recommend.item_to_item = []
+    master = Master(config, data, cache, blob, meta)
+    stale_score = [Score(id="i1", score=1.0, timestamp=1.0)]
+    # subset for a non-configured non-personalized scorer
+    cache.add_scores(ck.NON_PERSONALIZED, "trending", stale_score)
+    # item-to-item rows with no configured engines at all
+    cache.add_scores(ck.ITEM_TO_ITEM, "neighbors/i1", stale_score)
+    # collaborative rows for a user that no longer exists
+    cache.add_scores(ck.COLLABORATIVE, "ghost-user", stale_score)
+    master.run_tasks_once()
+    assert not cache.search_scores(ck.NON_PERSONALIZED, "trending", [""], 0, 5)
+    assert not cache.search_scores(ck.ITEM_TO_ITEM, "neighbors/i1", [""], 0, 5)
+    assert not cache.search_scores(ck.COLLABORATIVE, "ghost-user", [""], 0, 5)
+    # live subsets survive
+    assert cache.search_scores(ck.NON_PERSONALIZED, "popular", [""], 0, 5)
+    text = master.metrics.render()
+    assert "gorse_master_cache_reclaimed_total 3.0" in text
+
+
+def test_worker_pipeline_metrics(env):
+    """Worker gauges match the reference names (gorse_worker_*,
+    worker/metrics.go:28-47, step labels pipeline.go:282-286)."""
+    config, data, cache, blob, meta = env
+    master = Master(config, data, cache, blob, meta)
+    master.run_tasks_once()
+    worker = Worker(config, data, cache, blob, node_id="w0")
+    worker.pull_models(
+        meta.get("COLLABORATIVE_FILTERING_MODEL"), meta.get("CLICK_THROUGH_RATE_MODEL")
+    )
+    n = worker.recommend([f"u{u}" for u in range(5)])
+    assert n == 5
+    text = worker.metrics.render()
+    assert "gorse_worker_update_user_recommend_total 5.0" in text
+    assert "gorse_worker_offline_recommend_total_seconds" in text
+    assert 'gorse_worker_offline_recommend_step_seconds{step="collaborative_recommend"}' in text
+    assert 'gorse_worker_memory_inuse_bytes{data="item_cache"}' in text
