@@ -106,7 +106,9 @@ class Contexts:
         return doc
 
     def _store(self, doc: dict) -> None:
-        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        dirname = os.path.dirname(self.path)
+        if dirname:
+            os.makedirs(dirname, exist_ok=True)
         fd = os.open(self.path, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o600)
         with os.fdopen(fd, "w") as f:
             json.dump(doc, f, indent=2)
@@ -153,11 +155,15 @@ class Contexts:
 
 def _resolve_endpoint(args) -> tuple[str, str]:
     """Flags > env > --context > current context > local default
-    (reference: getEndpointAndKey, cmd/gorse-cli/context.go:207-258)."""
+    (reference: getEndpointAndKey, cmd/gorse-cli/context.go:207-258).
+
+    The endpoint and API key resolve as a PAIR: a context's stored key is
+    only used when the endpoint also came from that context — never sent to
+    a host given via --url/env, which would leak the saved admin key."""
     endpoint = args.url or os.environ.get("GORSE_ADMIN_ENDPOINT", "")
     api_key = args.api_key or os.environ.get("GORSE_ADMIN_API_KEY", "")
     contexts = Contexts()
-    if not endpoint or not api_key:
+    if not endpoint:
         name = getattr(args, "context", "") or contexts.current()
         if name:
             try:
@@ -167,7 +173,7 @@ def _resolve_endpoint(args) -> tuple[str, str]:
                     f"Error: {exc.args[0]}.\nList available contexts:\n"
                     "  gorse-tpu-cli context list"
                 )
-            endpoint = endpoint or ctx["endpoint"]
+            endpoint = ctx["endpoint"]
             api_key = api_key or ctx.get("api_key", "")
     return endpoint or "http://127.0.0.1:8087", api_key
 

@@ -18,6 +18,7 @@ import time
 
 from .. import __version__
 from ..storage import cache as ck_mod
+from ..storage.cache import key
 from ..storage.meta import RECOMMEND_CONFIG, Node
 from ..utils.config import Config, _from_dict
 from . import dump as dump_mod
@@ -143,7 +144,6 @@ class MasterRestServer(RestServer):
 
     def _user_detail(self, user) -> dict:
         """User + activity timestamps (reference: master/rest.go:804-831)."""
-        from ..storage.cache import key
 
         d = user.to_dict()
         d["LastActiveTime"] = self.cache.get(key(ck_mod.LAST_MODIFY_USER_TIME, user.user_id)) or ""
@@ -213,7 +213,6 @@ class MasterRestServer(RestServer):
         return self._scored_items(self._page(req, scores))
 
     def get_dashboard_item_to_item(self, req) -> list:
-        from ..storage.cache import key
 
         scores = self.cache.search_scores(
             ck_mod.ITEM_TO_ITEM, key(req.params["name"], req.params["item_id"])
@@ -221,7 +220,6 @@ class MasterRestServer(RestServer):
         return self._scored_items(self._page(req, scores))
 
     def get_dashboard_user_to_user(self, req) -> list:
-        from ..storage.cache import key
 
         scores = self.cache.search_scores(
             ck_mod.USER_TO_USER, key(req.params["name"], req.params["user_id"])
@@ -421,15 +419,12 @@ class MasterRestServer(RestServer):
         """Full status payload (reference: getStats master/rest.go:638-730 —
         counters come from the global_meta cache keys the task loop writes,
         falling back to live data-store counts before the first run)."""
-        from ..storage import cache as ck
-        from ..storage.cache import key
-
         def meta_int(name: str, fallback: int = 0) -> int:
-            raw = self.cache.get(key(ck.GLOBAL_META, name))
+            raw = self.cache.get(key(ck_mod.GLOBAL_META, name))
             return int(raw) if raw else fallback
 
         def meta_time(name: str) -> float:
-            raw = self.cache.get(key(ck.GLOBAL_META, name))
+            raw = self.cache.get(key(ck_mod.GLOBAL_META, name))
             return float(raw) if raw else 0.0
 
         nodes = self.master.meta.list_nodes()
@@ -439,20 +434,20 @@ class MasterRestServer(RestServer):
             "BinaryVersion": __version__,
             "NumServers": sum(1 for n in nodes if n.node_type == "server"),
             "NumWorkers": sum(1 for n in nodes if n.node_type == "worker"),
-            "NumUsers": meta_int(ck.NUM_USERS, self.data.count_users()),
-            "NumItems": meta_int(ck.NUM_ITEMS, self.data.count_items()),
-            "NumUserLabels": meta_int(ck.NUM_USER_LABELS),
-            "NumItemLabels": meta_int(ck.NUM_ITEM_LABELS),
+            "NumUsers": meta_int(ck_mod.NUM_USERS, self.data.count_users()),
+            "NumItems": meta_int(ck_mod.NUM_ITEMS, self.data.count_items()),
+            "NumUserLabels": meta_int(ck_mod.NUM_USER_LABELS),
+            "NumItemLabels": meta_int(ck_mod.NUM_ITEM_LABELS),
             "NumTotalPosFeedback": meta_int(
-                ck.NUM_TOTAL_POS_FEEDBACKS, self.data.count_feedback()
+                ck_mod.NUM_TOTAL_POS_FEEDBACKS, self.data.count_feedback()
             ),
-            "NumValidPosFeedback": meta_int(ck.NUM_VALID_POS_FEEDBACKS),
-            "NumValidNegFeedback": meta_int(ck.NUM_VALID_NEG_FEEDBACKS),
-            "PopularItemsUpdateTime": meta_time(ck.LAST_UPDATE_POPULAR_ITEMS_TIME),
-            "LatestItemsUpdateTime": meta_time(ck.LAST_UPDATE_LATEST_ITEMS_TIME),
-            "MatchingModelFitTime": float(self.cache.get(ck.LAST_FIT_MATCHING_MODEL_TIME) or 0),
+            "NumValidPosFeedback": meta_int(ck_mod.NUM_VALID_POS_FEEDBACKS),
+            "NumValidNegFeedback": meta_int(ck_mod.NUM_VALID_NEG_FEEDBACKS),
+            "PopularItemsUpdateTime": meta_time(ck_mod.LAST_UPDATE_POPULAR_ITEMS_TIME),
+            "LatestItemsUpdateTime": meta_time(ck_mod.LAST_UPDATE_LATEST_ITEMS_TIME),
+            "MatchingModelFitTime": float(self.cache.get(ck_mod.LAST_FIT_MATCHING_MODEL_TIME) or 0),
             "MatchingModelScore": {"NDCG": cf_meta.get("score", 0.0)},
-            "RankingModelFitTime": float(self.cache.get(ck.LAST_FIT_RANKING_MODEL_TIME) or 0),
+            "RankingModelFitTime": float(self.cache.get(ck_mod.LAST_FIT_RANKING_MODEL_TIME) or 0),
             # kept for the embedded dashboard UI + CLI `stats`
             "NumTotalPos": self.data.count_feedback(),
             "CFModel": self.master.meta.get("COLLABORATIVE_FILTERING_MODEL") or "",

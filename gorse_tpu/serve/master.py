@@ -57,6 +57,10 @@ class LoadedData:
     ctr: CTRDataset | None
     item_categories: list[list[str]]
     items: list
+    # load-start snapshot time; cache GC uses it as the deletion cutoff so
+    # rows written for entities created after the snapshot survive
+    # (reference: dataset.GetTimestamp() as Before, master/tasks.go:1273-1296)
+    timestamp: float = 0.0
 
 
 class Master:
@@ -197,6 +201,7 @@ class Master:
 
                 threading.Thread(target=_reconcile, daemon=True).start()
             t_task = time.perf_counter()
+            load_time = time.time()
             step_seconds = self.metrics.gauge_set
             dataset = Dataset()
             t0 = time.perf_counter()
@@ -226,12 +231,13 @@ class Master:
             positive_edges: set[tuple[str, str]] = set()
             negative_edges: list[tuple[str, str]] = []
             t0 = time.perf_counter()
-            n_feedback_rows = n_implicit = 0
+            n_feedback_rows = n_implicit = n_total_pos = 0
             active_users: set[str] = set()
             active_items: set[str] = set()
             for fb in self.data.get_feedback(end_time=time.time()):
                 n_feedback_rows += 1
                 if match_any(cfg.data_source.positive_feedback_types, fb.feedback_type, fb.value):
+                    n_total_pos += 1  # pre-TTL, pre-dedup (NumTotalPosFeedbacks)
                     active_users.add(fb.user_id)
                     active_items.add(fb.item_id)
                     if cutoff is not None and fb.timestamp < cutoff:
@@ -283,17 +289,21 @@ class Master:
                 (ck.NUM_ITEMS, dataset.count_items()),
                 (ck.NUM_USER_LABELS, len(dataset.user_label_dict)),
                 (ck.NUM_ITEM_LABELS, len(dataset.item_label_dict)),
-                (ck.NUM_TOTAL_POS_FEEDBACKS, n_feedback_rows),
+                (ck.NUM_TOTAL_POS_FEEDBACKS, n_total_pos),
                 (ck.NUM_VALID_POS_FEEDBACKS, len(positive_edges)),
                 (ck.NUM_VALID_NEG_FEEDBACKS, len(negative_edges)),
             ):
                 self.cache.set(key(ck.GLOBAL_META, kv), str(int(value)))
             self._record_ts(ck.NUM_USERS, dataset.count_users())
             self._record_ts(ck.NUM_ITEMS, dataset.count_items())
-            self._record_ts(ck.NUM_FEEDBACK, len(ctr) if ctr is not None else 0)
-            self._record_ts(ck.NUM_POS_FEEDBACKS, ctr.count_positive() if ctr is not None else 0)
-            self._record_ts(ck.NUM_NEG_FEEDBACKS, ctr.count_negative() if ctr is not None else 0)
-            return LoadedData(dataset, train, test, ctr, item_categories, items)
+            # real ingested rows only — the CTR dataset's sampled balancing
+            # negatives would make this chart fluctuate with the sampler
+            self._record_ts(ck.NUM_FEEDBACK, dataset.count_feedback() + len(negative_edges))
+            self._record_ts(ck.NUM_POS_FEEDBACKS, dataset.count_feedback())
+            self._record_ts(ck.NUM_NEG_FEEDBACKS, len(negative_edges))
+            return LoadedData(
+                dataset, train, test, ctr, item_categories, items, timestamp=load_time
+            )
 
     def _build_ctr_dataset(self, dataset: Dataset, positive_edges, negative_edges) -> CTRDataset:
         """CTR rows from positive + explicit/sampled negatives
@@ -737,14 +747,16 @@ class Master:
         i2i_names = {e.name for e in cfg.item_to_item}
         u2u_names = {e.name for e in cfg.user_to_user}
         dataset = data.dataset
-        before = time.time()
+        # deletion cutoff = the dataset snapshot time, NOT GC-start: rows
+        # written for entities created after the snapshot must survive
+        # (reference: Before=dataSet.GetTimestamp(), master/tasks.go:1273-1296)
+        before = data.timestamp or time.time()
         scanned = reclaimed = 0
         for collection in (ck.NON_PERSONALIZED, ck.ITEM_TO_ITEM, ck.USER_TO_USER, ck.COLLABORATIVE):
-            subsets: set[str] = set()
-            for subset, _score in self.cache.scan_scores(collection):
-                subsets.add(subset)
+            subsets = set(self.cache.scan_score_subsets(collection))
             scanned += len(subsets)
             stale: list[str] = []
+            stale_digest_keys: list[str] = []
             for subset in subsets:
                 if collection == ck.NON_PERSONALIZED:
                     if subset not in np_names:
@@ -753,22 +765,26 @@ class Master:
                     name, _, item_id = subset.partition("/")
                     if name not in i2i_names or dataset.item_dict.to_number(item_id) < 0:
                         stale.append(subset)
+                        stale_digest_keys.append(key(ck.ITEM_TO_ITEM_DIGEST, name, item_id))
                 elif collection == ck.USER_TO_USER:
                     name, _, user_id = subset.partition("/")
                     if name not in u2u_names or dataset.user_dict.to_number(user_id) < 0:
                         stale.append(subset)
+                        stale_digest_keys.append(key(ck.USER_TO_USER_DIGEST, name, user_id))
                 else:  # collaborative filtering: subset is the user id
                     if dataset.user_dict.to_number(subset) < 0:
                         stale.append(subset)
+                        stale_digest_keys.append(key(ck.COLLABORATIVE_DIGEST, subset))
             if stale:
                 # non-personalized rows for removed configs go unconditionally;
-                # entity-keyed rows keep anything written after this scan began
-                # (reference passes Before=dataset timestamp except for
-                # NonPersonalized, master/tasks.go:1255-1297)
+                # entity-keyed rows keep anything written after the snapshot
                 self.cache.delete_scores(
                     collection, stale,
                     before=None if collection == ck.NON_PERSONALIZED else before,
                 )
+                # companion digest keys would otherwise leak forever
+                for k_ in stale_digest_keys:
+                    self.cache.delete(k_)
                 reclaimed += len(stale)
         # reference: CacheScannedTotal/CacheReclaimedTotal/CacheScannedSeconds,
         # master/metrics.go:74-88

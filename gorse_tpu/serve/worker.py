@@ -71,6 +71,7 @@ class Worker:
         from .metrics import MetricsRegistry
 
         self.metrics = MetricsRegistry(namespace="gorse")
+        self._step_labels: set[str] = set()  # step gauges written so far
         self.cf_index: MatrixFactorizationIndex | None = None
         self.cf_model_id = ""
         self.ctr_model: AFM | None = None
@@ -167,6 +168,12 @@ class Worker:
         if not todo:
             self.metrics.gauge_set("worker_update_user_recommend_total", 0)
             self.metrics.gauge_set("worker_offline_recommend_total_seconds", 0.0)
+            # zero the step gauges too, or dashboards graph the previous
+            # run's phantom work against a zero total
+            for step in self._step_labels:
+                self.metrics.gauge_set(
+                    "worker_offline_recommend_step_seconds", 0.0, labels={"step": step}
+                )
             return 0
         self.items.clear()  # fresh metadata per pipeline run
         t_total = time.perf_counter()
@@ -237,6 +244,9 @@ class Worker:
         g = self.metrics.gauge_set
         g("worker_update_user_recommend_total", len(todo))
         g("worker_offline_recommend_total_seconds", time.perf_counter() - t_total)
+        for step in self._step_labels - set(step_timings):
+            step_timings[step] = 0.0  # steps skipped this run read as zero
+        self._step_labels |= set(step_timings)
         for step, seconds in step_timings.items():
             g("worker_offline_recommend_step_seconds", seconds, labels={"step": step})
         from ..utils.sizeof import deep_size

@@ -119,6 +119,16 @@ class CacheStore:
     def scan_scores(self, collection: str) -> Iterator[tuple[str, Score]]:
         raise NotImplementedError
 
+    def scan_score_subsets(self, collection: str) -> Iterator[str]:
+        """Distinct subset names in a collection (the GC scan,
+        master/tasks.go:1252). Backends override with O(subsets) queries;
+        this fallback materializes every row."""
+        seen: set[str] = set()
+        for subset, _ in self.scan_scores(collection):
+            if subset not in seen:
+                seen.add(subset)
+                yield subset
+
     # --- time series
     def add_time_series_points(self, points: list[TimeSeriesPoint]) -> None:
         raise NotImplementedError
@@ -245,6 +255,10 @@ class MemoryCacheStore(CacheStore):
                 for s in docs.values()
             ]
         yield from snapshot
+
+    def scan_score_subsets(self, collection):
+        with self._lock:
+            return list(self._scores.get(collection, {}))
 
     def add_time_series_points(self, points) -> None:
         with self._lock:
@@ -408,6 +422,14 @@ class SQLiteCacheStore(CacheStore):
             ).fetchall()
         for r in rows:
             yield r[0], Score(id=r[1], score=r[2], categories=json.loads(r[3] or "[]"), timestamp=r[4])
+
+    def scan_score_subsets(self, collection):
+        with self._lock:
+            rows = self._conn.execute(
+                "SELECT DISTINCT subset FROM scores WHERE collection = ?",
+                (collection,),
+            ).fetchall()
+        return [r[0] for r in rows]
 
     def add_time_series_points(self, points) -> None:
         with self._lock:

@@ -220,6 +220,16 @@ class _MongoHandler(socketserver.BaseRequestHandler):
                 coll = state.coll(db, doc["count"])
                 q = doc.get("query") or {}
                 return {"n": sum(1 for d in coll if _match(d, q)), "ok": 1.0}
+            if cmd == "distinct":
+                coll = state.coll(db, doc["distinct"])
+                q = doc.get("query") or {}
+                key = doc["key"]
+                values, seen = [], set()
+                for d in coll:
+                    if _match(d, q) and key in d and d[key] not in seen:
+                        seen.add(d[key])
+                        values.append(d[key])
+                return {"values": values, "ok": 1.0}
             return {"ok": 0.0, "errmsg": f"no such command: {cmd}"}
 
 

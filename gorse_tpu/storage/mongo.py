@@ -400,6 +400,13 @@ class MongoCacheStore(CacheStore):
                 float(d.get("timestamp") or 0.0),
             )
 
+    def scan_score_subsets(self, collection):
+        reply = self.conn.command(
+            self.db,
+            {"distinct": self._n("documents"), "key": "s", "query": {"c": collection}},
+        )
+        return list(reply.get("values") or [])
+
     # -- time series -----------------------------------------------------------------
     def add_time_series_points(self, points) -> None:
         if not points:

@@ -59,7 +59,8 @@ NoCacheStore = type(
         (
             "set", "get", "delete", "push", "pop", "remain",
             "add_scores", "search_scores", "delete_scores", "update_scores",
-            "scan_scores", "add_time_series_points", "get_time_series_points",
+            "scan_scores", "scan_score_subsets",
+            "add_time_series_points", "get_time_series_points",
         ),
     ),
 )

@@ -300,6 +300,9 @@ class ProxyCacheStore(_ProxyBase, CacheStore):
         for row in self._stream("scan_scores", collection):
             yield row[0], row[1]
 
+    def scan_score_subsets(self, collection):
+        return self._call("scan_score_subsets", collection)
+
     def add_time_series_points(self, points) -> None:
         self._call("add_time_series_points", list(points))
 

@@ -176,6 +176,9 @@ class RedisCacheStore(CacheStore):
             for s in self._subset_rows(collection, subset):
                 yield subset, s
 
+    def scan_score_subsets(self, collection):
+        return self._subsets(collection)
+
     # --- time series (sorted set keyed by timestamp; unique member suffix
     # allows equal-valued points)
     def add_time_series_points(self, points) -> None:

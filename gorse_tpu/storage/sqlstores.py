@@ -655,6 +655,13 @@ class GenericSQLCacheStore(CacheStore):
                               categories=_as_json(r[3]) or [],
                               timestamp=_as_float(r[4]))
 
+    def scan_score_subsets(self, collection):
+        rows = self._q(
+            "SELECT DISTINCT subset FROM scores WHERE collection = ?",
+            (collection,),
+        )
+        return [r[0] for r in rows]
+
     # -- time series -------------------------------------------------------
     def add_time_series_points(self, points) -> None:
         for p in points:

@@ -140,10 +140,12 @@ def test_cli_contexts(tmp_path, capsys, monkeypatch):
     assert _resolve_endpoint(A()) == ("http://prod:8087", "k1")
     A.context = "dev"
     assert _resolve_endpoint(A()) == ("http://dev:8087", "k2")
+    # endpoint from env/flag must NOT borrow a stored context's API key
+    # (credential-mixing would leak the saved admin key to another host)
     monkeypatch.setenv("GORSE_ADMIN_ENDPOINT", "http://env:1")
-    assert _resolve_endpoint(A())[0] == "http://env:1"
+    assert _resolve_endpoint(A()) == ("http://env:1", "")
     A.url = "http://flag:1"
-    assert _resolve_endpoint(A())[0] == "http://flag:1"
+    assert _resolve_endpoint(A()) == ("http://flag:1", "")
 
     # delete falls back to the next name; unknown context errors
     assert main(["context", "delete", "prod"]) == 0

@@ -475,6 +475,29 @@ def test_master_cache_gc(env):
     assert cache.search_scores(ck.NON_PERSONALIZED, "popular", [""], 0, 5)
     text = master.metrics.render()
     assert "gorse_master_cache_reclaimed_total 3.0" in text
+    # companion digest keys are reclaimed with the rows
+    from gorse_tpu.storage.cache import key as ckey
+
+    assert cache.get(ckey(ck.COLLABORATIVE_DIGEST, "ghost-user")) is None
+
+
+def test_master_cache_gc_keeps_post_snapshot_rows(env):
+    """Rows written for entities created AFTER the dataset snapshot survive
+    GC (reference: Before=dataSet.GetTimestamp(), master/tasks.go:1273-1296)."""
+    import time as _time
+
+    from gorse_tpu.storage.types import Score
+
+    config, data, cache, blob, meta = env
+    master = Master(config, data, cache, blob, meta)
+    data_snapshot = master.load_dataset()
+    # a user registers after the snapshot; a worker writes their CF rows
+    cache.add_scores(
+        ck.COLLABORATIVE, "new-user",
+        [Score(id="i1", score=1.0, timestamp=_time.time() + 1.0)],
+    )
+    master.collect_garbage(data_snapshot)
+    assert cache.search_scores(ck.COLLABORATIVE, "new-user", [""], 0, 5)
 
 
 def test_worker_pipeline_metrics(env):

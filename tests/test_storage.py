@@ -198,8 +198,12 @@ def test_cache_scores(cache_store):
     # scan
     rows = list(cache_store.scan_scores("recommend"))
     assert {r[0] for r in rows} == {"u1"}
+    # distinct subset names (the GC scan path)
+    cache_store.add_scores("recommend", "u2", [Score("i9", 0.1, [])])
+    assert sorted(cache_store.scan_score_subsets("recommend")) == ["u1", "u2"]
+    assert list(cache_store.scan_score_subsets("no-such-collection")) == []
     # delete by subset
-    cache_store.delete_scores("recommend", ["u1"])
+    cache_store.delete_scores("recommend", ["u1", "u2"])
     assert cache_store.search_scores("recommend", "u1") == []
 
 
