@@ -47,12 +47,24 @@ class GorseClient:
         out = self._request("GET", "/api/users", query={"n": n, "cursor": cursor})
         return [User.from_dict(d) for d in out["Users"]], out["Cursor"]
 
+    def update_user(self, user_id: str, patch: dict) -> dict:
+        """Partial update (reference SDK: UpdateUser -> PATCH /api/user/{id})."""
+        return self._request("PATCH", f"/api/user/{urllib.parse.quote(user_id)}", patch)
+
     # --- items
     def insert_item(self, item: Item) -> dict:
         return self._request("POST", "/api/item", item.to_dict())
 
     def get_item(self, item_id: str) -> Item:
         return Item.from_dict(self._request("GET", f"/api/item/{urllib.parse.quote(item_id)}"))
+
+    def get_items(self, n: int = 10, cursor: str = "") -> tuple[list[Item], str]:
+        out = self._request("GET", "/api/items", query={"n": n, "cursor": cursor})
+        return [Item.from_dict(d) for d in out["Items"]], out["Cursor"]
+
+    def update_item(self, item_id: str, patch: dict) -> dict:
+        """Partial update (reference SDK: UpdateItem -> PATCH /api/item/{id})."""
+        return self._request("PATCH", f"/api/item/{urllib.parse.quote(item_id)}", patch)
 
     def delete_item(self, item_id: str) -> dict:
         return self._request("DELETE", f"/api/item/{urllib.parse.quote(item_id)}")
@@ -67,6 +79,30 @@ class GorseClient:
         if feedback_type:
             path += f"/{urllib.parse.quote(feedback_type)}"
         return [Feedback.from_dict(d) for d in self._request("GET", path)]
+
+    def list_feedbacks(self, feedback_type: str = "", n: int = 10, cursor: str = "") -> tuple[list[Feedback], str]:
+        """Paged feedback scan (reference SDK: ListFeedbacks ->
+        GET /api/feedback[/{type}])."""
+        path = "/api/feedback" + (f"/{urllib.parse.quote(feedback_type)}" if feedback_type else "")
+        out = self._request("GET", path, query={"n": n, "cursor": cursor})
+        return [Feedback.from_dict(d) for d in out["Feedback"]], out["Cursor"]
+
+    def delete_feedback(self, feedback_type: str, user_id: str, item_id: str) -> dict:
+        """Delete one typed edge (reference SDK: DeleteFeedback ->
+        DELETE /api/feedback/{type}/{user}/{item})."""
+        return self._request(
+            "DELETE",
+            "/api/feedback/"
+            f"{urllib.parse.quote(feedback_type)}/{urllib.parse.quote(user_id)}/{urllib.parse.quote(item_id)}",
+        )
+
+    def delete_feedbacks(self, user_id: str, item_id: str) -> list:
+        """Delete every edge between a user and an item (reference SDK:
+        DeleteFeedbacks -> DELETE /api/feedback/{user}/{item})."""
+        return self._request(
+            "DELETE",
+            f"/api/feedback/{urllib.parse.quote(user_id)}/{urllib.parse.quote(item_id)}",
+        )
 
     # --- recommendations
     def get_recommend(

@@ -227,6 +227,21 @@ def test_sdk_client_end_to_end(sdk):
     assert sdk.get_popular(n=3)
     users, cursor = sdk.get_users(n=5)
     assert len(users) == 5 and cursor
+    items, icursor = sdk.get_items(n=5)
+    assert len(items) == 5 and icursor
+    # partial updates (reference SDK: UpdateUser/UpdateItem -> PATCH)
+    sdk.update_user("sdk-user", {"Labels": ["y"]})
+    assert sdk.get_user("sdk-user").labels == ["y"]
+    sdk.update_item("sdk-item", {"Categories": ["ml"]})
+    assert sdk.get_item("sdk-item").categories == ["ml"]
+    # feedback listing + typed/untyped deletes (ListFeedbacks/DeleteFeedback(s))
+    fbs, _ = sdk.list_feedbacks("star", n=5)
+    assert fbs and all(f.feedback_type == "star" for f in fbs)
+    sdk.delete_feedback("star", "sdk-user", "repo1")
+    assert sdk.get_user_feedback("sdk-user", "star") == []
+    sdk.insert_feedback([Feedback("star", "sdk-user", "repo2")])
+    sdk.delete_feedbacks("sdk-user", "repo2")
+    assert sdk.get_user_feedback("sdk-user", "star") == []
     sdk.delete_item("sdk-item")
     import urllib.error
 
