@@ -95,12 +95,27 @@ def evaluate_retrieval(args) -> dict:
         return jnp.sum(s) + jnp.sum(i.astype(jnp.float32))
 
     table = prep.table if prep is not None else items
-    float(run_all(qs, table))  # compile + warm
-    best = float("inf")
-    for _ in range(3):
+    # The MARGINAL rate between a short and a long chain cancels the
+    # per-dispatch tunnel round trip (same scheme as the repo-root bench.py):
+    # time(len) ~= T_dispatch + len * t_batch, so the difference isolates
+    # t_batch. Falls back to the long chain's conservative total rate when
+    # timing noise inverts the marginal.
+    lo = max(n_batches // 4, 1)
+    qs_lo = qs[:lo]
+    float(run_all(qs_lo, table))  # compile + warm (short chain)
+    float(run_all(qs, table))  # compile + warm (long chain)
+
+    def timed(q) -> float:
         t0 = time.perf_counter()
-        float(run_all(qs, table))
-        best = min(best, time.perf_counter() - t0)
+        float(run_all(q, table))
+        return time.perf_counter() - t0
+
+    d_lo = min(timed(qs_lo) for _ in range(3))
+    d_hi = min(timed(qs) for _ in range(3))
+    if d_hi <= d_lo:
+        per_batch = d_hi / n_batches
+    else:
+        per_batch = (d_hi - d_lo) / (n_batches - lo)
     return {
         "kernel": args.kernel,
         "dtype": args.dtype,
@@ -108,7 +123,8 @@ def evaluate_retrieval(args) -> dict:
         "batch": args.batch,
         "k": args.k,
         "batches_chained": n_batches,
-        "queries_per_s": round(n_batches * args.batch / best),
+        "queries_per_s": round(args.batch / per_batch),
+        "per_batch_ms": round(per_batch * 1e3, 3),
     }
 
 

@@ -15,7 +15,19 @@ Two implementations with identical semantics:
   case after warm-up) — the [B, N] score matrix never exists in HBM, and on
   the warm path never even materializes in VMEM. Measured per-batch device
   time (batch 256, d=64, k=10, 1x v5e, bf16 table): ~615k q/s at 100k items
-  (2.2x the XLA path) and ~118k q/s at 1M items (5.9x XLA).
+  (2.2x the XLA path) and ~104k q/s at 1M items (5-6x XLA).
+
+  Measured headroom (v5e, batch 256, 1M items): the pure matmul+block-max
+  stream runs at 0.21 ms/batch (625 GB/s effective), while the full kernel
+  takes ~2.4 ms — at B=256/k=10 there are ~B*k = 2560 top-k insertions
+  spread over ~245 blocks, so the batch-global gate fires on nearly every
+  block and each firing pays a matmul recompute + score materialization +
+  extraction scans. The gate only goes quiet when B*k << n_blocks (small
+  batches or very large block counts). Closing the gap needs per-event
+  extraction that avoids full [B, block_n] scans (e.g. a seeded lower bound
+  from a first maxima pass plus a register-resident single-extraction fast
+  path) — measured floor ~0.2 ms/batch, so ~10x remains on the table for
+  the large-batch case.
 
 The item table is stored TRANSPOSED ``[d, N]`` with the item axis on lanes:
 the factor dim d only pads to the sublane tile (8/16) instead of to 128
