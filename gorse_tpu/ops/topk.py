@@ -23,11 +23,14 @@ Two implementations with identical semantics:
   spread over ~245 blocks, so the batch-global gate fires on nearly every
   block and each firing pays a matmul recompute + score materialization +
   extraction scans. The gate only goes quiet when B*k << n_blocks (small
-  batches or very large block counts). Closing the gap needs per-event
-  extraction that avoids full [B, block_n] scans (e.g. a seeded lower bound
-  from a first maxima pass plus a register-resident single-extraction fast
-  path) — measured floor ~0.2 ms/batch, so ~10x remains on the table for
-  the large-batch case.
+  batches or very large block counts). Measured floor ~0.2 ms/batch, so
+  headroom remains for the large-batch case. Attempted and REJECTED: a
+  chunked extraction (per-128-lane maxima + one masked selection pass per
+  extraction, statically unrolled, full-scan loop as overflow) measured
+  3.0 ms vs this kernel's 2.4 ms on v5e — the ~20 small slice ops per pass
+  cost more in Mosaic op overhead than the full-block scans they replaced.
+  A future attempt should change the algorithm (e.g. seed the running k-th
+  with a bound from a separate maxima pre-pass), not just the scan shape.
 
 The item table is stored TRANSPOSED ``[d, N]`` with the item axis on lanes:
 the factor dim d only pads to the sublane tile (8/16) instead of to 128

@@ -107,3 +107,49 @@ def test_topk_excluding():
         np.testing.assert_allclose(
             np.asarray(s[b]), scores[b, expect], rtol=1e-5, atol=1e-5
         )
+
+
+def _check_exact_unique(q, items, k):
+    """Parity + per-row index uniqueness (ties must not duplicate an item)."""
+    ref_s, _ = dot_topk_xla(jnp.asarray(q), jnp.asarray(items), k)
+    got_s, got_i = dot_topk(jnp.asarray(q), jnp.asarray(items), k, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(ref_s), rtol=1e-5, atol=1e-5)
+    gi = np.asarray(got_i)
+    for row in gi:
+        assert len(set(row.tolist())) == len(row), f"duplicate indices in {row}"
+    recomputed = np.take_along_axis(q @ items.T, gi, axis=1)
+    np.testing.assert_allclose(recomputed, np.asarray(ref_s), rtol=1e-5, atol=1e-5)
+
+
+def test_topk_massive_ties():
+    """Quantized scores force ties within and across 128-lane chunks — the
+    chunked extraction must never emit the same index twice."""
+    rng = np.random.default_rng(7)
+    q = np.eye(4, 8, dtype=np.float32)  # scores = item coordinates directly
+    items = rng.integers(0, 3, size=(1000, 8)).astype(np.float32)  # few values
+    _check_exact_unique(q, items, k=15)
+
+
+def test_topk_hot_chunk_overflow():
+    """>_T_UNROLL of one query's top-k inside a single 128-lane chunk drives
+    the unrolled steps into the overflow loop with taken-lane consumption."""
+    rng = np.random.default_rng(8)
+    items = rng.normal(size=(512, 8)).astype(np.float32) * 0.01
+    # plant the global top-8 (with two exact ties) in chunk 1, lanes 130..137
+    q = np.ones((2, 8), dtype=np.float32)
+    for rank, col in enumerate(range(130, 138)):
+        items[col] = (100.0 - rank) / 8.0
+    items[137] = items[136]  # exact tie inside the hot chunk
+    _check_exact_unique(q, items, k=8)
+
+
+def test_topk_hot_block_spread_chunks():
+    """Top-k concentrated in ONE block but spread across its chunks —
+    exercises repeated chunk-max updates + cross-chunk selection."""
+    rng = np.random.default_rng(9)
+    items = rng.normal(size=(8192, 16)).astype(np.float32) * 0.01
+    q = np.ones((3, 16), dtype=np.float32)
+    hot = [5, 200, 300, 700, 900, 1100, 1900, 2047, 2048, 2100]
+    for rank, col in enumerate(hot):
+        items[col] = (50.0 - rank) / 16.0
+    _check_exact_unique(q, items, k=10)
