@@ -61,7 +61,10 @@ class InOneNode:
     def seed_playground(self, n_users: int = 100, n_items: int = 200, seed: int = 0) -> None:
         """Seed demo data (reference: --playground downloads the GitRec
         corpus, cmd/gorse-in-one/main.go:56-92; offline here, a low-rank
-        synthetic catalog plays that role)."""
+        synthetic catalog plays that role). The playground exists to demo
+        training, so it opts into CF when the hard default left it off."""
+        if self.config.recommend.collaborative.type == "none":
+            self.config.recommend.collaborative.type = "mf"
         import numpy as np
 
         from ..data import synthetic_cf
@@ -146,7 +149,7 @@ def main() -> None:
     node = InOneNode(config, workdir=args.workdir)
     if args.playground:
         config.recommend.data_source.positive_feedback_types = ["star"]
-        node.seed_playground()
+        node.seed_playground()  # opts into CF training
         node.run_once()
     node.serve(args.host, args.port, background_loop=True)
     logger.info("in-one node ready at http://%s:%d/api/", args.host, args.port)

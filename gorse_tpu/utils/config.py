@@ -118,12 +118,16 @@ class DatabaseConfig:
 
 @dataclasses.dataclass
 class MasterConfig:
-    host: str = "127.0.0.1"
+    # bind-all defaults match the reference (GetDefaultConfig,
+    # config/config.go:491-499) so dockerized deployments behave identically
+    host: str = "0.0.0.0"
     port: int = 8086
-    http_host: str = "127.0.0.1"
+    http_host: str = "0.0.0.0"
     http_port: int = 8088
-    http_cors_domains: list[str] = dataclasses.field(default_factory=list)
-    http_cors_methods: list[str] = dataclasses.field(default_factory=list)
+    http_cors_domains: list[str] = dataclasses.field(default_factory=lambda: [".*"])
+    http_cors_methods: list[str] = dataclasses.field(
+        default_factory=lambda: ["GET", "POST", "PUT", "DELETE", "PATCH"]
+    )
     n_jobs: int = 1
     meta_timeout: float = 10.0  # seconds
     dashboard_user_name: str = ""
@@ -195,9 +199,11 @@ class EarlyStoppingConfig:
 class CollaborativeConfig:
     """Reference: config.CollaborativeConfig (config/config.go:338-345)."""
 
-    type: str = "mf"  # none | mf (reference: config.go:340 — "none" disables CF)
+    type: str = "none"  # none | mf — CF is opt-in, like the reference's
+    # hard default (GetDefaultConfig config/config.go:512); the shipped
+    # config.toml example enables "mf"
     fit_period: float = 60.0  # minutes
-    fit_epoch: int = 0  # default n_epochs for master fits; 0 = model default
+    fit_epoch: int = 100  # default n_epochs for master fits (config.go:514); 0 = model default
     optimize_period: float = 0.0  # minutes; 0 disables periodic search
     optimize_trials: int = 10
     early_stopping: EarlyStoppingConfig = dataclasses.field(default_factory=EarlyStoppingConfig)
@@ -228,11 +234,11 @@ class RerankerAPIConfig:
 class RankerConfig:
     """Reference: config.RankerConfig (config/config.go:381-393)."""
 
-    type: str = "fm"  # none | fm | llm
-    recommenders: list[str] = dataclasses.field(default_factory=lambda: ["collaborative"])
+    type: str = "none"  # none | fm | llm — ranking is opt-in (config.go:525)
+    recommenders: list[str] = dataclasses.field(default_factory=lambda: ["latest"])
     cache_expire: float = 120.0  # hours
     fit_period: float = 60.0  # minutes
-    fit_epoch: int = 0  # default n_epochs for master fits; 0 = model default
+    fit_epoch: int = 100  # default n_epochs for master fits (config.go:529); 0 = model default
     optimize_period: float = 0.0  # minutes
     optimize_trials: int = 10
     query_template: str = ""

@@ -16,6 +16,7 @@ from gorse_tpu.utils.config import Config
 @pytest.fixture(scope="module")
 def node(tmp_path_factory):
     config = Config()
+    config.recommend.collaborative.type = "mf"  # CF is opt-in by default
     config.recommend.ranker.type = "none"
     node = InOneNode(config, workdir=str(tmp_path_factory.mktemp("cli")))
     rng = np.random.default_rng(0)

@@ -503,3 +503,35 @@ def test_mongo_prefix_queue_pop():
         b.close()
     finally:
         mini.stop()
+
+
+def test_hard_defaults_match_reference():
+    """Config() (no file) matches the reference's GetDefaultConfig
+    (config/config.go:466-543): CF and ranking are opt-in, nodes bind all
+    interfaces, CORS allows everything, fallback chain is ["latest"]."""
+    from gorse_tpu.utils.config import Config
+
+    c = Config()
+    assert c.master.host == "0.0.0.0" and c.master.http_host == "0.0.0.0"
+    assert c.master.port == 8086 and c.master.http_port == 8088
+    assert c.master.http_cors_domains == [".*"]
+    assert c.master.http_cors_methods == ["GET", "POST", "PUT", "DELETE", "PATCH"]
+    assert c.master.n_jobs == 1 and c.master.meta_timeout == 10.0
+    assert c.server.default_n == 10 and c.server.clock_error == 5.0
+    assert c.server.auto_insert_user and c.server.auto_insert_item
+    assert c.server.cache_expire == 10.0
+    assert c.recommend.cache_size == 100 and c.recommend.cache_expire == 72.0
+    assert c.recommend.context_size == 100
+    assert c.recommend.collaborative.type == "none"
+    assert c.recommend.collaborative.model_fit_period == 60.0
+    assert c.recommend.collaborative.fit_epoch == 100
+    assert c.recommend.collaborative.optimize_trials == 10
+    assert not c.recommend.replacement.enable_replacement
+    assert c.recommend.replacement.positive_replacement_decay == 0.8
+    assert c.recommend.replacement.read_replacement_decay == 0.6
+    assert c.recommend.ranker.type == "none"
+    assert c.recommend.ranker.cache_expire == 120.0
+    assert c.recommend.ranker.fit_epoch == 100
+    assert c.recommend.ranker.recommenders == ["latest"]
+    assert c.tracing.exporter == "otlp" and c.tracing.sampler == "always"
+    assert c.database.cache_client_name == "gorse_cache_client"

@@ -119,6 +119,7 @@ def test_online_evaluator():
 @pytest.fixture
 def node(tmp_path):
     config = Config()
+    config.recommend.collaborative.type = "mf"  # CF is opt-in by default
     config.recommend.ranker.type = "none"
     node = InOneNode(config, workdir=str(tmp_path))
     rng = np.random.default_rng(0)
@@ -431,6 +432,7 @@ def test_admin_meta_requires_auth_when_login_configured(tmp_path):
     import urllib.error
 
     config = Config()
+    config.recommend.collaborative.type = "mf"  # CF is opt-in by default
     config.master.dashboard_user_name = "admin"
     config.master.dashboard_password = "hunter2"
     config.master.admin_api_key = "adminkey"
@@ -485,6 +487,7 @@ def test_recommend_config_override_survives_restart(tmp_path):
     from gorse_tpu.storage.meta import RECOMMEND_CONFIG
 
     config = Config()
+    config.recommend.collaborative.type = "mf"  # CF is opt-in by default
     meta = MetaStore()
     meta.put(RECOMMEND_CONFIG, json.dumps({"recommend": {"cache_size": 42}}))
     master = Master(config, MemoryDataStore(), MemoryCacheStore(), BlobStore(tmp_path / "b"), meta)

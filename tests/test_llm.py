@@ -120,6 +120,7 @@ def test_worker_llm_ranking(tmp_path, mock_server, client):
     from gorse_tpu.utils.config import Config
 
     config = Config()
+    config.recommend.collaborative.type = "mf"  # CF is opt-in by default
     config.recommend.ranker.type = "llm"
     config.recommend.ranker.recommenders = ["collaborative"]
     data = MemoryDataStore()
@@ -181,6 +182,7 @@ def test_worker_reranker_api_without_openai(tmp_path):
     threading.Thread(target=httpd.serve_forever, daemon=True).start()
     try:
         config = Config()
+        config.recommend.collaborative.type = "mf"  # CF is opt-in by default
         config.recommend.ranker.type = "llm"
         config.recommend.ranker.recommenders = ["collaborative"]
         config.recommend.ranker.reranker_api.url = f"http://127.0.0.1:{httpd.server_port}/rerank"

@@ -26,6 +26,7 @@ def _free_port() -> int:
 @pytest.fixture
 def master_env(tmp_path):
     config = Config()
+    config.recommend.collaborative.type = "mf"  # CF is opt-in by default
     # shared sqlite files so other "processes" see the same state
     config.database.data_store = f"sqlite://{tmp_path}/data.db"
     config.database.cache_store = f"sqlite://{tmp_path}/cache.db"

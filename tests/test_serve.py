@@ -46,6 +46,7 @@ def _populate(data, n_users=30, n_items=40, seed=0):
 @pytest.fixture
 def env(tmp_path):
     config = Config()
+    config.recommend.collaborative.type = "mf"  # CF is opt-in by default
     config.recommend.collaborative.model = "bpr"
     config.recommend.ranker.type = "fm"
     config.recommend.ranker.recommenders = ["collaborative"]
@@ -161,6 +162,7 @@ def test_worker_replacement_decay_after_rank(env):
 @pytest.fixture
 def http_node(tmp_path):
     config = Config()
+    config.recommend.collaborative.type = "mf"  # CF is opt-in by default
     config.recommend.ranker.type = "none"
     config.recommend.ranker.recommenders = ["collaborative"]
     config.recommend.fallback.recommenders = ["latest"]
@@ -246,6 +248,7 @@ def test_rest_end_to_end(http_node):
 
 def test_rest_api_key(tmp_path):
     config = Config()
+    config.recommend.collaborative.type = "mf"  # CF is opt-in by default
     config.server.api_key = "secret"
     node = InOneNode(config, workdir=str(tmp_path))
     import socket
@@ -301,6 +304,7 @@ def test_items_search_endpoint():
     from gorse_tpu.utils.config import Config
 
     config = Config()
+    config.recommend.collaborative.type = "mf"  # CF is opt-in by default
     data = MemoryDataStore()
     data.insert_items([
         Item("m1", comment="a space opera"),

@@ -184,6 +184,7 @@ def test_master_syncs_cf_collection(tmp_path):
     from gorse_tpu.utils.config import Config
 
     config = Config()
+    config.recommend.collaborative.type = "mf"  # CF is opt-in by default
     config.database.vector_quantization_type = "sq"
     config.recommend.ranker.type = "none"
     data = MemoryDataStore()
