@@ -420,7 +420,15 @@ class RestServer:
         return item.to_dict()
 
     def delete_item(self, req) -> dict:
-        self.data.delete_item(req.params["item_id"])
+        item_id = req.params["item_id"]
+        self.data.delete_item(item_id)
+        # drop the item from cached recommendations immediately (reference:
+        # DeleteScores(ItemCache, Id=item), server/rest.go:1477); hiding the
+        # rows keeps serving results identical and re-insert restores them
+        self.cache.update_scores(
+            [ck.RECOMMEND, ck.COLLABORATIVE, ck.ITEM_TO_ITEM, ck.NON_PERSONALIZED],
+            None, item_id, is_hidden=True,
+        )
         return {"RowAffected": 1}
 
     def get_items(self, req) -> dict:

@@ -149,3 +149,59 @@ def test_dashboard_previews(node):
     assert fb
     _, fb_read = _req(base, "/api/dashboard/user/u0/feedback/read")
     assert len(fb_read) == 1
+
+
+def test_visibility_end_to_end(tmp_path):
+    """Deleted, patched-hidden, and overwritten-hidden items vanish from
+    latest/neighbors/recommend immediately and return when restored
+    (reference: ServerTestSuite.TestVisibility, server/rest_test.go:1660)."""
+    from gorse_tpu.storage import cache as ck
+    from gorse_tpu.storage.cache import key as ckey
+    from gorse_tpu.storage.types import Score
+
+    config = Config()
+    config.recommend.item_to_item = [ItemToItemConfigEntry(name="similar", type="users")]
+    config.recommend.ranker.type = "fm"  # online recommend reads the cache
+    n = InOneNode(config, workdir=str(tmp_path))
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    n.serve("127.0.0.1", port, background_loop=False)
+    base = f"http://127.0.0.1:{port}"
+    try:
+        items = [
+            {"ItemId": str(i), "Categories": ["a"], "Timestamp": float(i + 1)}
+            for i in range(5)
+        ]
+        _req(base, "/api/items", method="POST", data=items)
+        docs = [Score(id=str(i), score=float(i + 1), categories=["", "a"]) for i in range(5)]
+        docs.reverse()  # descending score: 4, 3, 2, 1, 0
+        n.cache.add_scores(ck.ITEM_TO_ITEM, ckey("similar", "100"), docs)
+        n.cache.add_scores(ck.RECOMMEND, "100", docs)
+
+        _req(base, "/api/item/0", method="DELETE")
+        _req(base, "/api/item/1", method="PATCH", data={"IsHidden": True})
+        _req(base, "/api/item", method="POST", data={"ItemId": "2", "IsHidden": True})
+
+        _, latest = _req(base, "/api/latest?n=10")
+        assert [d["Id"] for d in latest] == ["4", "3"]
+        _, nb = _req(base, "/api/item/100/neighbors?n=10")
+        assert [d["Id"] for d in nb] == ["4", "3"]
+        _, recs = _req(base, "/api/recommend/100?n=10")
+        assert recs == ["4", "3"]
+
+        # restore: re-insert 0, unhide 1, overwrite 2 visible
+        _req(base, "/api/item", method="POST",
+             data={"ItemId": "0", "Categories": ["a"], "Timestamp": 1.0})
+        _req(base, "/api/item/1", method="PATCH", data={"IsHidden": False})
+        _req(base, "/api/item", method="POST",
+             data={"ItemId": "2", "Categories": ["a"], "Timestamp": 3.0})
+
+        _, latest = _req(base, "/api/latest?n=10")
+        assert [d["Id"] for d in latest] == ["4", "3", "2", "1", "0"]
+        _, nb = _req(base, "/api/item/100/neighbors?n=10")
+        assert [d["Id"] for d in nb] == ["4", "3", "2", "1", "0"]
+        _, recs = _req(base, "/api/recommend/100?n=10")
+        assert recs == ["4", "3", "2", "1", "0"]
+    finally:
+        n.shutdown()
