@@ -109,14 +109,18 @@ class MatrixFactorizationIndex:
         return out
 
     def similar_users(self, user_id: str, n: int) -> list[Score]:
-        """Nearest users in factor space (reference:
-        MatrixFactorizationUsers usage for user-to-user collaborative)."""
+        """Nearest users in factor space by COSINE (raw dot products are
+        dominated by factor norm — a heavy user outranks an identical-taste
+        user; extension API, the reference's MatrixFactorizationUsers is a
+        plain embedding lookup)."""
         idx = self.user_index.to_number(user_id)
         if idx < 0:
             return []
-        q = self.user_factors[jnp.asarray([idx])]
+        norms = jnp.linalg.norm(self.user_factors, axis=1, keepdims=True)
+        unit = self.user_factors / jnp.maximum(norms, 1e-12)
+        q = unit[jnp.asarray([idx])]
         n_eff = min(n + 1, self.user_factors.shape[0])
-        scores, idxs = topk_excluding(q, self.user_factors, n_eff, use_pallas=False)
+        scores, idxs = topk_excluding(q, unit, n_eff, use_pallas=False)
         out = []
         for s, j in zip(np.asarray(scores)[0], np.asarray(idxs)[0]):
             if int(j) == idx:

@@ -64,14 +64,21 @@ class ChatItemToItem(EmbeddingItemToItem):
             if not queries:
                 out.append((item.item_id, []))
                 continue
-            vecs = np.stack(
-                [
-                    np.asarray(
-                        self.client.embedding(q)[: corpus.shape[1]], dtype=np.float32
-                    )
-                    for q in queries
-                ]
-            )
+            try:
+                vecs = np.stack(
+                    [
+                        np.asarray(
+                            self.client.embedding(q)[: corpus.shape[1]], dtype=np.float32
+                        )
+                        for q in queries
+                    ]
+                )
+            except Exception as e:  # noqa: BLE001 — degrade per item, like
+                # the chat_completion guard above: one failed embedding call
+                # must not abort the whole neighbor build
+                logger.error("embedding failed for %s: %s", item.item_id, e)
+                out.append((item.item_id, []))
+                continue
             # pad/truncate query vectors to corpus dim
             if vecs.shape[1] < corpus.shape[1]:
                 vecs = np.pad(vecs, ((0, 0), (0, corpus.shape[1] - vecs.shape[1])))
@@ -93,7 +100,8 @@ class ChatItemToItem(EmbeddingItemToItem):
                     [
                         Score(
                             id=self.items[j].item_id,
-                            score=-d,
+                            # 1/(1+distance), reference item_to_item.go:526
+                            score=1.0 / (1.0 + d),
                             categories=self.items[j].categories,
                             timestamp=self.timestamp,
                         )

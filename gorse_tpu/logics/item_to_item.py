@@ -80,7 +80,12 @@ class BaseItemToItem:
                 scores.append(
                     Score(
                         id=neighbor.item_id,
-                        score=-float(d),  # reference stores -distance (:158-166)
+                        # positive similarity 1/(1+distance) like the
+                        # reference (item_to_item.go:164): the recommender
+                        # chain SUMS neighbor scores across the user's
+                        # history, so more corroborating neighbors must
+                        # raise — not lower — an item's aggregate
+                        score=1.0 / (1.0 + float(d)),
                         categories=neighbor.categories,
                         timestamp=self.timestamp,
                     )
@@ -122,6 +127,10 @@ class TagsItemToItem(BaseItemToItem):
         self.idf = idf
         self.label_index = label_index  # FreqDict mapping label -> id
         self.label_lists: list[list[int]] = []
+        # exact local ids when no label index was supplied — Python's
+        # per-process randomized str hash would make neighbors
+        # non-reproducible across restarts and silently merge colliding labels
+        self._local_ids: dict[str, int] = {}
 
     def _labels_of(self, item: Item) -> list[int]:
         labels = _flatten_labels(item.labels)
@@ -129,7 +138,9 @@ class TagsItemToItem(BaseItemToItem):
             return sorted(
                 {self.label_index.to_number(l) for l in labels} - {-1}
             )
-        return sorted({hash(l) % 100003 for l in labels})
+        return sorted(
+            {self._local_ids.setdefault(l, len(self._local_ids)) for l in labels}
+        )
 
     def push(self, item: Item, feedback: list[int]) -> None:
         self.items.append(item)
@@ -186,24 +197,22 @@ class AutoItemToItem(BaseItemToItem):
             return [(i.item_id, []) for i in self.items]
         import jax.numpy as jnp
 
-        from ..ops.similarity import idf_distance_matrix, incidence_matrix
+        from ..ops.similarity import idf_neighbors_avg, incidence_matrix
 
-        n_items = len(self.items)
-
-        def full_dist(t: TagsItemToItem) -> np.ndarray:
-            # the EXACT full pairwise distance for this half — averaging two
-            # top-k-only lists would substitute a sentinel for any pair
-            # outside one half's top-k and misrank the combined neighbors
-            idf = t.effective_idf()
-            inc = incidence_matrix(t.label_lists, len(idf))
-            return np.asarray(idf_distance_matrix(jnp.asarray(inc), jnp.asarray(idf)))
-
-        dense = (full_dist(self.tags) + full_dist(self.users)) / 2.0
-        np.fill_diagonal(dense, np.inf)
-        k = min(self.n, n_items - 1)
-        idxs = np.argsort(dense, axis=1)[:, :k]
-        dists = np.take_along_axis(dense, idxs, axis=1)
-        return self._emit(dists, idxs)
+        # blockwise average of the two halves' distances: every pair is
+        # averaged exactly before top-k, but memory stays O(block*N) — a
+        # dense [N, N] average is an O(N^2) cliff at catalog scale
+        tag_idf = self.tags.effective_idf()
+        user_idf = self.users.effective_idf()
+        inc_tags = incidence_matrix(self.tags.label_lists, len(tag_idf))
+        inc_users = incidence_matrix(self.users.label_lists, len(user_idf))
+        k = min(self.n, len(self.items) - 1)
+        dists, idxs = idf_neighbors_avg(
+            jnp.asarray(inc_tags), jnp.asarray(tag_idf),
+            jnp.asarray(inc_users), jnp.asarray(user_idf),
+            k_top=k,
+        )
+        return self._emit(np.asarray(dists), np.asarray(idxs))
 
 
 def _extract_embedding(item: Item, column: str) -> np.ndarray | None:

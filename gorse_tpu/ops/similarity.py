@@ -40,6 +40,74 @@ def incidence_matrix(ragged: list[list[int]], n_labels: int) -> np.ndarray:
     return out
 
 
+def _make_dist_block(incidence: jax.Array, idf: jax.Array):
+    """Closure computing one [B, N] block of the IDF set-distance matrix
+    (same formula and special cases as idf_neighbors / idf_distance_matrix,
+    WITHOUT self-exclusion)."""
+    weighted = incidence * idf[None, :]
+    counts = jnp.sum(incidence, axis=1)
+    sqrt_wsum = jnp.sqrt(jnp.maximum(incidence @ idf, 0.0))
+
+    def fn(inc_blk: jax.Array) -> jax.Array:
+        common_sum = inc_blk @ weighted.T  # [B, N]
+        common_cnt = inc_blk @ incidence.T
+        blk_counts = jnp.sum(inc_blk, axis=1)
+        blk_wsum = jnp.sqrt(jnp.maximum(inc_blk @ idf, 0.0))
+        denom = blk_wsum[:, None] * sqrt_wsum[None, :] * (common_cnt + SHRINKAGE)
+        dist = 1.0 - common_sum * common_cnt / jnp.maximum(denom, 1e-12)
+        same = (
+            (blk_counts[:, None] == counts[None, :])
+            & (common_cnt == blk_counts[:, None])
+            & (blk_counts[:, None] > 0)
+        )
+        dist = jnp.where(same, 0.0, dist)
+        return jnp.where(common_cnt == 0, 1.0, dist)
+
+    return fn
+
+
+@functools.partial(jax.jit, static_argnames=("k_top", "block"))
+def idf_neighbors_avg(
+    inc1: jax.Array,  # [N, L1] 0/1 f32
+    idf1: jax.Array,  # [L1]
+    inc2: jax.Array,  # [N, L2] 0/1 f32
+    idf2: jax.Array,  # [L2]
+    k_top: int = 10,
+    block: int = 256,
+):
+    """Top-k under the AVERAGE of two IDF set distances (the reference's
+    `auto` type, item_to_item.go:320-323), computed blockwise so memory
+    stays O(block*N) — the full [N, N] average would be an O(N^2) cliff at
+    catalog scale. Exact: both halves' distances are averaged for EVERY
+    pair inside the block before top-k selection."""
+    n = inc1.shape[0]
+    pad = (-n) % block
+    p1 = jnp.pad(inc1, ((0, pad), (0, 0)))
+    p2 = jnp.pad(inc2, ((0, pad), (0, 0)))
+    fn1 = _make_dist_block(inc1, idf1)
+    fn2 = _make_dist_block(inc2, idf2)
+
+    def block_fn(args):
+        blk1, blk2, row_ids = args
+        dist = (fn1(blk1) + fn2(blk2)) / 2.0
+        col = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+        dist = jnp.where(col == row_ids[:, None], BIG, dist)
+        neg_top, idx = jax.lax.top_k(-dist, k_top)
+        return -neg_top, idx.astype(jnp.int32)
+
+    n_pad = p1.shape[0]
+    row_ids = jnp.arange(n_pad, dtype=jnp.int32)
+    dists, idxs = jax.lax.map(
+        block_fn,
+        (
+            p1.reshape(n_pad // block, block, -1),
+            p2.reshape(n_pad // block, block, -1),
+            row_ids.reshape(n_pad // block, block),
+        ),
+    )
+    return dists.reshape(n_pad, k_top)[:n], idxs.reshape(n_pad, k_top)[:n]
+
+
 @functools.partial(jax.jit, static_argnames=("k_top", "block"))
 def idf_neighbors(
     incidence: jax.Array,  # [N, L] 0/1 f32

@@ -9,6 +9,7 @@ type matches any value; with a comparator, the feedback value must satisfy it.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import re
 
 _PATTERN = re.compile(r"^\s*([^<>=\s]+)\s*(<=|>=|<|>|=)?\s*([-+0-9.eE]+)?\s*$")
@@ -58,14 +59,21 @@ def parse_expressions(specs: list[str]) -> list[FeedbackTypeExpression]:
     return [FeedbackTypeExpression.parse(s) for s in specs]
 
 
+@functools.lru_cache(maxsize=1024)
+def _parse_cached(s: str) -> FeedbackTypeExpression:
+    return FeedbackTypeExpression.parse(s)
+
+
 def match_any(
     exprs: list[FeedbackTypeExpression] | list[str], feedback_type: str, value: float
 ) -> bool:
     """True if any expression matches (reference:
-    MatchFeedbackTypeExpressions)."""
+    MatchFeedbackTypeExpressions). String expressions come from config and
+    recur in per-feedback hot loops, so parses are memoized — the instances
+    are treated as immutable."""
     for e in exprs:
         if isinstance(e, str):
-            e = FeedbackTypeExpression.parse(e)
+            e = _parse_cached(e)
         if e.match(feedback_type, value):
             return True
     return False

@@ -50,7 +50,9 @@ def test_item_to_item_embedding():
         eng.push(Item(iid, labels={"embedding": v}), [])
     out = dict(eng.pop_all())
     assert out["a"][0].id == "b"  # nearest neighbor
-    assert out["c"][0].score <= 0  # -distance
+    # positive similarity 1/(1+distance), reference item_to_item.go:164
+    assert 0 < out["c"][0].score <= 1
+    assert out["a"][0].score > out["c"][0].score  # nearer pair scores higher
 
 
 def test_item_to_item_tags_and_users_and_auto():
@@ -75,7 +77,7 @@ def test_user_to_user_items():
     eng.push(User("u3"), [7])
     out = dict(eng.pop_all())
     assert out["u1"][0].id == "u2"
-    assert out["u1"][0].score == 0.0  # identical sets -> distance 0
+    assert out["u1"][0].score == 1.0  # identical sets -> distance 0 -> sim 1
 
 
 def test_mf_index_search(tmp_path):
@@ -177,3 +179,26 @@ def test_recommender_ranked_cache_path(chain_env):
     r = Recommender(cfg, cache, data, online=True, user_id="u1")
     out = r.recommend(limit=1)
     assert [s.id for s in out] == ["i5"]
+
+
+def test_item_to_item_aggregation_rewards_corroboration(chain_env):
+    """An item similar to MORE of the user's history must outrank one
+    similar to fewer — the chain SUMS per-neighbor scores, which only works
+    because neighbor scores are positive similarities 1/(1+d), not
+    -distance (reference: recommendItemToItem scores[id] += score,
+    logics/recommend.go:265 with item_to_item.go:164)."""
+    cfg, cache, data = chain_env
+    data.insert_feedback([Feedback("like", "u1", "i8", timestamp=3.0)])
+    # i3 is corroborated by BOTH consumed items (weak similarity each);
+    # i4 by only one (slightly stronger single link)
+    cache.add_scores(ck.ITEM_TO_ITEM, "neighbors/i1", [
+        Score("i3", 0.4), Score("i4", 0.5),
+    ])
+    cache.add_scores(ck.ITEM_TO_ITEM, "neighbors/i8", [
+        Score("i3", 0.4),
+    ])
+    r = Recommender(cfg, cache, data, online=False, user_id="u1")
+    out, _ = r.recommend_sequential([], 10, ["item-to-item/neighbors"])
+    by_id = {s.id: s.score for s in out}
+    assert by_id["i3"] == pytest.approx(0.8) and by_id["i4"] == pytest.approx(0.5)
+    assert [s.id for s in out][0] == "i3"

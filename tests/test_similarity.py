@@ -89,3 +89,62 @@ def test_embedding_query_euclidean_matches_direct():
     for b in range(4):
         order = np.argsort(full[b])[:5]
         np.testing.assert_allclose(np.asarray(dists[b]), full[b, order], rtol=1e-4, atol=1e-4)
+
+
+def test_idf_neighbors_avg_matches_dense_average():
+    """Blockwise averaged-distance top-k (the `auto` path) matches the
+    exact dense [N, N] average it replaced (memory cliff fix)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gorse_tpu.ops.similarity import (
+        idf_distance_matrix,
+        idf_neighbors_avg,
+        incidence_matrix,
+    )
+
+    rng = np.random.default_rng(11)
+    n, l1, l2, k = 70, 25, 40, 5
+    lists1 = [sorted(rng.choice(l1, size=rng.integers(1, 6), replace=False)) for _ in range(n)]
+    lists2 = [sorted(rng.choice(l2, size=rng.integers(0, 8), replace=False)) for _ in range(n)]
+    idf1 = rng.uniform(0.1, 2.0, l1).astype(np.float32)
+    idf2 = rng.uniform(0.1, 2.0, l2).astype(np.float32)
+    inc1 = incidence_matrix(lists1, l1)
+    inc2 = incidence_matrix(lists2, l2)
+
+    dense = (
+        np.asarray(idf_distance_matrix(jnp.asarray(inc1), jnp.asarray(idf1)))
+        + np.asarray(idf_distance_matrix(jnp.asarray(inc2), jnp.asarray(idf2)))
+    ) / 2.0
+    np.fill_diagonal(dense, np.inf)
+    want_idx = np.argsort(dense, axis=1, kind="stable")[:, :k]
+    want_d = np.take_along_axis(dense, want_idx, axis=1)
+
+    got_d, got_i = idf_neighbors_avg(
+        jnp.asarray(inc1), jnp.asarray(idf1), jnp.asarray(inc2), jnp.asarray(idf2),
+        k_top=k, block=32,
+    )
+    np.testing.assert_allclose(np.asarray(got_d), want_d, rtol=1e-5, atol=1e-5)
+    # indices may differ on exact ties; distances at the returned indices match
+    recomputed = np.take_along_axis(dense, np.asarray(got_i), axis=1)
+    np.testing.assert_allclose(recomputed, want_d, rtol=1e-5, atol=1e-5)
+
+
+def test_tags_item_to_item_deterministic_without_index():
+    """Label-id fallback must be stable (no per-process randomized hash):
+    two engines over the same corpus emit identical neighbor lists."""
+    from gorse_tpu.logics.item_to_item import ItemToItemConfig, new_item_to_item
+    from gorse_tpu.storage.types import Item
+
+    def build():
+        eng = new_item_to_item(ItemToItemConfig(name="t", type="tags"), n=3)
+        eng.push(Item("a", labels=["x", "y"]), [])
+        eng.push(Item("b", labels=["x", "y", "z"]), [])
+        eng.push(Item("c", labels=["z", "w"]), [])
+        eng.push(Item("d", labels=["w"]), [])
+        return {
+            iid: [(s.id, round(s.score, 6)) for s in scores]
+            for iid, scores in eng.pop_all()
+        }
+
+    assert build() == build()
