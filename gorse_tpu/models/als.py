@@ -109,20 +109,6 @@ class ALS(MatrixFactorization):
         self.alpha = p.get_float(ALPHA, 0.001)
         self.block = p.get_int("solve_block", 256)
 
-    def init(self, train: Dataset, seed: int = 0) -> None:
-        key = jax.random.PRNGKey(seed)
-        k1, k2 = jax.random.split(key)
-        self.user_factors = (
-            self.init_mean
-            + self.init_stddev * jax.random.normal(k1, (train.count_users(), self.n_factors))
-        ).astype(jnp.float32)
-        self.item_factors = (
-            self.init_mean
-            + self.init_stddev * jax.random.normal(k2, (train.count_items(), self.n_factors))
-        ).astype(jnp.float32)
-        self.user_index = train.user_dict
-        self.item_index = train.item_dict
-
     def fit(self, train: Dataset, test: Dataset, config: FitConfig | None = None) -> Score:
         config = config or FitConfig()
         self.init(train, seed=config.seed)

@@ -51,6 +51,22 @@ class MatrixFactorization:
         self.user_index = None
         self.item_index = None
 
+    def init(self, train: Dataset, seed: int = 0) -> None:
+        """Gaussian factor init + dictionary capture (shared by BPR/ALS;
+        subclasses provide n_factors/init_mean/init_stddev)."""
+        key = jax.random.PRNGKey(seed)
+        k1, k2 = jax.random.split(key)
+        self.user_factors = (
+            self.init_mean
+            + self.init_stddev * jax.random.normal(k1, (train.count_users(), self.n_factors))
+        ).astype(jnp.float32)
+        self.item_factors = (
+            self.init_mean
+            + self.init_stddev * jax.random.normal(k2, (train.count_items(), self.n_factors))
+        ).astype(jnp.float32)
+        self.user_index = train.user_dict
+        self.item_index = train.item_dict
+
     # ------------------------------------------------------------ prediction
 
     def predict(self, user_indices, item_indices) -> jax.Array:

@@ -147,6 +147,7 @@ def _bpr_epoch_fused(
         p, q_delta, cost, _, _ = bpr_fully_fused_step(
             p, qp, padded_pos, pos_counts, base_seed + i,
             n_items=n_items, lr=lr, reg=reg, mm_dtype=jnp.bfloat16,
+            n_tries=_NEG_TRIES,  # same rejection depth as the XLA sampler
         )
         return (p, qp + q_delta), cost
 
@@ -177,6 +178,7 @@ def _bpr_epoch_resident(
     return bpr_epoch_fused(
         user_factors, q_packed, padded_pos, pos_counts, seed,
         n_steps=n_steps, n_items=n_items, lr=lr, reg=reg,
+        n_tries=_NEG_TRIES,  # same rejection depth as the XLA sampler
     )
 
 
@@ -198,20 +200,6 @@ class BPR(MatrixFactorization):
         self.reg = p.get_float(REG, 0.01)
         self.init_mean = p.get_float(INIT_MEAN, 0.0)
         self.init_stddev = p.get_float(INIT_STDDEV, 0.001)
-
-    def init(self, train: Dataset, seed: int = 0) -> None:
-        key = jax.random.PRNGKey(seed)
-        k1, k2 = jax.random.split(key)
-        self.user_factors = (
-            self.init_mean
-            + self.init_stddev * jax.random.normal(k1, (train.count_users(), self.n_factors))
-        ).astype(jnp.float32)
-        self.item_factors = (
-            self.init_mean
-            + self.init_stddev * jax.random.normal(k2, (train.count_items(), self.n_factors))
-        ).astype(jnp.float32)
-        self.user_index = train.user_dict
-        self.item_index = train.item_dict
 
     def fit(self, train: Dataset, test: Dataset, config: FitConfig | None = None) -> Score:
         config = config or FitConfig()

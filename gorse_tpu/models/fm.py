@@ -89,6 +89,14 @@ def afm_forward(params: dict, indices: jax.Array, values: jax.Array, embeddings:
     return out
 
 
+@functools.lru_cache(maxsize=64)
+def _cached_optimizer(name: str, lr: float, reg: float):
+    decay = optax.add_decayed_weights(reg)
+    if name == ADAM:
+        return optax.chain(decay, optax.scale_by_adam(), optax.scale(-lr))
+    return optax.chain(decay, optax.scale(-lr))
+
+
 def _bce_with_logits(logits, targets, sample_weight):
     loss = jnp.maximum(logits, 0.0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
     return jnp.sum(loss * sample_weight) / jnp.maximum(jnp.sum(sample_weight), 1.0)
@@ -181,10 +189,11 @@ class AFM:
         return jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), params)
 
     def _make_optimizer(self):
-        decay = optax.add_decayed_weights(self.reg)
-        if self.optimizer_name == ADAM:
-            return optax.chain(decay, optax.scale_by_adam(), optax.scale(-self.lr))
-        return optax.chain(decay, optax.scale(-self.lr))
+        # memoized on hyperparameters: the GradientTransformation is a jit
+        # STATIC argument of _afm_train_epoch (hashed by object identity), so
+        # a fresh chain per fit() would recompile the whole scan epoch on
+        # every periodic refit / search trial and grow the jit cache forever
+        return _cached_optimizer(self.optimizer_name, self.lr, self.reg)
 
     def _batch(self, padded, batch_size):
         """Reshape padded arrays into [S, B, ...] with a zero-weight tail."""
@@ -280,13 +289,31 @@ class AFM:
             recall=float(m["Recall"]),
         )
 
+    # inference chunk: bounds the [chunk, D, k] gather the forward pass
+    # materializes — one giant batch would OOM on criteo-scale test sets
+    # (reference: BatchInternalPredict slices by fm.batchSize, fm.go:155-177)
+    PREDICT_CHUNK = 65536
+
     def predict_padded(self, indices, values, embeddings=()) -> jax.Array:
         """Batched inference on padded arrays (reference: BatchInternalPredict
         model/ctr/fm.go:155-177). Scalers are applied by callers on raw input."""
-        return _afm_predict(
-            self.model_params, jnp.asarray(indices), jnp.asarray(values),
-            tuple(jnp.asarray(e) for e in embeddings),
-        )
+        n = len(indices)
+        if n <= self.PREDICT_CHUNK:
+            return _afm_predict(
+                self.model_params, jnp.asarray(indices), jnp.asarray(values),
+                tuple(jnp.asarray(e) for e in embeddings),
+            )
+        outs = []
+        for lo in range(0, n, self.PREDICT_CHUNK):
+            hi = lo + self.PREDICT_CHUNK
+            outs.append(
+                _afm_predict(
+                    self.model_params,
+                    jnp.asarray(indices[lo:hi]), jnp.asarray(values[lo:hi]),
+                    tuple(jnp.asarray(e[lo:hi]) for e in embeddings),
+                )
+            )
+        return jnp.concatenate(outs)
 
     def batch_predict(self, rows: list[tuple[list[int], list[float]]], embeddings=None) -> np.ndarray:
         """Predict from sparse rows, applying scalers (model/ctr/fm.go:155-225)."""

@@ -143,6 +143,8 @@ def model_search(
         if best is None or value > best.value:
             best = t
         logger.info("trial %d/%d value=%.4f params=%s (best=%.4f)", i + 1, n_trials, value, dict(params), best.value)
+    if best is None:  # n_trials <= 0: search disabled — no-op, don't crash
+        return Params({}), float("-inf"), trials
     return best.params, best.value, trials
 
 
@@ -190,4 +192,6 @@ def model_type_search(
             "trial %d/%d model=%s value=%.4f params=%s (best=%s %.4f)",
             i + 1, n_trials, mtype, value, dict(params), best[0], best[1].value,
         )
+    if best is None:  # n_trials <= 0: search disabled — no-op, don't crash
+        return types[0], Params({}), float("-inf"), all_trials
     return best[0], best[1].params, best[1].value, all_trials

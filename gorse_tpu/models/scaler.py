@@ -91,12 +91,14 @@ class AutoScaler:
             self.minmax.fit(np.asarray(self.robust.transform(values)))
         else:
             self.use_log = True
-            self.minmax.fit(np.log1p(values))
+            self.minmax.fit(np.log1p(np.maximum(values, 0.0)))
         return self
 
     def transform(self, value):
         if self.use_log:
-            return self.minmax.transform(np.log1p(value))
+            # clamp like the reference (transformer.go Log1p(max(0, v))):
+            # a negative serve-time value would yield -inf/NaN logits
+            return self.minmax.transform(np.log1p(np.maximum(value, 0.0)))
         return self.minmax.transform(self.robust.transform(value))
 
     def to_dict(self) -> dict:

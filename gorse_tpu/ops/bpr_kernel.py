@@ -360,7 +360,7 @@ def bpr_epoch_fused(
     block_u: int = 512,
     interpret: bool = False,
     mm_dtype=jnp.bfloat16,
-    n_tries: int = 2,
+    n_tries: int = 4,  # matches models/bpr._NEG_TRIES (the XLA sampler)
 ):
     """A full BPR epoch (n_steps sweeps) in ONE kernel invocation.
     Returns (p_new, q_packed_new, cost). Use fits_epoch_resident() first."""
@@ -424,7 +424,7 @@ def bpr_fully_fused_step(
     block_u: int = 512,
     interpret: bool = False,
     mm_dtype=jnp.float32,
-    n_tries: int = 2,
+    n_tries: int = 4,  # matches models/bpr._NEG_TRIES (the XLA sampler)
 ):
     """One BPR sweep with in-kernel sampling. Returns
     (p_new, q_delta_packed, cost, pos, neg)."""

@@ -86,3 +86,47 @@ def test_split_by_user_time():
     train, test = d.split_by_user_time(0.2)
     assert len(test) == 6  # 2 newest per user
     assert all(ts >= 8.0 for ts in test.timestamps)
+
+
+def test_autoscaler_clamps_negative_serve_values():
+    """log-mode AutoScaler must clamp negatives like the reference
+    (transformer.go Log1p(max(0, v))) — not emit -inf/NaN logits."""
+    import numpy as np
+
+    from gorse_tpu.models.scaler import AutoScaler
+
+    s = AutoScaler().fit(np.array([0.0, 1.0, 10.0, 100.0], dtype=np.float32))
+    out = s.transform(np.array([-5.0, -1.0, 0.0, 10.0], dtype=np.float32))
+    assert np.all(np.isfinite(out))
+    assert out[0] == out[1] == out[2]  # all clamp to log1p(0)
+
+
+def test_model_search_zero_trials_noop():
+    """optimize_trials = 0 disables search without crashing the task."""
+    from gorse_tpu.models.optimize import AFM_SPACE, ALS_SPACE, BPR_SPACE, model_search, model_type_search
+
+    best, value, trials = model_search(lambda p: 1.0, AFM_SPACE, n_trials=0)
+    assert dict(best) == {} and value == float("-inf") and trials == []
+    mtype, best, value, trials = model_type_search(
+        {"bpr": BPR_SPACE, "als": ALS_SPACE}, lambda t, p: 1.0, n_trials=0
+    )
+    assert mtype in ("bpr", "als") and dict(best) == {} and trials == []
+
+
+def test_predict_padded_chunks_match_single_batch():
+    """Chunked inference equals one-shot inference (criteo-scale OOM fix)."""
+    import numpy as np
+
+    from gorse_tpu.data.ctr import synthetic_ctr
+    from gorse_tpu.models.fm import AFM
+    from gorse_tpu.models.params import FitConfig, Params
+
+    ctr = synthetic_ctr(n_samples=300, n_users=40, n_items=30, seed=3)
+    train, test = ctr.split(0.3, seed=0)
+    model = AFM(Params(n_factors=4, n_epochs=2))
+    model.fit(train, test, FitConfig(verbose=0))
+    pad = test.padded()
+    full = np.asarray(model.predict_padded(pad.indices, pad.values, pad.embeddings))
+    model.PREDICT_CHUNK = 17  # force many uneven chunks
+    chunked = np.asarray(model.predict_padded(pad.indices, pad.values, pad.embeddings))
+    np.testing.assert_allclose(chunked, full, rtol=1e-6, atol=1e-6)
