@@ -26,7 +26,12 @@ def main() -> None:
 
     from gorse_tpu.data import synthetic_cf
     from gorse_tpu.models import BPR, Params
-    from gorse_tpu.models.bpr import _bpr_epoch, _bpr_epoch_fused, _bpr_epoch_resident
+    from gorse_tpu.models.bpr import (
+        _bpr_epoch,
+        _bpr_epoch_fused,
+        _bpr_epoch_resident,
+        adaptive_neg_tries,
+    )
     from gorse_tpu.ops.bpr_kernel import fits_epoch_resident, pack_items
 
     # ml-1m-shaped synthetic dataset
@@ -42,7 +47,10 @@ def main() -> None:
     n_active = max(int(np.sum(csr.counts > 0)), 1)
 
     n_steps = max(round(nnz / n_active), 1)
-    kwargs = dict(n_steps=n_steps, n_items=train.count_items(), lr=0.05, reg=0.01)
+    n_items = train.count_items()
+    # same density-adaptive rejection depth as BPR.fit (models/bpr.py)
+    n_tries = adaptive_neg_tries(float(np.mean(csr.counts)) / max(n_items, 1))
+    kwargs = dict(n_steps=n_steps, n_items=n_items, lr=0.05, reg=0.01, n_tries=n_tries)
 
     use_fused = jax.default_backend() == "tpu"
     p, q = model.user_factors, model.item_factors

@@ -36,10 +36,22 @@ from .params import N_EPOCHS, N_FACTORS, INIT_MEAN, INIT_STDDEV, LR, REG, FitCon
 
 logger = logging.getLogger(__name__)
 
-_NEG_TRIES = 4  # K-way rejection draws per negative sample
+_NEG_TRIES = 4  # default K-way rejection draws per negative sample
 
 
-def _sample_pairs(padded_pos, pos_counts, n_items, step_key):
+def adaptive_neg_tries(mean_density: float, eps: float = 1e-4) -> int:
+    """Rejection depth K so the chance every draw collides with a positive
+    is ~eps (density**K <= eps). Sparse catalogs (ml-1m-like, d~0.05) get
+    K=3; dense small catalogs (the fused path's domain) get up to K=8 —
+    matching the reference's unbounded retry loop to within eps while only
+    paying for collisions the data can actually produce."""
+    import math
+
+    d = min(max(mean_density, 1e-6), 0.9)
+    return min(max(math.ceil(math.log(eps) / math.log(d)), 2), 8)
+
+
+def _sample_pairs(padded_pos, pos_counts, n_items, step_key, n_tries=_NEG_TRIES):
     """Sample one (positive, negative) pair per user.
 
     Positive: uniform slot selected via a one-hot over the history axis
@@ -53,10 +65,10 @@ def _sample_pairs(padded_pos, pos_counts, n_items, step_key):
     lane = jax.lax.broadcasted_iota(jnp.int32, (n_users, max_len), 1)
     pos = jnp.sum(jnp.where(lane == slot[:, None], padded_pos, 0), axis=1)
     pos = jnp.maximum(pos, 0)  # inactive users point at row 0, masked later
-    cand = jax.random.randint(kn, (n_users, _NEG_TRIES), 0, n_items)
+    cand = jax.random.randint(kn, (n_users, n_tries), 0, n_items)
     neg = cand[:, 0]
     ok = jnp.zeros((n_users,), bool)
-    for t in range(_NEG_TRIES):
+    for t in range(n_tries):
         c = cand[:, t]
         collides = jnp.any(padded_pos == c[:, None], axis=1)
         take = (~ok) & (~collides)
@@ -67,7 +79,7 @@ def _sample_pairs(padded_pos, pos_counts, n_items, step_key):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_steps", "n_items", "lr", "reg"),
+    static_argnames=("n_steps", "n_items", "lr", "reg", "n_tries"),
     donate_argnums=(0, 1),
 )
 def _bpr_epoch(
@@ -80,6 +92,7 @@ def _bpr_epoch(
     n_items: int,
     lr: float,
     reg: float,
+    n_tries: int = _NEG_TRIES,
 ):
     """One BPR epoch: scan of n_steps dense-over-users SGD sweeps.
 
@@ -96,7 +109,7 @@ def _bpr_epoch(
 
     def step(carry, step_key):
         p, q = carry
-        pos, neg = _sample_pairs(padded_pos, pos_counts, n_items, step_key)
+        pos, neg = _sample_pairs(padded_pos, pos_counts, n_items, step_key, n_tries)
         # --- pairwise update (reference rule, model/cf/model.go:469-488)
         qi = q[pos]
         qj = q[neg]
@@ -118,7 +131,7 @@ def _bpr_epoch(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_steps", "n_items", "lr", "reg"),
+    static_argnames=("n_steps", "n_items", "lr", "reg", "n_tries"),
     donate_argnums=(0, 1),
 )
 def _bpr_epoch_fused(
@@ -131,6 +144,7 @@ def _bpr_epoch_fused(
     n_items: int,
     lr: float,
     reg: float,
+    n_tries: int = _NEG_TRIES,
 ):
     """Fully-fused epoch: sampling (on-chip PRNG), gather, update, and
     scatter all inside the Pallas kernel
@@ -147,7 +161,7 @@ def _bpr_epoch_fused(
         p, q_delta, cost, _, _ = bpr_fully_fused_step(
             p, qp, padded_pos, pos_counts, base_seed + i,
             n_items=n_items, lr=lr, reg=reg, mm_dtype=jnp.bfloat16,
-            n_tries=_NEG_TRIES,  # same rejection depth as the XLA sampler
+            n_tries=n_tries,
         )
         return (p, qp + q_delta), cost
 
@@ -167,6 +181,7 @@ def _bpr_epoch_resident(
     n_items: int,
     lr: float,
     reg: float,
+    n_tries: int = _NEG_TRIES,
 ):
     """Whole-epoch Pallas kernel: all state (positives, factors, packed item
     table) VMEM-resident across every step of the epoch
@@ -178,7 +193,7 @@ def _bpr_epoch_resident(
     return bpr_epoch_fused(
         user_factors, q_packed, padded_pos, pos_counts, seed,
         n_steps=n_steps, n_items=n_items, lr=lr, reg=reg,
-        n_tries=_NEG_TRIES,  # same rejection depth as the XLA sampler
+        n_tries=n_tries,
     )
 
 
@@ -217,6 +232,9 @@ class BPR(MatrixFactorization):
         # each step visits every user once; match the reference's nnz
         # pairwise updates per epoch (model/cf/model.go:448)
         n_steps = max(round(train.count_feedback() / n_active), 1)
+        # negative-rejection depth sized to this corpus's collision rate
+        mean_density = float(np.mean(csr.counts)) / max(n_items, 1)
+        n_tries = adaptive_neg_tries(mean_density)
         eval_cands = build_eval_candidates(test, train, config.candidates)
 
         key = jax.random.PRNGKey(config.seed + 1)
@@ -303,7 +321,7 @@ class BPR(MatrixFactorization):
                 p, q, cost = epoch_fn(
                     p, q, padded_pos, pos_counts, epoch_key,
                     n_steps=n_steps, n_items=n_items,
-                    lr=self.lr, reg=self.reg,
+                    lr=self.lr, reg=self.reg, n_tries=n_tries,
                 )
             if (config.verbose and epoch % config.verbose == 0) or epoch == self.n_epochs:
                 cost = float(cost)  # blocks; also syncs the epoch
