@@ -130,6 +130,68 @@ def synthetic_cf(
     )
 
 
+def synthetic_cf_powerlaw(
+    n_users: int = 6040,
+    n_items: int = 3706,
+    rank: int = 16,
+    nnz: int = 1_000_000,
+    zipf_s: float = 1.0,
+    pop_weight: float = 1.5,
+    noise: float = 1.0,
+    seed: int = 42,
+) -> Dataset:
+    """ml-1m-*scale* heavy-tailed implicit-feedback dataset.
+
+    Unlike :func:`synthetic_cf` (uniform Poisson activity, no popularity
+    skew), this generator reproduces the statistics that make real
+    recommendation data hard: Zipf item popularity (exponent ``zipf_s``),
+    log-normal user activity (heavy upper tail, like ml-1m's 20..2300
+    ratings/user), and a low-rank latent preference field mixed with
+    popularity and Gumbel noise. Defaults produce a 6040 x 3706 corpus with
+    ~1M feedback — the shape of the reference's ml-1m accuracy gate
+    (reference: model/cf/model_test.go:35-48), unreachable here without
+    egress. Used by the oracle-parity and scale-gate tests
+    (tests/test_oracle.py) and the bench NDCG gate.
+    """
+    rng = np.random.default_rng(seed)
+    pu = rng.normal(size=(n_users, rank)).astype(np.float32)
+    qi = rng.normal(size=(n_items, rank)).astype(np.float32)
+    # Zipf popularity logits over a random item permutation
+    order = rng.permutation(n_items)
+    pop = np.empty(n_items, np.float32)
+    pop[order] = -zipf_s * np.log(np.arange(1, n_items + 1, dtype=np.float32))
+    pop -= pop.mean()
+    # log-normal user activity, scaled to the requested nnz
+    raw = np.exp(rng.normal(0.0, 1.0, size=n_users))
+    counts = np.clip(raw * (nnz / raw.sum()), 5, n_items - 1).astype(np.int64)
+    users, items, ts = [], [], []
+    scale = 1.0 / np.sqrt(rank)
+    block = 512
+    for lo in range(0, n_users, block):
+        hi = min(lo + block, n_users)
+        scores = (
+            pu[lo:hi] @ qi.T * scale
+            + pop_weight * pop[None, :]
+            + noise * rng.gumbel(size=(hi - lo, n_items)).astype(np.float32)
+        )
+        for r, u in enumerate(range(lo, hi)):
+            c = counts[u]
+            top = np.argpartition(-scores[r], c)[:c]
+            users.append(np.full(c, u, np.int64))
+            items.append(top)
+            ts.append(rng.uniform(0, 1e6, size=c))
+    users = np.concatenate(users)
+    items = np.concatenate(items)
+    ts = np.concatenate(ts)
+    return Dataset.from_edges(
+        users,
+        items,
+        ts,
+        user_ids=[f"u{i}" for i in range(n_users)],
+        item_ids=[f"i{i}" for i in range(n_items)],
+    )
+
+
 def load_built_in(name: str) -> tuple[Dataset, Dataset]:
     """Load a built-in CF dataset by name; synthetic fallback via
     ``synthetic://n_users,n_items,rank,density,seed``."""

