@@ -231,6 +231,24 @@ class Dataset:
     ) -> _PaddedCSR:
         return self._pad(self.item_feedback, pad_to, max_len, seed)
 
+    def positives_bitset(self) -> np.ndarray:
+        """[U, ceil(I/32)] uint32 membership bitset over each user's FULL
+        positive set — the device analog of the reference's
+        ``userFeedback[u].Contains`` rejection structure
+        (reference model/cf/model.go:425-429, :460-468). Unlike the capped
+        padded-positives matrix, this covers every positive of every user,
+        so negative rejection against it is exact for heavy users too."""
+        n_users = self.count_users()
+        words = -(-self.count_items() // 32)
+        bits = np.zeros((n_users, words), np.uint32)
+        for u, fb in enumerate(self.user_feedback):
+            if fb:
+                items = np.asarray(fb, np.int64)
+                np.bitwise_or.at(
+                    bits[u], items // 32, np.uint32(1) << (items % 32).astype(np.uint32)
+                )
+        return bits
+
     # ---------------------------------------------------------------- splits
 
     def _empty_split(self) -> "Dataset":

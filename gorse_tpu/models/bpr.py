@@ -51,13 +51,20 @@ def adaptive_neg_tries(mean_density: float, eps: float = 1e-4) -> int:
     return min(max(math.ceil(math.log(eps) / math.log(d)), 2), 8)
 
 
-def _sample_pairs(padded_pos, pos_counts, n_items, step_key, n_tries=_NEG_TRIES):
+def _sample_pairs(padded_pos, pos_counts, n_items, step_key, n_tries=_NEG_TRIES, bits=None):
     """Sample one (positive, negative) pair per user.
 
     Positive: uniform slot selected via a one-hot over the history axis
     (take_along_axis row-gathers measured ~7x slower on TPU). Negative:
     K-way rejection with 2D compares per candidate (a single 3D broadcast
     compare is ~12x slower on TPU).
+
+    ``bits``: optional [U, ceil(I/32)] uint32 full-set membership bitset
+    (Dataset.positives_bitset). When given, rejection tests candidates
+    against the user's FULL positive set — exact even for users whose padded
+    history was capped at p99 (the reference rejects against the full set,
+    model/cf/model.go:460-468); otherwise candidates are tested against the
+    capped ``padded_pos`` rows.
     """
     ks, kn = jax.random.split(step_key)
     n_users, max_len = padded_pos.shape
@@ -66,11 +73,19 @@ def _sample_pairs(padded_pos, pos_counts, n_items, step_key, n_tries=_NEG_TRIES)
     pos = jnp.sum(jnp.where(lane == slot[:, None], padded_pos, 0), axis=1)
     pos = jnp.maximum(pos, 0)  # inactive users point at row 0, masked later
     cand = jax.random.randint(kn, (n_users, n_tries), 0, n_items)
+    if bits is not None:
+        wlane = jax.lax.broadcasted_iota(jnp.int32, bits.shape, 1)
     neg = cand[:, 0]
     ok = jnp.zeros((n_users,), bool)
     for t in range(n_tries):
         c = cand[:, t]
-        collides = jnp.any(padded_pos == c[:, None], axis=1)
+        if bits is None:
+            collides = jnp.any(padded_pos == c[:, None], axis=1)
+        else:
+            word = jnp.sum(
+                jnp.where(wlane == (c[:, None] // 32), bits, jnp.uint32(0)), axis=1
+            )
+            collides = (word >> (c % 32).astype(jnp.uint32)) & 1 == 1
         take = (~ok) & (~collides)
         neg = jnp.where(take, c, neg)
         ok = ok | (~collides)
@@ -122,6 +137,7 @@ def _bpr_epoch(
     lr: float,
     reg: float,
     n_tries: int = _NEG_TRIES,
+    bits: jax.Array | None = None,
 ):
     """One BPR epoch: scan of n_steps dense-over-users SGD sweeps.
 
@@ -133,12 +149,14 @@ def _bpr_epoch(
     ``n_steps * U ~= nnz`` pairwise updates — the reference's per-epoch sample
     count (model/cf/model.go:448) with an exactly-uniform user visitation
     instead of with-replacement sampling.
+
+    ``bits``: optional full-set rejection bitset (see _sample_pairs).
     """
     active = (pos_counts > 0)[:, None]  # [U, 1] users with feedback
 
     def step(carry, step_key):
         p, q = carry
-        pos, neg = _sample_pairs(padded_pos, pos_counts, n_items, step_key, n_tries)
+        pos, neg = _sample_pairs(padded_pos, pos_counts, n_items, step_key, n_tries, bits)
         p, q, cost = bpr_apply_pairs(p, q, pos, neg, active, lr, reg)
         return (p, q), cost
 
@@ -263,11 +281,22 @@ class BPR(MatrixFactorization):
     def fit(self, train: Dataset, test: Dataset, config: FitConfig | None = None) -> Score:
         config = config or FitConfig()
         self.init(train, seed=config.seed)
-        # cap the history width at p99 (min 64): heavy-tailed histories would
-        # otherwise dominate device shapes; capped users sample from a
-        # per-fit random subset of their positives
+        # History width: use the FULL widest history whenever the padded
+        # matrix stays small (<=96MB) — no sampling bias on any path. Only
+        # for corpora where that is too wide, cap at p99 (min 64): capped
+        # users then sample positives from a per-fit random subset, and the
+        # XLA path additionally rejects negatives against a full-set bitset
+        # (the reference's semantics, model/cf/model.go:460-468); the Pallas
+        # kernel paths reject against the capped rows only — the residual
+        # bias is confined to the >p99 tail and quantified in
+        # tests/test_oracle.py::test_capped_rejection_bias_is_small.
         lengths = [len(fb) for fb in train.user_feedback if fb]
-        cap = max(int(np.percentile(lengths, 99)) if lengths else 1, 64)
+        widest = max(lengths) if lengths else 1
+        n_users_total = train.count_users()
+        if n_users_total * widest * 4 <= 96 * 1024 * 1024:
+            cap = max(widest, 1)
+        else:
+            cap = max(int(np.percentile(lengths, 99)) if lengths else 1, 64)
         csr = train.padded_user_positives(max_len=cap, seed=config.seed)
         padded_pos = jnp.asarray(csr.padded)
         pos_counts = jnp.asarray(csr.counts)
@@ -357,6 +386,16 @@ class BPR(MatrixFactorization):
                 q = q_repl
         elif use_fused or use_streamed:
             q = pack_items(q)
+        # full-set rejection bitset for the XLA path when the p99 cap bit
+        # and the bitset is affordable (see cap comment above)
+        bits = None
+        if (
+            not use_sharded
+            and not (use_fused or use_resident or use_streamed)
+            and cap < widest
+            and n_users_total * (-(-n_items // 32)) * 4 <= 64 * 1024 * 1024
+        ):
+            bits = jnp.asarray(train.positives_bitset())
         for epoch in range(1, self.n_epochs + 1):
             t0 = time.time()
             key, epoch_key = jax.random.split(key)
@@ -371,10 +410,14 @@ class BPR(MatrixFactorization):
                     if use_fused
                     else _bpr_epoch_streamed if use_streamed else _bpr_epoch
                 )
-                p, q, cost = epoch_fn(
-                    p, q, padded_pos, pos_counts, epoch_key,
+                kwargs = dict(
                     n_steps=n_steps, n_items=n_items,
                     lr=self.lr, reg=self.reg, n_tries=n_tries,
+                )
+                if bits is not None:
+                    kwargs["bits"] = bits
+                p, q, cost = epoch_fn(
+                    p, q, padded_pos, pos_counts, epoch_key, **kwargs
                 )
             if (config.verbose and epoch % config.verbose == 0) or epoch == self.n_epochs:
                 cost = float(cost)  # blocks; also syncs the epoch
