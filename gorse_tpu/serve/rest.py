@@ -241,7 +241,7 @@ class RestServer:
                 from ..utils.tracing import tracer
 
                 with tracer().span(
-                    f"{method} {pattern.pattern}",
+                    f"{method} {template}",
                     traceparent=headers.get("traceparent"),
                     method=method,
                 ) as span:

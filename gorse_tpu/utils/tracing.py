@@ -1,21 +1,34 @@
-"""Lightweight distributed tracing.
+"""Lightweight distributed tracing with real OTLP/Zipkin wire export.
 
 Covers the reference's OpenTelemetry integration (TracingConfig,
-config/config.go:407-413; provider install master/master.go:119-125) with a
-dependency-free tracer: spans with W3C ``traceparent`` propagation, exported
-to an in-memory buffer and/or the log. The exporter interface matches what
-an OTLP exporter would plug into if the otel SDK is added later.
+config/config.go:407-413; provider install master/master.go:119-125,
+exporter switch :556-568) with a dependency-free tracer: spans with W3C
+``traceparent`` propagation, an in-memory buffer for the dashboard, and
+batched wire export to a collector:
+
+- ``otlp`` / ``otlphttp`` -> OTLP/HTTP with JSON encoding (the standard
+  opentelemetry-proto JSON mapping, POST to ``<endpoint>/v1/traces``). The
+  reference's ``otlp`` variant speaks gRPC; collectors accept both
+  transports on adjacent ports, and OTLP/HTTP keeps this stdlib-only.
+- ``zipkin`` -> Zipkin v2 JSON (POST to the collector URL as configured,
+  reference: zipkin.New(CollectorEndpoint)).
+
+Export is batched (every ``batch_size`` finished spans) plus an explicit
+``flush()``; network errors are logged and never propagate into traced code.
+Tested against an in-process collector in tests/test_tracing.py.
 """
 
 from __future__ import annotations
 
 import contextlib
 import contextvars
+import json
 import logging
 import random
 import secrets
 import threading
 import time
+import urllib.request
 
 logger = logging.getLogger(__name__)
 
@@ -59,11 +72,133 @@ class Span:
         }
 
 
+def _attr_value(v) -> dict:
+    """OTLP JSON AnyValue encoding."""
+    if isinstance(v, bool):
+        return {"boolValue": v}
+    if isinstance(v, int):
+        return {"intValue": str(v)}
+    if isinstance(v, float):
+        return {"doubleValue": v}
+    return {"stringValue": str(v)}
+
+
+class OTLPHTTPExporter:
+    """OTLP/HTTP exporter with JSON encoding (opentelemetry-proto JSON
+    mapping). Default collector port/path: ``http://localhost:4318/v1/traces``.
+    """
+
+    def __init__(self, endpoint: str = "", service_name: str = "gorse_tpu", timeout: float = 2.0):
+        endpoint = endpoint or "http://localhost:4318"
+        if "/v1/traces" not in endpoint:
+            endpoint = endpoint.rstrip("/") + "/v1/traces"
+        self.endpoint = endpoint
+        self.service_name = service_name
+        self.timeout = timeout
+
+    def encode(self, spans: list["Span"]) -> bytes:
+        otlp_spans = []
+        for s in spans:
+            otlp_spans.append({
+                "traceId": s.trace_id,
+                "spanId": s.span_id,
+                "parentSpanId": s.parent_id or "",
+                "name": s.name,
+                "kind": 1,  # SPAN_KIND_INTERNAL
+                "startTimeUnixNano": str(int(s.start * 1e9)),
+                "endTimeUnixNano": str(int((s.end or s.start) * 1e9)),
+                "attributes": [
+                    {"key": k, "value": _attr_value(v)} for k, v in s.attrs.items()
+                ],
+                "status": (
+                    {"code": 1}
+                    if s.status == "ok"
+                    else {"code": 2, "message": s.status}
+                ),
+            })
+        doc = {
+            "resourceSpans": [{
+                "resource": {
+                    "attributes": [
+                        {"key": "service.name",
+                         "value": {"stringValue": self.service_name}}
+                    ]
+                },
+                "scopeSpans": [{"scope": {"name": "gorse_tpu"}, "spans": otlp_spans}],
+            }]
+        }
+        return json.dumps(doc).encode()
+
+    def export(self, spans: list["Span"]) -> None:
+        req = urllib.request.Request(
+            self.endpoint, data=self.encode(spans),
+            headers={"Content-Type": "application/json"}, method="POST",
+        )
+        urllib.request.urlopen(req, timeout=self.timeout).read()
+
+
+class ZipkinExporter:
+    """Zipkin v2 JSON exporter (POST to the configured collector URL,
+    reference exporter switch master/master.go:558-561)."""
+
+    def __init__(self, endpoint: str = "", service_name: str = "gorse_tpu", timeout: float = 2.0):
+        self.endpoint = endpoint or "http://localhost:9411/api/v2/spans"
+        self.service_name = service_name
+        self.timeout = timeout
+
+    def encode(self, spans: list["Span"]) -> bytes:
+        docs = []
+        for s in spans:
+            d = {
+                "traceId": s.trace_id,
+                "id": s.span_id,
+                "name": s.name,
+                "timestamp": int(s.start * 1e6),
+                "duration": max(int(((s.end or s.start) - s.start) * 1e6), 1),
+                "localEndpoint": {"serviceName": self.service_name},
+                "tags": {k: str(v) for k, v in s.attrs.items()},
+            }
+            if s.parent_id:
+                d["parentId"] = s.parent_id
+            if s.status != "ok":
+                d["tags"]["error"] = s.status
+            docs.append(d)
+        return json.dumps(docs).encode()
+
+    def export(self, spans: list["Span"]) -> None:
+        req = urllib.request.Request(
+            self.endpoint, data=self.encode(spans),
+            headers={"Content-Type": "application/json"}, method="POST",
+        )
+        urllib.request.urlopen(req, timeout=self.timeout).read()
+
+
+def make_exporter(exporter: str, endpoint: str = "", service_name: str = "gorse_tpu"):
+    """Exporter factory honoring the reference's config values
+    (config/config.go:409: oneof=zipkin otlp otlphttp)."""
+    if exporter == "zipkin":
+        return ZipkinExporter(endpoint, service_name)
+    if exporter in ("otlp", "otlphttp"):
+        return OTLPHTTPExporter(endpoint, service_name)
+    raise ValueError(f"unknown tracing exporter {exporter!r}")
+
+
 class Tracer:
-    def __init__(self, enabled: bool = True, sample_ratio: float = 1.0, keep: int = 512) -> None:
+    def __init__(
+        self,
+        enabled: bool = True,
+        sample_ratio: float = 1.0,
+        keep: int = 512,
+        exporter=None,
+        batch_size: int = 64,
+    ) -> None:
         self.enabled = enabled
         self.sample_ratio = sample_ratio
         self.keep = keep
+        self.exporter = exporter
+        self.batch_size = batch_size
+        self._pending: list[Span] = []
+        self._export_failed = False
         self._lock = threading.Lock()
         self.finished: list[Span] = []
 
@@ -97,9 +232,32 @@ class Tracer:
         finally:
             span.end = time.time()
             _current_span.reset(token)
+            flush_batch = None
             with self._lock:
                 self.finished.append(span)
                 self.finished = self.finished[-self.keep:]
+                if self.exporter is not None:
+                    self._pending.append(span)
+                    if len(self._pending) >= self.batch_size:
+                        flush_batch, self._pending = self._pending, []
+            if flush_batch:
+                self._send(flush_batch)
+
+    def _send(self, batch: list[Span]) -> None:
+        try:
+            self.exporter.export(batch)
+            self._export_failed = False
+        except Exception as e:  # network problems must never break traced code
+            if not self._export_failed:
+                logger.warning("trace export to collector failed: %s", e)
+            self._export_failed = True
+
+    def flush(self) -> None:
+        """Export any buffered spans now (e.g. at node shutdown)."""
+        with self._lock:
+            batch, self._pending = self._pending, []
+        if batch and self.exporter is not None:
+            self._send(batch)
 
     def export(self) -> list[dict]:
         with self._lock:
@@ -109,18 +267,28 @@ class Tracer:
 _tracer = Tracer(enabled=False)
 
 
-def configure(enabled: bool, sample_ratio: float = 1.0) -> Tracer:
+def configure(enabled: bool, sample_ratio: float = 1.0, exporter=None, batch_size: int = 64) -> Tracer:
     global _tracer
-    _tracer = Tracer(enabled=enabled, sample_ratio=sample_ratio)
+    _tracer = Tracer(
+        enabled=enabled, sample_ratio=sample_ratio, exporter=exporter,
+        batch_size=batch_size,
+    )
     return _tracer
 
 
-def configure_from(config) -> Tracer:
+def configure_from(config, service_name: str = "gorse_tpu") -> Tracer:
     """Install the tracer from a utils.config.Config (reference: provider
-    install at node start, master/master.go:119-125)."""
+    install at node start, master/master.go:119-125; exporter + sampler keys
+    config/config.go:407-413). A collector endpoint activates real wire
+    export; without one, spans stay in the in-memory dashboard buffer."""
     tc = config.tracing
     ratio = tc.ratio if tc.sampler in ("ratio", "traceidratio") else 1.0
-    return configure(enabled=tc.enable, sample_ratio=ratio)
+    if tc.sampler == "never":
+        ratio = 0.0
+    exporter = None
+    if tc.enable and tc.collector_endpoint:
+        exporter = make_exporter(tc.exporter, tc.collector_endpoint, service_name)
+    return configure(enabled=tc.enable, sample_ratio=ratio, exporter=exporter)
 
 
 def tracer() -> Tracer:
