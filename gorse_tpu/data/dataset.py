@@ -51,6 +51,11 @@ class Dataset:
         self.item_labels: list[list[int]] = []
         self.num_feedback = 0
         self._negatives: dict[int, np.ndarray] = {}
+        # per-user negatives loaded from an NCF test file; when present they
+        # take priority over sampling, as in the reference (the loaded
+        # d.negatives short-circuits SampleUserNegatives,
+        # dataset/dataset.go:246-257)
+        self.file_negatives: list[list[int]] | None = None
 
     # ------------------------------------------------------------------ build
 
@@ -332,6 +337,17 @@ class Dataset:
         rng = np.random.default_rng(seed)
         n_items = self.count_items()
         out = np.zeros((self.count_users(), num_candidates), dtype=np.int32)
+        if self.file_negatives is not None:
+            # the NCF test file fixes each user's candidate negatives (99 in
+            # the gorse zips); use them verbatim like the reference, padding
+            # by cycling when a row is shorter than requested
+            for u in range(min(len(self.file_negatives), out.shape[0])):
+                negs = self.file_negatives[u]
+                if negs:
+                    reps = -(-num_candidates // len(negs))
+                    out[u] = np.asarray((negs * reps)[:num_candidates], np.int32)
+            self._negatives[num_candidates] = out
+            return out
         for u in range(self.count_users()):
             excl = set(self.user_feedback[u])
             excl.update(exclude.user_feedback[u])

@@ -13,7 +13,6 @@ statistics for tests and benchmarks.
 
 from __future__ import annotations
 
-import os
 from pathlib import Path
 
 import numpy as np
@@ -32,7 +31,9 @@ BUILT_IN = {
 
 
 def dataset_dir() -> Path:
-    return Path(os.environ.get("GORSE_TPU_DATASET_DIR", "~/.gorse_tpu/datasets")).expanduser()
+    from .registry import dataset_dir as _dd
+
+    return _dd()
 
 
 def load_ncf_file(path: str | Path, dataset: Dataset | None = None) -> Dataset:
@@ -55,23 +56,36 @@ def load_ncf_file(path: str | Path, dataset: Dataset | None = None) -> Dataset:
 
 
 def load_ncf(train_path: str | Path, test_path: str | Path) -> tuple[Dataset, Dataset]:
-    """Load an NCF-style train/test pair sharing one dictionary space."""
+    """Load an NCF-style train/test pair sharing one dictionary space.
+
+    Test lines carry the file's fixed evaluation negatives
+    (``(u,i)<TAB>neg1<TAB>neg2...``, 99 in the gorse zips); they are stored
+    on the test set and honored by ``sample_user_negatives`` exactly like the
+    reference's loaded ``d.negatives`` (dataset/dataset.go:246-257,472-493).
+    """
     train = load_ncf_file(train_path)
     test = train._empty_split()
     test.num_feedback = 0
+    file_negatives: list[list[int]] = []
     with open(test_path) as f:
         for line in f:
             line = line.strip()
             if not line:
                 continue
             fields = line.split("\t")
+            negs: list[str] = []
             if fields[0].startswith("("):
                 pair = fields[0].strip("()").split(",")
                 uid, iid = pair[0], pair[1]
+                negs = fields[1:]
             else:
                 uid, iid = fields[0], fields[1]
             u = train.add_user(uid)
             i = train.add_item(iid)
+            if negs:
+                while len(file_negatives) <= u:
+                    file_negatives.append([])
+                file_negatives[u] = [train.add_item(n) for n in negs]
             while len(test.user_feedback) <= u:
                 test.user_feedback.append([])
                 test.timestamps.append([])
@@ -89,6 +103,10 @@ def load_ncf(train_path: str | Path, test_path: str | Path) -> tuple[Dataset, Da
     while len(train.item_feedback) < len(train.item_dict):
         train.item_feedback.append([])
         train.item_labels.append([])
+    if any(file_negatives):
+        while len(file_negatives) < len(train.user_dict):
+            file_negatives.append([])
+        test.file_negatives = file_negatives
     return train, test
 
 
@@ -204,14 +222,25 @@ def load_built_in(name: str) -> tuple[Dataset, Dataset]:
         return data.split_cf(seed=0)
     if name not in BUILT_IN:
         raise KeyError(f"unknown built-in dataset {name!r}")
-    subdir, fmt = BUILT_IN[name]
-    base = dataset_dir() / subdir
-    if fmt == "ncf":
-        train_p, test_p = base / "train.txt", base / "test.txt"
-        if not train_p.exists():
-            raise FileNotFoundError(
-                f"dataset {name!r} not found at {base} (no network egress; "
-                f"place NCF-format files there or use synthetic://)"
-            )
-        return load_ncf(train_p, test_p)
-    raise ValueError(f"dataset {name!r} is a CTR dataset; use gorse_tpu.data.ctr loaders")
+    _, fmt = BUILT_IN[name]
+    if fmt != "ncf":
+        raise ValueError(
+            f"dataset {name!r} is a CTR dataset; use load_built_in_ctr"
+        )
+    from .registry import locate_built_in
+
+    train_p, test_p = locate_built_in(name, "ncf")
+    return load_ncf(train_p, test_p)
+
+
+def load_built_in_ctr(name: str):
+    """Load a built-in libFM CTR dataset (frappe/ml-tag/criteo) through the
+    registry fetch layer (reference: model/ctr/data.go:270-339 +
+    model/built_in.go LocateBuiltInDataset(FormatLibFM))."""
+    from .ctr import load_libfm
+    from .registry import locate_built_in
+
+    if name not in BUILT_IN or BUILT_IN[name][1] != "libfm":
+        raise KeyError(f"unknown built-in CTR dataset {name!r}")
+    train_p, test_p = locate_built_in(name, "libfm")
+    return load_libfm(str(train_p), str(test_p))
