@@ -17,8 +17,45 @@ from gorse_tpu.storage.vectors import (
 from gorse_tpu.utils.config import Config
 
 
-@pytest.fixture(params=["memory", "sqlite", "hnsw", "qdrant", "weaviate", "milvus"])
+@pytest.fixture(
+    params=[
+        "memory", "sqlite", "hnsw", "qdrant", "weaviate", "milvus",
+        "qdrant-real", "weaviate-real", "milvus-real",
+    ]
+)
 def vstore(request, tmp_path):
+    if request.param.endswith("-real"):
+        # identical test bodies against a REAL engine, env-gated like the
+        # reference's CI services (build_test.yml:21-147); e.g.
+        # GORSE_TEST_QDRANT_URI=http://127.0.0.1:6333 (?api_key=...),
+        # GORSE_TEST_WEAVIATE_URI=http://127.0.0.1:8080,
+        # GORSE_TEST_MILVUS_URI=http://127.0.0.1:9091 (?token=...)
+        import os
+        import urllib.parse
+
+        env = f"GORSE_TEST_{request.param.split('-')[0].upper()}_URI"
+        uri = os.environ.get(env, "")
+        if not uri:
+            pytest.skip(f"{env} not set")
+        from gorse_tpu.storage.vectordb import (
+            MilvusVectorStore,
+            QdrantVectorStore,
+            WeaviateVectorStore,
+        )
+
+        p = urllib.parse.urlparse(uri)
+        qs = dict(urllib.parse.parse_qsl(p.query))
+        if request.param == "qdrant-real":
+            store = QdrantVectorStore(p.hostname, p.port, api_key=qs.get("api_key", ""))
+        elif request.param == "weaviate-real":
+            store = WeaviateVectorStore(p.hostname, p.port, api_key=qs.get("api_key", ""))
+        else:
+            store = MilvusVectorStore(p.hostname, p.port, token=qs.get("token", ""))
+        if store.has_collection("cf"):
+            store.drop_collection("cf")
+        yield store
+        store.close()
+        return
     if request.param == "memory":
         yield MemoryVectorStore()
         return
