@@ -211,31 +211,92 @@ def rq_topk(
     return top_scores, top_idx.astype(jnp.int32)
 
 
-def _block_max_kernel(q_ref, item_ref, max_out_ref, *, block_n, n_items):
+def _block_max_kernel(q_ref, item_ref, max_out_ref, acc, *, block_n, n_items):
     """Pass 1 of the seeded top-k: per-query maxima of each item block.
 
     Pure matmul + max — the scores have a single consumer, so Mosaic folds
     the reduce into the matmul epilogue and the [B, block_n] block never
     round-trips VMEM (the measured ~0.2 ms/batch HBM-stream floor at 1M
-    items). Only the tail block pays a masked max for the zero padding."""
+    items). Only the tail block pays a masked max for the zero padding.
+
+    The per-block maxima land in a [B, n_blocks_pad] VMEM scratch (written
+    column-by-column with a lane mask, copied out on the last step) because
+    Mosaic forbids (B, 1) output blocks — the lane dim of a blocked spec
+    must be 128-divisible or span the whole array."""
     blk = pl.program_id(0)
+
+    @pl.when(blk == 0)
+    def _():
+        acc[:] = jnp.full_like(acc, NEG_INF)
+
     scores = jax.lax.dot_general(
         q_ref[:], item_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     n_full = n_items // block_n  # blocks strictly before the ragged tail
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + blk * block_n
+    m = jnp.max(
+        jnp.where(
+            jnp.logical_or(blk < n_full, col_ids < n_items), scores, NEG_INF
+        ),
+        axis=1,
+        keepdims=True,
+    )
+    lane = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 1)
+    acc[:] = jnp.where(lane == blk, m, acc[:])
 
-    @pl.when(blk < n_full)
+    @pl.when(blk == pl.num_programs(0) - 1)
     def _():
-        max_out_ref[:] = jnp.max(scores, axis=1, keepdims=True)
+        max_out_ref[:] = acc[:]
 
-    @pl.when(blk >= n_full)
-    def _():
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + blk * block_n
-        max_out_ref[:] = jnp.max(
-            jnp.where(col_ids < n_items, scores, NEG_INF), axis=1, keepdims=True
+
+def _fold_scores_into_topk(scores, sc, run_s, run_i, col_ids, *, k_sel):
+    """Extract-and-insert every score beating the running k-th best into the
+    SORTED (descending) running top-k. ``sc`` is VMEM scratch the loop
+    consumes extracted entries from; the per-query running max rides in the
+    while-loop carry ([B, 1], computed from the just-consumed block in
+    registers), so the loop cond pays a scalar compare instead of the full
+    score re-scan per iteration that the r1 kernels did — score-block VMEM
+    traffic per iteration drops from 3 passes to 2."""
+    sc[:] = scores
+    lane = jax.lax.broadcasted_iota(jnp.int32, run_s.shape, 1)  # [B, k_pad]
+    v0 = jnp.max(scores, axis=1, keepdims=True)  # [B, 1]
+
+    def cond(carry):
+        it, v = carry
+        kth = run_s[:, k_sel - 1 : k_sel]
+        return jnp.logical_and(it < k_sel, jnp.any(v > kth))
+
+    def body(carry):
+        it, v = carry
+        s = sc[:]
+        rs = run_s[:]
+        ri = run_i[:]
+        kth = rs[:, k_sel - 1 : k_sel]
+        active = v > kth  # queries whose top-k changes this pass
+        # first-occurrence extraction without argmax: min column id at max
+        at_max = s == v
+        idx = jnp.min(
+            jnp.where(at_max, col_ids, jnp.int32(2**31 - 1)), axis=1, keepdims=True
         )
+        # consume the extracted element everywhere (it can never re-enter);
+        # the next max comes from the consumed block while it is live in
+        # registers — no extra VMEM pass
+        s2 = jnp.where(jnp.logical_and(at_max, col_ids == idx), NEG_INF, s)
+        sc[:] = s2
+        v_next = jnp.max(s2, axis=1, keepdims=True)
+        # sorted insertion: elements >= v keep their lane, the rest shift right
+        nge = jnp.sum((rs >= v).astype(jnp.int32), axis=1, keepdims=True)  # [B, 1]
+        prev_s = jnp.concatenate([rs[:, :1], rs[:, :-1]], axis=1)  # shift right
+        prev_i = jnp.concatenate([ri[:, :1], ri[:, :-1]], axis=1)
+        new_s = jnp.where(lane < nge, rs, jnp.where(lane == nge, v, prev_s))
+        new_i = jnp.where(lane < nge, ri, jnp.where(lane == nge, idx, prev_i))
+        run_s[:] = jnp.where(active, new_s, rs)
+        run_i[:] = jnp.where(active, new_i, ri)
+        return it + 1, v_next
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0), v0))
 
 
 def _topk_seeded_kernel(
@@ -249,7 +310,21 @@ def _topk_seeded_kernel(
     recomputing the matmul, so a firing block pays ONE matmul; a quiet block
     pays none. Seeding kills the cold-start churn where early blocks'
     transient top-k members (~k*ln(n_blocks) per query) each paid an
-    extraction pass."""
+    extraction pass. The full [B, n_blocks_pad] maxima table rides along in
+    VMEM (it is small) and each step extracts its column with a lane-masked
+    max-reduce — blocked (B, 1) input specs and dynamic lane slices are both
+    unlowerable on TPU (Mosaic requires 128-divisible lane indexing).
+
+    Attempted and REJECTED: keeping the item table in HBM (memory_space=ANY)
+    with an explicit single-buffered DMA only on firing blocks, to spare
+    quiet blocks the re-stream. Measured WORSE on v5e at 1M items/bf16
+    (B=256: 2.13 vs 1.51 ms; B=32: 1.07 vs 0.69): the batch-global gate
+    fires often enough that the serial, non-overlapped per-block DMA wait
+    costs more than the full double-buffered prefetch stream it replaced.
+    Auto-streamed blocks ride the prefetch pipeline for free; a future
+    attempt needs a prefetch predicate (conservative: next block's max vs
+    the CURRENT k-th best, a superset of true firing) to overlap the
+    conditional copies."""
     blk = pl.program_id(0)
 
     @pl.when(blk == 0)
@@ -258,7 +333,9 @@ def _topk_seeded_kernel(
         run_i[:] = jnp.zeros_like(run_i)
 
     base = blk * block_n
-    m = bmax_ref[:]  # [B, 1] this block's maxima from pass 1
+    bm = bmax_ref[:]  # [B, nb_pad]
+    bl = jax.lax.broadcasted_iota(jnp.int32, bm.shape, 1)
+    m = jnp.max(jnp.where(bl == blk, bm, NEG_INF), axis=1, keepdims=True)
     kth0 = run_s[:, k_sel - 1 : k_sel]
 
     @pl.when(jnp.any(m > kth0))
@@ -270,38 +347,8 @@ def _topk_seeded_kernel(
         )
         b = scores.shape[0]
         col_ids = jax.lax.broadcasted_iota(jnp.int32, (b, block_n), 1) + base
-        sc[:] = jnp.where(col_ids < n_items, scores, NEG_INF)  # tail padding
-        lane = jax.lax.broadcasted_iota(jnp.int32, run_s.shape, 1)  # [B, k_pad]
-
-        def cond(it):
-            kth = run_s[:, k_sel - 1 : k_sel]
-            return jnp.logical_and(
-                it < k_sel,
-                jnp.any(jnp.max(sc[:], axis=1, keepdims=True) > kth),
-            )
-
-        def body(it):
-            s = sc[:]
-            rs = run_s[:]
-            ri = run_i[:]
-            v = jnp.max(s, axis=1, keepdims=True)  # [B, 1]
-            kth = rs[:, k_sel - 1 : k_sel]
-            active = v > kth
-            at_max = s == v
-            idx = jnp.min(
-                jnp.where(at_max, col_ids, jnp.int32(2**31 - 1)), axis=1, keepdims=True
-            )
-            sc[:] = jnp.where(jnp.logical_and(at_max, col_ids == idx), NEG_INF, s)
-            nge = jnp.sum((rs >= v).astype(jnp.int32), axis=1, keepdims=True)
-            prev_s = jnp.concatenate([rs[:, :1], rs[:, :-1]], axis=1)
-            prev_i = jnp.concatenate([ri[:, :1], ri[:, :-1]], axis=1)
-            new_s = jnp.where(lane < nge, rs, jnp.where(lane == nge, v, prev_s))
-            new_i = jnp.where(lane < nge, ri, jnp.where(lane == nge, idx, prev_i))
-            run_s[:] = jnp.where(active, new_s, rs)
-            run_i[:] = jnp.where(active, new_i, ri)
-            return it + 1
-
-        jax.lax.while_loop(cond, body, jnp.int32(0))
+        masked = jnp.where(col_ids < n_items, scores, NEG_INF)  # tail padding
+        _fold_scores_into_topk(masked, sc, run_s, run_i, col_ids, k_sel=k_sel)
 
     @pl.when(blk == pl.num_programs(0) - 1)
     def _():
@@ -356,41 +403,8 @@ def _topk_kernel(
         scores = block_scores()
         b = scores.shape[0]
         col_ids = jax.lax.broadcasted_iota(jnp.int32, (b, block_n), 1) + base
-        sc[:] = jnp.where(col_ids < n_items, scores, NEG_INF)  # tail padding
-        lane = jax.lax.broadcasted_iota(jnp.int32, run_s.shape, 1)  # [B, k_pad]
-
-        def cond(it):
-            kth = run_s[:, k_sel - 1 : k_sel]
-            return jnp.logical_and(
-                it < k_sel,
-                jnp.any(jnp.max(sc[:], axis=1, keepdims=True) > kth),
-            )
-
-        def body(it):
-            s = sc[:]
-            rs = run_s[:]
-            ri = run_i[:]
-            v = jnp.max(s, axis=1, keepdims=True)  # [B, 1]
-            kth = rs[:, k_sel - 1 : k_sel]
-            active = v > kth  # queries whose top-k changes this pass
-            # first-occurrence extraction without argmax: min column id at max
-            at_max = s == v
-            idx = jnp.min(
-                jnp.where(at_max, col_ids, jnp.int32(2**31 - 1)), axis=1, keepdims=True
-            )
-            # consume the extracted element everywhere (it can never re-enter)
-            sc[:] = jnp.where(jnp.logical_and(at_max, col_ids == idx), NEG_INF, s)
-            # sorted insertion: elements >= v keep their lane, the rest shift right
-            nge = jnp.sum((rs >= v).astype(jnp.int32), axis=1, keepdims=True)  # [B, 1]
-            prev_s = jnp.concatenate([rs[:, :1], rs[:, :-1]], axis=1)  # shift right
-            prev_i = jnp.concatenate([ri[:, :1], ri[:, :-1]], axis=1)
-            new_s = jnp.where(lane < nge, rs, jnp.where(lane == nge, v, prev_s))
-            new_i = jnp.where(lane < nge, ri, jnp.where(lane == nge, idx, prev_i))
-            run_s[:] = jnp.where(active, new_s, rs)
-            run_i[:] = jnp.where(active, new_i, ri)
-            return it + 1
-
-        jax.lax.while_loop(cond, body, jnp.int32(0))
+        masked = jnp.where(col_ids < n_items, scores, NEG_INF)  # tail padding
+        _fold_scores_into_topk(masked, sc, run_s, run_i, col_ids, k_sel=k_sel)
 
     @pl.when(blk == pl.num_programs(0) - 1)
     def _():
@@ -463,6 +477,7 @@ def _dot_topk_prepared(
         return out_s[:b, :k_top], out_i[:b, :k_top]
 
     # ---- pass 1: per-block maxima (pure matmul+max stream) ----
+    nb_pad = _round_up(n_blocks, 128)
     bmax = pl.pallas_call(
         functools.partial(_block_max_kernel, block_n=block_n, n_items=n_items),
         grid=grid,
@@ -470,15 +485,16 @@ def _dot_topk_prepared(
             pl.BlockSpec((b_pad, d_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((d_pad, block_n), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((b_pad, 1), lambda i: (0, i), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b_pad, n_blocks), jnp.float32),
+        out_specs=pl.BlockSpec((b_pad, nb_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b_pad, nb_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((b_pad, nb_pad), jnp.float32)],
         interpret=interpret,
     )(q, table)
     # the k-th largest block max per query is an actual score from a distinct
     # block, hence a lower bound on the true k-th best; one ulp down so the
     # element equal to it still strictly beats the seed
     kk = min(k_top, n_blocks)
-    t_b = jax.lax.top_k(bmax, kk)[0][:, kk - 1 : kk]  # [b_pad, 1]
+    t_b = jax.lax.top_k(bmax[:, :n_blocks], kk)[0][:, kk - 1 : kk]  # [b_pad, 1]
     if kk < k_top:
         t_b = jnp.full_like(t_b, NEG_INF)
     seed = jnp.nextafter(t_b, jnp.float32(-jnp.inf))
@@ -492,7 +508,7 @@ def _dot_topk_prepared(
         in_specs=[
             pl.BlockSpec((b_pad, d_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((d_pad, block_n), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b_pad, 1), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_pad, nb_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(

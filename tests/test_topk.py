@@ -153,3 +153,33 @@ def test_topk_hot_block_spread_chunks():
     for rank, col in enumerate(hot):
         items[col] = (50.0 - rank) / 16.0
     _check_exact_unique(q, items, k=10)
+
+
+def test_topk_seeded_matches_unseeded_many_blocks():
+    """Both kernel variants (bound-seeded two-pass and single-pass) must
+    agree with XLA on a grid with many item blocks — the shape class where
+    the r1 seeded kernel's (B, 1) block specs failed to lower on real TPU
+    (lane dims must be 128-divisible or span the array)."""
+    rng = np.random.default_rng(9)
+    q = rng.normal(size=(16, 32)).astype(np.float32)
+    items = rng.normal(size=(3000, 32)).astype(np.float32)
+    ref_s, _ = dot_topk_xla(jnp.asarray(q), jnp.asarray(items), 12)
+    for seeded in (True, False):
+        s, i = dot_topk(
+            jnp.asarray(q), jnp.asarray(items), 12,
+            block_n=256, interpret=True, seeded=seeded,
+        )
+        np.testing.assert_allclose(np.asarray(s), np.asarray(ref_s), rtol=1e-5, atol=1e-5)
+        recomputed = np.take_along_axis(q @ items.T, np.asarray(i), axis=1)
+        np.testing.assert_allclose(recomputed, np.asarray(ref_s), rtol=1e-5, atol=1e-5)
+
+
+def test_topk_seeded_duplicate_scores():
+    """Ties across blocks stress the one-ulp seed nudge: entries equal to
+    the seed must still insert."""
+    q = np.ones((4, 8), np.float32)
+    items = np.repeat(np.eye(8, dtype=np.float32), 40, axis=0)  # 320 rows, all dot=1
+    for seeded in (True, False):
+        s, _ = dot_topk(jnp.asarray(q), jnp.asarray(items), 5,
+                        block_n=128, interpret=True, seeded=seeded)
+        np.testing.assert_allclose(np.asarray(s), 1.0)
