@@ -1,101 +1,346 @@
-"""Benchmark: BPR-MF training throughput on TPU.
+"""Multi-metric benchmark for the TPU-native gorse engine.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line. The four required keys (metric/value/unit/vs_baseline)
+carry the headline number — BPR-MF training examples/s/chip on an ml-1m-shaped
+dataset (6040x3706, ~1M implicit feedback, k=16), the first clause of
+BASELINE.json's metric string — and the ``extra`` key carries every other
+metric BASELINE.json names: top-k retrieval queries/s (100k and 1M item
+catalogs, the logics/cf.go:70-79 serving path), the XLA-scatter BPR path, the
+streamed large-catalog BPR kernel at ml-20m shape (BASELINE.json configs[2])
+and at 100k users x 50k items, the eALS epoch time (model/cf/model.go:659-738
+analog), and AFM CTR training examples/s (model/ctr/fm_xla.go:152-211 analog).
 
-Headline metric (BASELINE.md north star): BPR training examples/s per chip on
-an ml-1m-shaped dataset (6040 users x 3706 items, ~1M implicit feedback,
-k=16). The reference's Go single-node trainer (model/cf/model.go:448-490,
-SIMD axpy hot loop, all cores) sustains on the order of 1.6M examples/s on a
-modern many-core CPU; the north-star target is >=20x that (BASELINE.json).
-``vs_baseline`` reports ours / 1.6e6 — i.e. the multiple over the estimated
-Go trainer; >=20 meets the target.
+Baseline grounding (VERDICT r1 weak #1): ``vs_baseline`` divides by a
+MEASURED native proxy, not an estimate. ``native/bpr_baseline.cpp``
+reimplements the reference Go trainer's exact per-example hot loop
+(model/cf/model.go:448-490) in C++ (-O3, auto-vectorized — an upper bound on
+the Go codegen) in two modes:
+
+- ``hogwild``: per-thread sampling, lock-free shared factors — an idealized
+  restructuring the reference does NOT have;
+- ``dispatch_structured``: every example id pushed through one bounded
+  single-producer queue, the reference's actual architecture
+  (common/parallel/parallel.go:45-55 pushes every example through one
+  buffered channel) — this caps total throughput at the producer's dispatch
+  rate regardless of core count.
+
+The bench builds and runs the proxy on the bench host when a compiler is
+available (cached binary) and uses the committed fallback measurements
+otherwise (2-core host, k=16: 5.4M examples/s/core hogwild, 2.7M total
+dispatch-structured). ``vs_baseline`` = ours / dispatch_structured — the
+reference as implemented. ``extra.vs_baseline_range`` states the sensitivity:
+[ours / (hogwild_per_core * 16 cores * 0.6 scaling), ours / dispatch] — the
+low end grants the reference a hypothetical 16-core perfect-hogwild rewrite
+with typical 60% hogwild scaling (cache contention on Zipf-popular item rows);
+the high end is the measured channel-dispatch architecture.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
+from pathlib import Path
 
-GO_TRAINER_EXAMPLES_PER_S = 1.6e6  # estimated reference throughput (see docstring)
+# Fallback measurements from native/bpr_baseline.cpp on the dev host
+# (2 cores, k=16, ml-1m shape) — used when the proxy can't be built/run.
+FALLBACK_HOGWILD_PER_CORE = 5.4e6
+FALLBACK_DISPATCH_TOTAL = 2.7e6
+HYPOTHETICAL_CORES = 16  # many-core server the reference would deploy on
+HOGWILD_SCALING = 0.6  # typical hogwild efficiency at 16 threads
 
 
-def main() -> None:
+def measure_native_baseline() -> dict:
+    """Build + run the C++ reference-hot-loop proxy; fall back to constants."""
+    root = Path(__file__).resolve().parent
+    src = root / "native" / "bpr_baseline.cpp"
+    exe = Path(os.environ.get("TMPDIR", "/tmp")) / "gorse_bpr_baseline"
+    try:
+        if src.exists() and (
+            not exe.exists() or exe.stat().st_mtime < src.stat().st_mtime
+        ):
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-std=c++17", "-pthread",
+                 str(src), "-o", str(exe)],
+                check=True, capture_output=True, timeout=120,
+            )
+        out = subprocess.run(
+            [str(exe)], check=True, capture_output=True, timeout=300, text=True
+        ).stdout.strip().splitlines()[-1]
+        m = json.loads(out)
+        return {
+            "hogwild_per_core": float(m["examples_per_s_per_core"]),
+            "dispatch_total": float(m["examples_per_s_dispatch_structured"]),
+            "measured_on_bench_host": True,
+        }
+    except Exception:
+        return {
+            "hogwild_per_core": FALLBACK_HOGWILD_PER_CORE,
+            "dispatch_total": FALLBACK_DISPATCH_TOTAL,
+            "measured_on_bench_host": False,
+        }
+
+
+def marginal_seconds(run, lo: int, hi: int, reps: int = 3) -> float:
+    """Marginal wall time for (hi - lo) units of work.
+
+    ``run(n)`` performs n units and blocks until a real host readback. The
+    marginal time between two unit counts (min over repetitions) cancels the
+    tunnel's fixed dispatch+readback cost and its slow bursts; falls back to
+    the conservative total time of the longer run if noise inverts the
+    marginal.
+    """
+    run(lo), run(hi)  # warm both trace paths
+    d_lo = min(run(lo) for _ in range(reps))
+    d_hi = min(run(hi) for _ in range(reps))
+    if d_hi <= d_lo:
+        return d_hi / hi * (hi - lo)
+    return d_hi - d_lo
+
+
+def bench_bpr(data, k: int, fused: bool, lo=5, hi=25) -> float:
+    """BPR training examples/s on the best kernel path for this shape
+    (fused=True: resident/fused/streamed Pallas; False: XLA scatter path)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from gorse_tpu.data import synthetic_cf
     from gorse_tpu.models import BPR, Params
     from gorse_tpu.models.bpr import (
         _bpr_epoch,
         _bpr_epoch_fused,
         _bpr_epoch_resident,
+        _bpr_epoch_streamed,
         adaptive_neg_tries,
     )
-    from gorse_tpu.ops.bpr_kernel import fits_epoch_resident, pack_items
+    from gorse_tpu.ops.bpr_kernel import (
+        fits_epoch_resident,
+        fits_epoch_streamed,
+        pack_items,
+    )
 
-    # ml-1m-shaped synthetic dataset
-    data = synthetic_cf(n_users=6040, n_items=3706, rank=16, density=0.045, seed=0)
     train, _ = data.split_cf(seed=0)
     nnz = train.count_feedback()
-
-    model = BPR(Params(n_factors=16))
+    model = BPR(Params(n_factors=k))
     model.init(train)
-    csr = train.padded_user_positives()
+    # same history-width heuristic as BPR.fit (models/bpr.py:284-300)
+    lengths = [len(fb) for fb in train.user_feedback if fb]
+    widest = max(lengths) if lengths else 1
+    if train.count_users() * widest * 4 <= 96 * 1024 * 1024:
+        cap = max(widest, 1)
+    else:
+        cap = max(int(np.percentile(lengths, 99)), 64)
+    csr = train.padded_user_positives(max_len=cap)
     padded_pos = jnp.asarray(csr.padded)
     pos_counts = jnp.asarray(csr.counts)
     n_active = max(int(np.sum(csr.counts > 0)), 1)
-
     n_steps = max(round(nnz / n_active), 1)
     n_items = train.count_items()
-    # same density-adaptive rejection depth as BPR.fit (models/bpr.py)
     n_tries = adaptive_neg_tries(float(np.mean(csr.counts)) / max(n_items, 1))
     kwargs = dict(n_steps=n_steps, n_items=n_items, lr=0.05, reg=0.01, n_tries=n_tries)
 
-    use_fused = jax.default_backend() == "tpu"
     p, q = model.user_factors, model.item_factors
-    if use_fused:
+    if fused:
         q = pack_items(q)
-        resident = fits_epoch_resident(
-            train.count_users(), csr.padded.shape[1], q.shape[0], 16
-        )
-        epoch_fn = _bpr_epoch_resident if resident else _bpr_epoch_fused
+        rows, max_len = q.shape[0], csr.padded.shape[1]
+        if fits_epoch_resident(train.count_users(), max_len, rows, k):
+            epoch_fn = _bpr_epoch_resident
+        elif fits_epoch_streamed(rows, max_len, k):
+            epoch_fn = _bpr_epoch_streamed
+        else:
+            epoch_fn = _bpr_epoch_fused
     else:
         epoch_fn = _bpr_epoch
-    key = jax.random.PRNGKey(0)
-    # warmup + compile
-    key, k0 = jax.random.split(key)
-    p, q, cost = epoch_fn(p, q, padded_pos, pos_counts, k0, **kwargs)
-    _ = float(cost)
+    state = {"p": p, "q": q, "key": jax.random.PRNGKey(0)}
 
-    # Epochs chain on-device via the (p, q) data dependency; the final
-    # float() forces one host transfer so the tunnel's async dispatch can't
-    # fake completion (block_until_ready alone returns early through axon).
-    # The MARGINAL rate between two epoch counts (min over repetitions)
-    # cancels the tunnel's fixed dispatch+readback cost and its slow bursts.
-    def timed(n_epochs: int) -> float:
-        nonlocal key, p, q
+    def run(n_epochs: int) -> float:
         t0 = time.perf_counter()
         for _ in range(n_epochs):
-            key, ke = jax.random.split(key)
-            p, q, cost = epoch_fn(p, q, padded_pos, pos_counts, ke, **kwargs)
-        _ = float(cost)
+            state["key"], ke = jax.random.split(state["key"])
+            state["p"], state["q"], cost = epoch_fn(
+                state["p"], state["q"], padded_pos, pos_counts, ke, **kwargs
+            )
+        _ = float(cost)  # force host readback (see marginal_seconds)
         return time.perf_counter() - t0
 
-    lo_epochs, hi_epochs = 5, 25
-    timed(lo_epochs), timed(hi_epochs)  # warm both trace paths
-    d_lo = min(timed(lo_epochs) for _ in range(3))
-    d_hi = min(timed(hi_epochs) for _ in range(3))
-    if d_hi <= d_lo:  # timing noise inverted the marginal — fall back to the
-        # conservative total rate of the longer run instead of emitting garbage
-        examples_per_s = hi_epochs * n_steps * n_active / d_hi
-    else:
-        examples_per_s = (hi_epochs - lo_epochs) * n_steps * n_active / (d_hi - d_lo)
+    return (hi - lo) * n_steps * n_active / marginal_seconds(run, lo, hi)
+
+
+def bench_topk(n_items: int, batch=256, d=64, k_top=10, lo=4, hi=20) -> dict:
+    """Exact top-k retrieval queries/s: seeded Pallas kernel vs XLA."""
+    import jax
+    import jax.numpy as jnp
+
+    from gorse_tpu.ops.topk import dot_topk, dot_topk_xla, prepare_items
+
+    key = jax.random.PRNGKey(1)
+    items = jax.random.normal(key, (n_items, d), jnp.float32)
+    queries = jax.random.normal(jax.random.PRNGKey(2), (batch, d), jnp.float32)
+    prepared = prepare_items(items, jnp.bfloat16)
+
+    def run_pallas(n: int) -> float:
+        t0 = time.perf_counter()
+        for i in range(n):
+            s, _ = dot_topk(queries + 1e-6 * i, prepared, k_top)
+        _ = float(s[0, 0])
+        return time.perf_counter() - t0
+
+    def run_xla(n: int) -> float:
+        t0 = time.perf_counter()
+        for i in range(n):
+            s, _ = dot_topk_xla(queries + 1e-6 * i, items, k_top)
+        _ = float(s[0, 0])
+        return time.perf_counter() - t0
+
+    out = {}
+    for name, run in (("pallas_seeded", run_pallas), ("xla", run_xla)):
+        sec = marginal_seconds(run, lo, hi)
+        out[name] = round((hi - lo) * batch / sec)
+    return out
+
+
+def bench_als(data, k=16, lo=2, hi=8) -> float:
+    """eALS epoch seconds (one user-side + one item-side weighted solve)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gorse_tpu.models.als import _als_solve_side, _pad_rows
+
+    train, _ = data.split_cf(seed=0)
+    n_users, n_items = train.count_users(), train.count_items()
+    block = 256
+    user_fb = jnp.asarray(_pad_rows(train.padded_user_positives().padded, block, -1))
+    item_fb = jnp.asarray(_pad_rows(train.padded_item_positives().padded, block, -1))
+    rng = np.random.default_rng(0)
+    state = {
+        "p": jnp.asarray(rng.normal(0, 0.1, (n_users, k)).astype(np.float32)),
+        "q": jnp.asarray(rng.normal(0, 0.1, (n_items, k)).astype(np.float32)),
+    }
+
+    def run(n_epochs: int) -> float:
+        t0 = time.perf_counter()
+        for _ in range(n_epochs):
+            state["p"] = _als_solve_side(
+                state["q"], user_fb, block=block, alpha=0.001, reg=0.06
+            )[:n_users]
+            state["q"] = _als_solve_side(
+                state["p"], item_fb, block=block, alpha=0.001, reg=0.06
+            )[:n_items]
+        _ = float(state["q"][0, 0])
+        return time.perf_counter() - t0
+
+    return marginal_seconds(run, lo, hi) / (hi - lo)
+
+
+def bench_afm(n_samples=131072, batch=1024, k=8, lo=2, hi=6) -> float:
+    """AFM CTR training examples/s (the fm_xla.go scan-epoch analog)."""
+    from gorse_tpu.data.ctr import synthetic_ctr
+    from gorse_tpu.models.fm import AFM, _afm_train_epoch
+    from gorse_tpu.models.params import Params
+    import optax
+
+    train = synthetic_ctr(
+        n_users=2000, n_items=2000, n_samples=n_samples, seed=0
+    )
+    model = AFM(Params({"n_factors": k, "batch_size": batch}))
+    model.index = train.index
+    model.embedding_dims = list(train.embedding_dims)
+    model.num_dimension = train.max_dimension()
+    params = model._init_params(train.num_features(), model.embedding_dims, 0)
+    batched = model._batch(train.padded(model.num_dimension), batch)
+    tx = model._make_optimizer()
+    state = {"params": params, "opt": tx.init(params)}
+
+    def run(n_epochs: int) -> float:
+        t0 = time.perf_counter()
+        for _ in range(n_epochs):
+            state["params"], state["opt"], loss = _afm_train_epoch(
+                state["params"], state["opt"], *batched, tx
+            )
+        _ = float(loss)
+        return time.perf_counter() - t0
+
+    n_eff = batched[0].shape[0] * batch  # padded examples actually processed
+    return (hi - lo) * n_eff / marginal_seconds(run, lo, hi)
+
+
+def _progress(msg: str, t0: float) -> None:
+    print(f"# [{time.perf_counter() - t0:6.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    from gorse_tpu.data import synthetic_cf
+    from gorse_tpu.data.loaders import synthetic_cf_access
+
+    t0 = time.perf_counter()
+    # soft deadline for the OPTIONAL stages: the headline always runs; each
+    # extra stage is skipped once the deadline passes and recorded as such,
+    # so a slow tunnel / cold compile cache degrades coverage, not the run
+    deadline = float(os.environ.get("GORSE_BENCH_DEADLINE_S", "420"))
+    baseline = measure_native_baseline()
+    dispatch = baseline["dispatch_total"]
+    hogwild16 = baseline["hogwild_per_core"] * HYPOTHETICAL_CORES * HOGWILD_SCALING
+    _progress(f"native baseline: {baseline}", t0)
+
+    extra: dict = {"baseline": baseline}
+
+    # --- headline: BPR fused path, ml-1m shape (resident kernel) ---
+    ml1m = synthetic_cf(n_users=6040, n_items=3706, rank=16, density=0.045, seed=0)
+    headline = bench_bpr(ml1m, k=16, fused=True)
+    _progress(f"bpr ml1m fused: {headline:,.0f} ex/s", t0)
+
+    def stage(key: str, fn) -> None:
+        if time.perf_counter() - t0 > deadline:
+            extra[key] = "skipped: deadline"
+            _progress(f"{key}: skipped (deadline)", t0)
+            return
+        try:
+            extra[key] = fn()
+            _progress(f"{key}: {extra[key]}", t0)
+        except Exception as e:  # record, keep benching
+            extra[key] = f"error: {type(e).__name__}: {e}"[:200]
+            _progress(f"{key}: FAILED {e}", t0)
+
+    stage(
+        "bpr_ml1m_xla_scatter_examples_per_s",
+        lambda: round(bench_bpr(ml1m, k=16, fused=False, lo=2, hi=6)),
+    )
+    # --- large-catalog streamed kernel: ml-20m shape and 100k x 50k ---
+    # access-statistics generators (synthetic_cf_access): throughput depends
+    # on history widths + popularity collisions, not learnability
+    stage(
+        "bpr_ml20m_shape_k64_examples_per_s",
+        lambda: round(bench_bpr(
+            synthetic_cf_access(138_000, 27_000, nnz=2_000_000, seed=1),
+            k=64, fused=True, lo=2, hi=6,
+        )),
+    )
+    stage(
+        "bpr_100kx50k_k16_examples_per_s",
+        lambda: round(bench_bpr(
+            synthetic_cf_access(100_000, 50_000, nnz=1_500_000, seed=2),
+            k=16, fused=True, lo=2, hi=6,
+        )),
+    )
+    # --- top-k retrieval (serving path, logics/cf.go:70-79 analog) ---
+    stage("topk_qps_100k_items", lambda: bench_topk(100_000))
+    stage("topk_qps_1m_items", lambda: bench_topk(1_000_000, lo=2, hi=8))
+    # --- eALS + AFM ---
+    stage("eals_ml1m_epoch_s", lambda: round(bench_als(ml1m), 4))
+    stage("afm_train_examples_per_s", lambda: round(bench_afm()))
+
+    extra["vs_baseline_range"] = [
+        round(headline / hogwild16, 2),
+        round(headline / dispatch, 2),
+    ]
     print(json.dumps({
         "metric": "bpr_train_examples_per_s",
-        "value": round(examples_per_s),
+        "value": round(headline),
         "unit": "examples/s/chip",
-        "vs_baseline": round(examples_per_s / GO_TRAINER_EXAMPLES_PER_S, 2),
+        "vs_baseline": round(headline / dispatch, 2),
+        "extra": extra,
     }))
 
 
