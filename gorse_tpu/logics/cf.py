@@ -13,6 +13,7 @@ from __future__ import annotations
 import json
 from pathlib import Path
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -32,14 +33,34 @@ class MatrixFactorizationIndex:
         item_index: FreqDict,
         item_categories: list[list[str]] | None = None,
         timestamp: float = 0.0,
+        user_predictable: np.ndarray | None = None,
+        item_predictable: np.ndarray | None = None,
     ) -> None:
         self.user_factors = jnp.asarray(user_factors)
         self.item_factors = jnp.asarray(item_factors)
+        n_items = item_factors.shape[0]
+        # Predictability: entities without training feedback keep random-init
+        # embeddings; the reference excludes them from the serving index
+        # entirely (master/tasks.go:1014-1027). The kernel table is COMPACTED
+        # to predictable rows so untrained noise can never crowd the top-k;
+        # _serving_rows maps kernel row -> original item index.
+        self.user_predictable = (
+            np.ones(user_factors.shape[0], bool)
+            if user_predictable is None else np.asarray(user_predictable, bool)
+        )
+        self.item_predictable = (
+            np.ones(n_items, bool)
+            if item_predictable is None else np.asarray(item_predictable, bool)
+        )
+        self._serving_rows = np.flatnonzero(self.item_predictable).astype(np.int32)
+        self._inv_rows = np.full(max(n_items, 1), -1, np.int32)
+        self._inv_rows[self._serving_rows] = np.arange(len(self._serving_rows), dtype=np.int32)
+        self._serving_factors = self.item_factors[jnp.asarray(self._serving_rows)]
         # transposed table built once so serving calls skip the relayout
-        self._prepared_items = prepare_items(self.item_factors)
+        self._prepared_items = prepare_items(self._serving_factors)
         self.user_index = user_index
         self.item_index = item_index
-        self.item_categories = item_categories or [[] for _ in range(item_factors.shape[0])]
+        self.item_categories = item_categories or [[] for _ in range(n_items)]
         self.timestamp = timestamp
 
     @classmethod
@@ -51,23 +72,41 @@ class MatrixFactorizationIndex:
             model.item_index,
             item_categories,
             timestamp,
+            user_predictable=getattr(model, "user_predictable", None),
+            item_predictable=getattr(model, "item_predictable", None),
         )
+
+    def serving_items(self) -> tuple[list[str], np.ndarray]:
+        """(item ids, factors) for predictable items only — the rows the
+        reference uploads to the vector store (master/tasks.go:1012-1021)."""
+        ids = [self.item_index.to_name(int(i)) for i in self._serving_rows]
+        return ids, np.asarray(self._serving_factors)
 
     def search_users(
         self,
         user_ids: list[str],
         n: int,
         exclude: list[list[str]] | None = None,
-        use_pallas: bool = True,
+        use_pallas: bool | None = None,
         interpret: bool = False,
     ) -> list[list[Score]]:
         """Batched top-n recommendation for many users at once
         (reference: MatrixFactorizationItems.Search logics/cf.go:70-79,
-        one user per call there; one device batch here)."""
+        one user per call there; one device batch here).
+
+        ``use_pallas=None`` (default) picks the fused Pallas kernel on TPU
+        and the XLA path elsewhere (the kernel only runs compiled on TPU;
+        interpret mode is for tests)."""
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
         rows, valid = [], []
         for uid in user_ids:
             idx = self.user_index.to_number(uid)
-            valid.append(idx >= 0)
+            # untrained users (no feedback at fit time) get NO collaborative
+            # recommendations — their factors are random init; the chain
+            # falls back (reference: unpredictable users are absent from
+            # MatrixFactorizationUsers, master/tasks.go:1023-1027)
+            valid.append(idx >= 0 and bool(self.user_predictable[idx]))
             rows.append(max(idx, 0))
         queries = self.user_factors[jnp.asarray(rows, dtype=jnp.int32)]
         ex_arr = None
@@ -77,12 +116,18 @@ class MatrixFactorizationIndex:
                 ex = np.full((len(user_ids), width), -1, dtype=np.int32)
                 for i, ids in enumerate(exclude):
                     for j, iid in enumerate(ids):
-                        ex[i, j] = self.item_index.to_number(iid)
+                        orig = self.item_index.to_number(iid)
+                        # remap into the compacted serving table; ids outside
+                        # it (unpredictable/unknown) are never returned anyway
+                        ex[i, j] = self._inv_rows[orig] if orig >= 0 else -1
                 ex_arr = jnp.asarray(ex)
-        n_eff = min(n, self.item_factors.shape[0])
+        n_serving = len(self._serving_rows)
+        if n_serving == 0:
+            return [[] for _ in user_ids]
+        n_eff = min(n, n_serving)
         scores, idxs = topk_excluding(
             queries,
-            self._prepared_items if use_pallas else self.item_factors,
+            self._prepared_items if use_pallas else self._serving_factors,
             n_eff, ex_arr,
             use_pallas=use_pallas, interpret=interpret,
         )
@@ -97,11 +142,12 @@ class MatrixFactorizationIndex:
             for s, j in zip(scores[i], idxs[i]):
                 if s <= -1e29:
                     continue
+                orig = int(self._serving_rows[int(j)])
                 row.append(
                     Score(
-                        id=self.item_index.to_name(int(j)),
+                        id=self.item_index.to_name(orig),
                         score=float(s),
-                        categories=self.item_categories[int(j)],
+                        categories=self.item_categories[orig],
                         timestamp=self.timestamp,
                     )
                 )
@@ -114,16 +160,19 @@ class MatrixFactorizationIndex:
         user; extension API, the reference's MatrixFactorizationUsers is a
         plain embedding lookup)."""
         idx = self.user_index.to_number(user_id)
-        if idx < 0:
+        if idx < 0 or not self.user_predictable[idx]:
             return []
         norms = jnp.linalg.norm(self.user_factors, axis=1, keepdims=True)
         unit = self.user_factors / jnp.maximum(norms, 1e-12)
+        # untrained users are noise in factor space: zero them out so they
+        # can never appear as neighbors
+        unit = unit * jnp.asarray(self.user_predictable, jnp.float32)[:, None]
         q = unit[jnp.asarray([idx])]
         n_eff = min(n + 1, self.user_factors.shape[0])
         scores, idxs = topk_excluding(q, unit, n_eff, use_pallas=False)
         out = []
         for s, j in zip(np.asarray(scores)[0], np.asarray(idxs)[0]):
-            if int(j) == idx:
+            if int(j) == idx or not self.user_predictable[int(j)]:
                 continue
             out.append(Score(id=self.user_index.to_name(int(j)), score=float(s)))
         return out[:n]
@@ -137,6 +186,8 @@ class MatrixFactorizationIndex:
             path / "index.npz",
             user_factors=np.asarray(self.user_factors),
             item_factors=np.asarray(self.item_factors),
+            user_predictable=self.user_predictable,
+            item_predictable=self.item_predictable,
         )
         (path / "index_meta.json").write_text(
             json.dumps(
@@ -161,4 +212,6 @@ class MatrixFactorizationIndex:
             FreqDict.from_dict(meta["item_index"]),
             meta["item_categories"],
             meta["timestamp"],
+            user_predictable=arrays.get("user_predictable"),
+            item_predictable=arrays.get("item_predictable"),
         )

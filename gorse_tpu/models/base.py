@@ -50,6 +50,13 @@ class MatrixFactorization:
         # string dictionaries captured at fit time for serving lookups
         self.user_index = None
         self.item_index = None
+        # predictability bitsets: users/items with NO training feedback keep
+        # their random-init embeddings and must never be served (reference:
+        # BaseMatrixFactorization.UserPredictable/ItemPredictable,
+        # model/cf/model.go:118-156; consumed when building the serving
+        # index, master/tasks.go:1014-1027)
+        self.user_predictable: np.ndarray | None = None  # [U] bool
+        self.item_predictable: np.ndarray | None = None  # [I] bool
 
     def init(self, train: Dataset, seed: int = 0) -> None:
         """Gaussian factor init + dictionary capture (shared by BPR/ALS;
@@ -66,6 +73,12 @@ class MatrixFactorization:
         ).astype(jnp.float32)
         self.user_index = train.user_dict
         self.item_index = train.item_dict
+        self.user_predictable = np.fromiter(
+            (len(fb) > 0 for fb in train.user_feedback), bool, train.count_users()
+        )
+        self.item_predictable = np.fromiter(
+            (len(fb) > 0 for fb in train.item_feedback), bool, train.count_items()
+        )
 
     # ------------------------------------------------------------ prediction
 
@@ -84,11 +97,14 @@ class MatrixFactorization:
         """Persist factors + params (reference: model/cf/model.go Marshal)."""
         path = Path(path)
         path.mkdir(parents=True, exist_ok=True)
-        np.savez(
-            path / "factors.npz",
-            user_factors=np.asarray(self.user_factors),
-            item_factors=np.asarray(self.item_factors),
-        )
+        arrays = {
+            "user_factors": np.asarray(self.user_factors),
+            "item_factors": np.asarray(self.item_factors),
+        }
+        if self.user_predictable is not None:
+            arrays["user_predictable"] = self.user_predictable
+            arrays["item_predictable"] = self.item_predictable
+        np.savez(path / "factors.npz", **arrays)
         meta = {"name": self.name, "params": dict(self.params)}
         if self.user_index is not None:
             meta["user_index"] = self.user_index.to_dict()
@@ -105,6 +121,9 @@ class MatrixFactorization:
         arrays = np.load(path / "factors.npz")
         model.user_factors = jnp.asarray(arrays["user_factors"])
         model.item_factors = jnp.asarray(arrays["item_factors"])
+        if "user_predictable" in arrays:
+            model.user_predictable = arrays["user_predictable"]
+            model.item_predictable = arrays["item_predictable"]
         if "user_index" in meta:
             from ..data.dict import FreqDict
 

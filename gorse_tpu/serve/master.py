@@ -624,8 +624,10 @@ class Master:
                     "cf_vector_config",
                     json.dumps({"quantization": want_q, "bits": want_bits}),
                 )
-        ids = [self.cf_index.item_index.to_name(i) for i in range(factors.shape[0])]
-        self.vectors.add(self.CF_COLLECTION, ids, factors)
+        # predictable items only, like the reference's index build
+        # (master/tasks.go:1012-1021)
+        ids, serving = self.cf_index.serving_items()
+        self.vectors.add(self.CF_COLLECTION, ids, serving)
 
     def train_click_through_rate(self, data: LoadedData) -> None:
         """Reference: trainClickThroughRatePrediction master/tasks.go:1111-1219."""

@@ -185,8 +185,9 @@ class Worker:
                 exclude = [
                     [fb.item_id for fb in self.data.get_user_feedback(u)] for u in todo
                 ]
+                # backend-aware: fused Pallas top-k on TPU, XLA elsewhere
                 cf_results = self.cf_index.search_users(
-                    todo, cfg.cache_size, exclude=exclude, use_pallas=False
+                    todo, cfg.cache_size, exclude=exclude
                 )
                 run_ts = time.time()
                 for user_id, scores in zip(todo, cf_results):

@@ -86,24 +86,40 @@ def test_mf_index_search(tmp_path):
     model = BPR(Params(n_factors=8, n_epochs=10))
     model.fit(train, test, FitConfig(verbose=10, candidates=20, batch_size=128))
     index = MatrixFactorizationIndex.from_model(model)
-    results = index.search_users(["u0", "u1", "missing"], n=5, use_pallas=False)
-    assert len(results) == 3
-    assert len(results[0]) == 5 and results[2] == []
+    # a user whose ONLY rating went to the test split has no trained
+    # embedding: the index must return nothing for them (predictability,
+    # reference master/tasks.go:1023-1027), and their items must never
+    # appear in anyone's results
+    uid_pred = f"u{int(np.flatnonzero(index.user_predictable)[0])}"
+    unpred = np.flatnonzero(~index.user_predictable)
+    uid_unpred = f"u{int(unpred[0])}" if len(unpred) else None
+    results = index.search_users([uid_pred, "missing"], n=5, use_pallas=False)
+    assert len(results) == 2
+    assert len(results[0]) == 5 and results[1] == []
+    if uid_unpred is not None:
+        assert index.search_users([uid_unpred], n=5, use_pallas=False) == [[]]
+    unpred_items = {
+        f"i{int(j)}" for j in np.flatnonzero(~index.item_predictable)
+    }
+    assert not ({x.id for x in results[0]} & unpred_items)
     # scores descending
     s = [x.score for x in results[0]]
     assert s == sorted(s, reverse=True)
     # exclusion works
     banned = [x.id for x in results[0][:2]]
-    results2 = index.search_users(["u0"], n=5, exclude=[banned], use_pallas=False)
+    results2 = index.search_users([uid_pred], n=5, exclude=[banned], use_pallas=False)
     assert not (set(x.id for x in results2[0]) & set(banned))
-    # round trip
+    # round trip (including predictability masks)
     index.save(tmp_path / "idx")
     loaded = MatrixFactorizationIndex.load(tmp_path / "idx")
-    r3 = loaded.search_users(["u0"], n=5, use_pallas=False)
+    r3 = loaded.search_users([uid_pred], n=5, use_pallas=False)
     assert [x.id for x in r3[0]] == [x.id for x in results[0]]
-    # similar users returns neighbors excluding self
-    sim = index.similar_users("u0", 3)
-    assert len(sim) == 3 and all(s.id != "u0" for s in sim)
+    np.testing.assert_array_equal(loaded.item_predictable, index.item_predictable)
+    # similar users returns neighbors excluding self and untrained users
+    sim = index.similar_users(uid_pred, 3)
+    assert len(sim) == 3 and all(s.id != uid_pred for s in sim)
+    unpred_users = {f"u{int(j)}" for j in unpred}
+    assert not ({s.id for s in sim} & unpred_users)
 
 
 @pytest.fixture
