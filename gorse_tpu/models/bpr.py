@@ -360,22 +360,30 @@ class BPR(MatrixFactorization):
             from ..parallel.sharded import (
                 make_sharded_bpr_epoch,
                 make_sharded_bpr_epoch_fused,
+                make_sharded_bpr_epoch_streamed,
                 shard_bpr_inputs,
             )
 
             use_resident = False
-            use_streamed = False
             p, q_repl, padded_pos, pos_counts, uids, _ = shard_bpr_inputs(
                 mesh, p, q, csr.padded, csr.counts
             )
-            if use_fused:
+            if use_fused or use_streamed:
                 from jax.sharding import PartitionSpec as P
 
                 from ..parallel.sharded import place_global
 
-                epoch_sharded = make_sharded_bpr_epoch_fused(
-                    mesh, n_steps=n_steps, n_items=n_items, lr=self.lr, reg=self.reg,
-                )
+                if use_fused:
+                    epoch_sharded = make_sharded_bpr_epoch_fused(
+                        mesh, n_steps=n_steps, n_items=n_items, lr=self.lr, reg=self.reg,
+                    )
+                else:
+                    # large catalog + mesh: streamed kernel per device, one
+                    # packed-delta psum per step (BASELINE configs[2])
+                    epoch_sharded = make_sharded_bpr_epoch_streamed(
+                        mesh, n_steps=n_steps, n_items=n_items, lr=self.lr,
+                        reg=self.reg, n_tries=n_tries,
+                    )
                 # multihost-safe replicated placement (device_put rejects
                 # non-addressable devices under jax.distributed)
                 q = place_global(mesh, pack_items(q), P())
