@@ -508,3 +508,39 @@ def test_stats_reference_fields(node):
     assert stats["MatchingModelFitTime"] > 0
     assert "NDCG" in stats["MatchingModelScore"]
     assert stats["NumServers"] == 0 and stats["NumWorkers"] == 0
+
+
+def test_dashboard_ui_routes_exist(node):
+    """Route-drift guard: every /api path the SPA's JavaScript references
+    must resolve to a registered route (UI and API live in different files;
+    a rename on either side should fail here, not at click time)."""
+    import re
+    from pathlib import Path
+
+    html = (
+        Path(__file__).parent.parent / "gorse_tpu" / "serve" / "dashboard.html"
+    ).read_text()
+    # literal path prefixes up to the first template interpolation / query
+    refs = set()
+    for m in re.finditer(r'["`](/api/[a-zA-Z0-9/_.-]*)', html):
+        refs.add(m.group(1).rstrip("/"))
+    assert len(refs) > 15, refs  # the SPA genuinely binds the API surface
+    rest = node[0].rest
+    templates = [p for _, p, _ in rest._route_templates]
+
+    def resolves(ref: str) -> bool:
+        for t in templates:
+            # prefix match with {param} segments wildcarded
+            t_parts = t.strip("/").split("/")
+            r_parts = ref.strip("/").split("/")
+            if len(r_parts) > len(t_parts):
+                continue
+            if all(
+                tp.startswith("{") or tp == rp
+                for tp, rp in zip(t_parts, r_parts)
+            ):
+                return True
+        return False
+
+    missing = sorted(r for r in refs if not resolves(r))
+    assert not missing, f"SPA references unregistered API paths: {missing}"
