@@ -270,6 +270,34 @@ def _progress(msg: str, t0: float) -> None:
     print(f"# [{time.perf_counter() - t0:6.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
+# Shared result the watchdog can emit if a device op wedges the process
+# (the TPU tunnel can stall indefinitely; a bench that prints a degraded
+# line beats one that prints nothing).
+_RESULT: dict = {
+    "metric": "bpr_train_examples_per_s",
+    "value": 0,
+    "unit": "examples/s/chip",
+    "vs_baseline": 0.0,
+    "extra": {},
+}
+
+
+def _arm_watchdog(hard_deadline_s: float) -> None:
+    import os
+    import threading
+
+    def fire():
+        _RESULT["extra"].setdefault(
+            "watchdog", f"hard deadline {hard_deadline_s}s hit; partial results"
+        )
+        print(json.dumps(_RESULT), flush=True)
+        os._exit(0)
+
+    t = threading.Timer(hard_deadline_s, fire)
+    t.daemon = True
+    t.start()
+
+
 def main() -> None:
     from gorse_tpu.data import synthetic_cf
     from gorse_tpu.data.loaders import synthetic_cf_access
@@ -277,18 +305,24 @@ def main() -> None:
     t0 = time.perf_counter()
     # soft deadline for the OPTIONAL stages: the headline always runs; each
     # extra stage is skipped once the deadline passes and recorded as such,
-    # so a slow tunnel / cold compile cache degrades coverage, not the run
+    # so a slow tunnel / cold compile cache degrades coverage, not the run.
+    # The hard watchdog (soft + 120s) emits partial results and exits if a
+    # device op wedges outright.
     deadline = float(os.environ.get("GORSE_BENCH_DEADLINE_S", "420"))
+    _arm_watchdog(deadline + 120.0)
     baseline = measure_native_baseline()
     dispatch = baseline["dispatch_total"]
     hogwild16 = baseline["hogwild_per_core"] * HYPOTHETICAL_CORES * HOGWILD_SCALING
     _progress(f"native baseline: {baseline}", t0)
 
-    extra: dict = {"baseline": baseline}
+    extra = _RESULT["extra"]
+    extra["baseline"] = baseline
 
     # --- headline: BPR fused path, ml-1m shape (resident kernel) ---
     ml1m = synthetic_cf(n_users=6040, n_items=3706, rank=16, density=0.045, seed=0)
     headline = bench_bpr(ml1m, k=16, fused=True)
+    _RESULT["value"] = round(headline)
+    _RESULT["vs_baseline"] = round(headline / dispatch, 2)
     _progress(f"bpr ml1m fused: {headline:,.0f} ex/s", t0)
 
     def stage(key: str, fn) -> None:
