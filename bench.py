@@ -114,6 +114,7 @@ def bench_bpr(data, k: int, fused: bool, lo=5, hi=25) -> float:
         _bpr_epoch_resident,
         _bpr_epoch_streamed,
         adaptive_neg_tries,
+        history_cap,
     )
     from gorse_tpu.ops.bpr_kernel import (
         fits_epoch_resident,
@@ -125,14 +126,8 @@ def bench_bpr(data, k: int, fused: bool, lo=5, hi=25) -> float:
     nnz = train.count_feedback()
     model = BPR(Params(n_factors=k))
     model.init(train)
-    # same history-width heuristic as BPR.fit (models/bpr.py:284-300)
-    lengths = [len(fb) for fb in train.user_feedback if fb]
-    widest = max(lengths) if lengths else 1
-    if train.count_users() * widest * 4 <= 96 * 1024 * 1024:
-        cap = max(widest, 1)
-    else:
-        cap = max(int(np.percentile(lengths, 99)), 64)
-    csr = train.padded_user_positives(max_len=cap)
+    cap, _ = history_cap(train)  # the trainer's own width policy
+    csr = train.padded_user_positives(max_len=cap, seed=0)
     padded_pos = jnp.asarray(csr.padded)
     pos_counts = jnp.asarray(csr.counts)
     n_active = max(int(np.sum(csr.counts > 0)), 1)

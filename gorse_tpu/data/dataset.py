@@ -338,14 +338,20 @@ class Dataset:
         n_items = self.count_items()
         out = np.zeros((self.count_users(), num_candidates), dtype=np.int32)
         if self.file_negatives is not None:
-            # the NCF test file fixes each user's candidate negatives (99 in
-            # the gorse zips); use them verbatim like the reference, padding
-            # by cycling when a row is shorter than requested
+            # The NCF test file fixes each user's candidate negatives (99 in
+            # the gorse zips); use them VERBATIM like the reference
+            # (dataset/dataset.go:246-257 returns the loaded lists no matter
+            # what numCandidates asks). Width = the widest row (capped at
+            # num_candidates); shorter rows pad with -1, which the evaluator
+            # masks out — never duplicate a negative, duplicates would be
+            # double-counted by the ranking metrics.
+            widths = [len(n) for n in self.file_negatives]
+            w = min(max(widths, default=0), num_candidates)
+            out = np.full((self.count_users(), max(w, 1)), -1, dtype=np.int32)
             for u in range(min(len(self.file_negatives), out.shape[0])):
-                negs = self.file_negatives[u]
+                negs = self.file_negatives[u][:w]
                 if negs:
-                    reps = -(-num_candidates // len(negs))
-                    out[u] = np.asarray((negs * reps)[:num_candidates], np.int32)
+                    out[u, : len(negs)] = np.asarray(negs, np.int32)
             self._negatives[num_candidates] = out
             return out
         for u in range(self.count_users()):

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.dict import FreqDict
-from ..ops.topk import prepare_items, topk_excluding
+from ..ops.topk import NEG_INF, prepare_items, topk_excluding
 from ..storage.types import Score
 
 
@@ -55,7 +55,12 @@ class MatrixFactorizationIndex:
         self._serving_rows = np.flatnonzero(self.item_predictable).astype(np.int32)
         self._inv_rows = np.full(max(n_items, 1), -1, np.int32)
         self._inv_rows[self._serving_rows] = np.arange(len(self._serving_rows), dtype=np.int32)
-        self._serving_factors = self.item_factors[jnp.asarray(self._serving_rows)]
+        if len(self._serving_rows) == n_items:
+            # common case (every item has feedback): alias, don't copy —
+            # a gathered duplicate of a large catalog doubles device memory
+            self._serving_factors = self.item_factors
+        else:
+            self._serving_factors = self.item_factors[jnp.asarray(self._serving_rows)]
         # transposed table built once so serving calls skip the relayout
         self._prepared_items = prepare_items(self._serving_factors)
         self.user_index = user_index
@@ -96,9 +101,38 @@ class MatrixFactorizationIndex:
 
         ``use_pallas=None`` (default) picks the fused Pallas kernel on TPU
         and the XLA path elsewhere (the kernel only runs compiled on TPU;
-        interpret mode is for tests)."""
+        interpret mode is for tests).
+
+        The batch is processed in chunks of ``_SEARCH_CHUNK`` users: the
+        Pallas kernel's VMEM buffers scale with both batch rows and the
+        top-(n + exclude-width) fetch, and a worker hands this method its
+        whole user shard at once — unchunked, a few thousand users (or one
+        user with a very wide history) would blow the VMEM budget the
+        kernel's block_n clamp cannot fix. Chunking also narrows each
+        chunk's exclusion width to its own widest history. Chunks whose
+        fetch width would still exceed ``_PALLAS_FETCH_MAX`` fall back to
+        the XLA path (HBM-materialized scores, any width)."""
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
+        n_serving = len(self._serving_rows)
+        if n_serving == 0:
+            return [[] for _ in user_ids]
+        n_eff = min(n, n_serving)
+        out: list[list[Score]] = []
+        for lo in range(0, len(user_ids), self._SEARCH_CHUNK):
+            chunk_ids = user_ids[lo : lo + self._SEARCH_CHUNK]
+            chunk_ex = exclude[lo : lo + self._SEARCH_CHUNK] if exclude else None
+            out.extend(
+                self._search_chunk(chunk_ids, n_eff, chunk_ex, use_pallas, interpret)
+            )
+        return out
+
+    _SEARCH_CHUNK = 256  # rows per kernel invocation (VMEM scales with rows)
+    _PALLAS_FETCH_MAX = 2048  # top-(n+E) beyond this: XLA path (k_pad VMEM)
+
+    def _search_chunk(
+        self, user_ids, n_eff, exclude, use_pallas, interpret
+    ) -> list[list[Score]]:
         rows, valid = [], []
         for uid in user_ids:
             idx = self.user_index.to_number(uid)
@@ -110,6 +144,7 @@ class MatrixFactorizationIndex:
             rows.append(max(idx, 0))
         queries = self.user_factors[jnp.asarray(rows, dtype=jnp.int32)]
         ex_arr = None
+        width = 0
         if exclude is not None:
             width = max((len(e) for e in exclude), default=0)
             if width:
@@ -121,10 +156,8 @@ class MatrixFactorizationIndex:
                         # it (unpredictable/unknown) are never returned anyway
                         ex[i, j] = self._inv_rows[orig] if orig >= 0 else -1
                 ex_arr = jnp.asarray(ex)
-        n_serving = len(self._serving_rows)
-        if n_serving == 0:
-            return [[] for _ in user_ids]
-        n_eff = min(n, n_serving)
+        if n_eff + width > self._PALLAS_FETCH_MAX:
+            use_pallas = False
         scores, idxs = topk_excluding(
             queries,
             self._prepared_items if use_pallas else self._serving_factors,
@@ -164,18 +197,21 @@ class MatrixFactorizationIndex:
             return []
         norms = jnp.linalg.norm(self.user_factors, axis=1, keepdims=True)
         unit = self.user_factors / jnp.maximum(norms, 1e-12)
-        # untrained users are noise in factor space: zero them out so they
-        # can never appear as neighbors
-        unit = unit * jnp.asarray(self.user_predictable, jnp.float32)[:, None]
-        q = unit[jnp.asarray([idx])]
-        n_eff = min(n + 1, self.user_factors.shape[0])
-        scores, idxs = topk_excluding(q, unit, n_eff, use_pallas=False)
+        # untrained users are noise in factor space: mask their SCORES to
+        # -inf (zeroing their rows would give them cosine 0, which outranks
+        # every negative-similarity real neighbor and silently truncates the
+        # result below n)
+        scores = unit @ unit[idx]
+        mask = jnp.asarray(self.user_predictable)
+        scores = jnp.where(mask, scores, NEG_INF).at[idx].set(NEG_INF)
+        n_eff = min(n, self.user_factors.shape[0] - 1)
+        top_s, top_i = jax.lax.top_k(scores, max(n_eff, 0))
         out = []
-        for s, j in zip(np.asarray(scores)[0], np.asarray(idxs)[0]):
-            if int(j) == idx or not self.user_predictable[int(j)]:
-                continue
+        for s, j in zip(np.asarray(top_s), np.asarray(top_i)):
+            if s <= NEG_INF / 2:
+                break
             out.append(Score(id=self.user_index.to_name(int(j)), score=float(s)))
-        return out[:n]
+        return out
 
     # ------------------------------------------------------------- serialize
 

@@ -143,9 +143,10 @@ def build_eval_candidates(
     (model/cf/evaluator.go:43-55).
     """
     negatives = test.sample_user_negatives(train, n_candidates, seed=seed)
+    n_cand = negatives.shape[1]  # may be < n_candidates with file negatives
     n_users = test.count_users()
     t_max = max((len(fb) for fb in test.user_feedback), default=1) or 1
-    m = t_max + n_candidates
+    m = t_max + n_cand
     candidates = np.zeros((n_users, m), dtype=np.int32)
     is_target = np.zeros((n_users, m), dtype=bool)
     valid = np.zeros((n_users, m), dtype=bool)
@@ -156,8 +157,9 @@ def build_eval_candidates(
             candidates[u, :t] = fb
             is_target[u, :t] = True
             valid[u, :t] = True
-            candidates[u, t_max:] = negatives[u]
-            valid[u, t_max:] = True
+            negs = negatives[u]
+            candidates[u, t_max:] = np.maximum(negs, 0)
+            valid[u, t_max:] = negs >= 0  # -1 pads (short file rows) masked
     return candidates, is_target, valid
 
 

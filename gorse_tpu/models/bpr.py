@@ -39,6 +39,18 @@ logger = logging.getLogger(__name__)
 _NEG_TRIES = 4  # default K-way rejection draws per negative sample
 
 
+def history_cap(train) -> tuple[int, int]:
+    """(cap, widest) history width for the padded-positives matrix: the FULL
+    widest history whenever the padded matrix stays <=96MB (no sampling bias
+    on any path), else the p99 width (min 64). Shared by BPR.fit and
+    bench.py so the benchmark always measures the trainer's actual policy."""
+    lengths = [len(fb) for fb in train.user_feedback if fb]
+    widest = max(lengths) if lengths else 1
+    if train.count_users() * widest * 4 <= 96 * 1024 * 1024:
+        return max(widest, 1), widest
+    return max(int(np.percentile(lengths, 99)), 64), widest
+
+
 def adaptive_neg_tries(mean_density: float, eps: float = 1e-4) -> int:
     """Rejection depth K so the chance every draw collides with a positive
     is ~eps (density**K <= eps). Sparse catalogs (ml-1m-like, d~0.05) get
@@ -290,13 +302,8 @@ class BPR(MatrixFactorization):
         # kernel paths reject against the capped rows only — the residual
         # bias is confined to the >p99 tail and quantified in
         # tests/test_oracle.py::test_capped_rejection_bias_is_small.
-        lengths = [len(fb) for fb in train.user_feedback if fb]
-        widest = max(lengths) if lengths else 1
+        cap, widest = history_cap(train)
         n_users_total = train.count_users()
-        if n_users_total * widest * 4 <= 96 * 1024 * 1024:
-            cap = max(widest, 1)
-        else:
-            cap = max(int(np.percentile(lengths, 99)) if lengths else 1, 64)
         csr = train.padded_user_positives(max_len=cap, seed=config.seed)
         padded_pos = jnp.asarray(csr.padded)
         pos_counts = jnp.asarray(csr.counts)

@@ -429,16 +429,35 @@ def _dot_topk_prepared(
     d_pad, n_pad = table.shape
     b_pad = _round_up(max(b, 8), 8)
     k_pad = _round_up(max(k_top, 128), 128)
-    # clamp block_n so scores + double-buffered item blocks + running top-k
-    # fit VMEM; large blocks amortize the per-grid-step overhead
     esize = jnp.dtype(table.dtype).itemsize
-    # VMEM: live scores + score scratch + running top-k + q, plus the
-    # double-buffered item blocks
-    while block_n > 256 and (
-        (2 * b_pad * block_n + 4 * b_pad * k_pad + b_pad * d_pad) * 4
-        + 2 * block_n * d_pad * esize
-    ) > 12 * 1024 * 1024:
-        block_n //= 2
+
+    def vmem_cost(blk: int, with_seed: bool) -> int:
+        # live scores + score scratch + running top-k + q, plus the
+        # double-buffered item blocks; the seeded path additionally holds
+        # the [b_pad, nb_pad] block-maxima table (acc scratch + output in
+        # pass 1, input block in pass 2) — and nb_pad GROWS as block_n
+        # shrinks, so this term must be inside the search, not bolted on
+        nb = _round_up(-(-n_pad // blk), 128) if with_seed else 0
+        return (
+            (2 * b_pad * blk + 4 * b_pad * k_pad + b_pad * d_pad) * 4
+            + 2 * blk * d_pad * esize
+            + 3 * b_pad * nb * 4
+        )
+
+    # pick the largest block_n that fits the budget (large blocks amortize
+    # per-grid-step overhead); if nothing fits with the maxima buffers,
+    # drop to the single-pass kernel rather than overflow VMEM
+    budget = 12 * 1024 * 1024
+    candidates_bn = [bn for bn in (block_n, 2048, 1024, 512, 256) if bn <= block_n]
+    fit = [bn for bn in candidates_bn if vmem_cost(bn, seeded) <= budget]
+    if fit:
+        block_n = fit[0]
+    elif seeded:
+        seeded = False
+        fit = [bn for bn in candidates_bn if vmem_cost(bn, False) <= budget]
+        block_n = fit[0] if fit else 256
+    else:
+        block_n = 256
     if n_pad % block_n:
         table = jnp.pad(table, ((0, 0), (0, _round_up(n_pad, block_n) - n_pad)))
         n_pad = table.shape[1]

@@ -126,6 +126,9 @@ class InOneNode:
         self.rest.shutdown()
         if self._loop_thread:
             self._loop_thread.join(timeout=5.0)
+        from ..utils.tracing import tracer
+
+        tracer().flush()  # export trailing spans (< batch_size) on stop
 
 
 def main() -> None:

@@ -878,3 +878,6 @@ class Master:
         self._trigger.set()
         if self._thread:
             self._thread.join(timeout=5.0)
+        from ..utils.tracing import tracer
+
+        tracer().flush()  # export trailing spans (< batch_size) on stop

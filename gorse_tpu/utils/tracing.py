@@ -201,6 +201,8 @@ class Tracer:
         self._export_failed = False
         self._lock = threading.Lock()
         self.finished: list[Span] = []
+        self._export_thread: threading.Thread | None = None
+        self._export_q = None
 
     @contextlib.contextmanager
     def span(self, name: str, traceparent: str | None = None, **attrs):
@@ -241,7 +243,34 @@ class Tracer:
                     if len(self._pending) >= self.batch_size:
                         flush_batch, self._pending = self._pending, []
             if flush_batch:
-                self._send(flush_batch)
+                # export OFF the request thread (the reference uses otel's
+                # background BatchSpanProcessor): a slow/down collector must
+                # never add its network timeout to a live request's latency
+                self._enqueue(flush_batch)
+
+    def _enqueue(self, batch: list[Span]) -> None:
+        with self._lock:
+            if self._export_thread is None or not self._export_thread.is_alive():
+                import queue
+
+                self._export_q = queue.Queue(maxsize=64)
+                t = threading.Thread(
+                    target=self._export_loop, name="trace-export", daemon=True
+                )
+                self._export_thread = t
+                t.start()
+        try:
+            self._export_q.put_nowait(batch)
+        except Exception:  # queue full: drop the batch, never block serving
+            pass
+
+    def _export_loop(self) -> None:
+        while True:
+            batch = self._export_q.get()
+            if batch is None:
+                return
+            self._send(batch)
+            self._export_q.task_done()
 
     def _send(self, batch: list[Span]) -> None:
         try:
@@ -253,9 +282,16 @@ class Tracer:
             self._export_failed = True
 
     def flush(self) -> None:
-        """Export any buffered spans now (e.g. at node shutdown)."""
+        """Export any buffered spans now (e.g. at node shutdown): drains the
+        background export queue, then sends the partial batch inline."""
         with self._lock:
             batch, self._pending = self._pending, []
+        q = self._export_q
+        if q is not None:
+            try:
+                q.join()
+            except Exception:
+                pass
         if batch and self.exporter is not None:
             self._send(batch)
 

@@ -99,9 +99,11 @@ def test_load_built_in_honors_file_negatives(mirror):
     # the file's fixed negatives, not random samples — order preserved
     assert negs[0].tolist() == [3, 4]
     assert negs[3].tolist() == [4, 3]
-    # oversampling pads by cycling rather than drawing train positives
+    # asking for more candidates than the file provides must NOT duplicate
+    # negatives (duplicates double-count in ranking metrics): the returned
+    # width collapses to the file's actual width
     negs5 = test.sample_user_negatives(train, 5)
-    assert set(negs5[0].tolist()) == {3, 4}
+    assert negs5.shape[1] == 2 and negs5[0].tolist() == [3, 4]
 
 
 def test_convert_movielens_formats(tmp_path):

@@ -115,7 +115,9 @@ def test_otlp_http_export_wire_format():
         with t.span("parent", kind="train") as parent:
             with t.span("child", step=3):
                 pass
-        # batch_size=2 -> exported on the second finished span
+        # batch_size=2 -> exported on the second finished span, on the
+        # background thread; flush() joins the export queue
+        t.flush()
         assert len(col.requests) == 1
         path, body = col.requests[0]
         assert path == "/v1/traces"
