@@ -218,3 +218,52 @@ def test_item_to_item_aggregation_rewards_corroboration(chain_env):
     by_id = {s.id: s.score for s in out}
     assert by_id["i3"] == pytest.approx(0.8) and by_id["i4"] == pytest.approx(0.5)
     assert [s.id for s in out][0] == "i3"
+
+
+def test_similar_users_returns_n_despite_unpredictable_rows():
+    """Regression: zeroed (instead of -inf-masked) untrained embeddings
+    scored cosine 0, outranked negative-similarity real neighbors, and
+    silently truncated the result below n."""
+    rng = np.random.default_rng(0)
+    k = 8
+    uf = rng.normal(size=(6, k)).astype(np.float32)
+    uf[1] = uf[0] * 0.9  # strong positive neighbor
+    uf[2] = -uf[0]       # strong NEGATIVE similarity neighbors
+    uf[3] = -uf[0] * 0.8
+    from gorse_tpu.data.dict import FreqDict
+    from gorse_tpu.logics.cf import MatrixFactorizationIndex
+
+    ud, it = FreqDict(), FreqDict()
+    for i in range(6):
+        ud.add(f"u{i}")
+    it.add("i0")
+    pred = np.array([True, True, True, True, False, False])
+    idx = MatrixFactorizationIndex(
+        uf, rng.normal(size=(1, k)).astype(np.float32), ud, it,
+        user_predictable=pred, item_predictable=np.array([True]),
+    )
+    sim = idx.similar_users("u0", 3)
+    # full n returned; positive neighbor first, then the negative-cosine
+    # pair (both normalize to exactly -1, tie order unspecified)
+    assert len(sim) == 3 and sim[0].id == "u1"
+    assert {s.id for s in sim} == {"u1", "u2", "u3"}
+    assert all(s.id not in ("u4", "u5") for s in sim)
+    # untrained query user -> no neighbors at all
+    assert idx.similar_users("u4", 3) == []
+
+
+def test_search_users_chunked_matches_unchunked():
+    """The 256-row serving chunks must be invisible in the results."""
+    data = synthetic_cf(n_users=300, n_items=80, density=0.2, seed=2)
+    train, test = data.split_cf(seed=0)
+    model = BPR(Params(n_factors=8, n_epochs=3))
+    model.fit(train, test, FitConfig(verbose=3, candidates=20, batch_size=256))
+    index = MatrixFactorizationIndex.from_model(model)
+    uids = [f"u{i}" for i in range(300)]
+    chunked = index.search_users(uids, n=5, use_pallas=False)
+    assert len(chunked) == 300
+    one_by_one = [
+        index.search_users([u], n=5, use_pallas=False)[0] for u in uids[:10]
+    ]
+    for a, b in zip(chunked[:10], one_by_one):
+        assert [x.id for x in a] == [x.id for x in b]
