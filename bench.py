@@ -100,9 +100,13 @@ def marginal_seconds(run, lo: int, hi: int, reps: int = 3) -> float:
     return d_hi - d_lo
 
 
-def bench_bpr(data, k: int, fused: bool, lo=5, hi=25) -> float:
-    """BPR training examples/s on the best kernel path for this shape
-    (fused=True: resident/fused/streamed Pallas; False: XLA scatter path)."""
+def bench_bpr(data, k: int, kernel: str = "auto", lo=5, hi=25) -> float:
+    """BPR training examples/s. ``kernel``: "auto" follows BPR.fit's policy
+    (resident/fused Pallas when the packed catalog fits VMEM, XLA scatter
+    otherwise), "xla" forces the scatter path, "streamed" forces the
+    opt-in block-sequential large-catalog kernel (tracked round-over-round
+    even though auto no longer selects it — it measured 3.7x slower than
+    XLA at ml-20m shape)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -137,16 +141,20 @@ def bench_bpr(data, k: int, fused: bool, lo=5, hi=25) -> float:
     kwargs = dict(n_steps=n_steps, n_items=n_items, lr=0.05, reg=0.01, n_tries=n_tries)
 
     p, q = model.user_factors, model.item_factors
-    if fused:
+    packed_rows = -(-n_items * k // 128)
+    if kernel == "auto" and packed_rows <= 1024:
         q = pack_items(q)
         rows, max_len = q.shape[0], csr.padded.shape[1]
-        if fits_epoch_resident(train.count_users(), max_len, rows, k):
-            epoch_fn = _bpr_epoch_resident
-        elif fits_epoch_streamed(rows, max_len, k):
-            epoch_fn = _bpr_epoch_streamed
-        else:
-            epoch_fn = _bpr_epoch_fused
-    else:
+        epoch_fn = (
+            _bpr_epoch_resident
+            if fits_epoch_resident(train.count_users(), max_len, rows, k)
+            else _bpr_epoch_fused
+        )
+    elif kernel == "streamed":
+        q = pack_items(q)
+        assert fits_epoch_streamed(q.shape[0], csr.padded.shape[1], k)
+        epoch_fn = _bpr_epoch_streamed
+    else:  # "xla", or "auto" beyond the fused cliff
         epoch_fn = _bpr_epoch
     state = {"p": p, "q": q, "key": jax.random.PRNGKey(0)}
 
@@ -315,7 +323,7 @@ def main() -> None:
 
     # --- headline: BPR fused path, ml-1m shape (resident kernel) ---
     ml1m = synthetic_cf(n_users=6040, n_items=3706, rank=16, density=0.045, seed=0)
-    headline = bench_bpr(ml1m, k=16, fused=True)
+    headline = bench_bpr(ml1m, k=16)
     _RESULT["value"] = round(headline)
     _RESULT["vs_baseline"] = round(headline / dispatch, 2)
     _progress(f"bpr ml1m fused: {headline:,.0f} ex/s", t0)
@@ -334,23 +342,27 @@ def main() -> None:
 
     stage(
         "bpr_ml1m_xla_scatter_examples_per_s",
-        lambda: round(bench_bpr(ml1m, k=16, fused=False, lo=2, hi=6)),
+        lambda: round(bench_bpr(ml1m, k=16, kernel="xla", lo=2, hi=6)),
     )
-    # --- large-catalog streamed kernel: ml-20m shape and 100k x 50k ---
-    # access-statistics generators (synthetic_cf_access): throughput depends
-    # on history widths + popularity collisions, not learnability
+    # --- large catalogs: ml-20m shape and 100k x 50k (auto = XLA scatter
+    # beyond the fused VMEM cliff; the opt-in streamed kernel is tracked
+    # separately). access-statistics generators (synthetic_cf_access):
+    # throughput depends on history widths + popularity collisions, not
+    # learnability.
+    ml20m = synthetic_cf_access(138_000, 27_000, nnz=2_000_000, seed=1)
     stage(
         "bpr_ml20m_shape_k64_examples_per_s",
-        lambda: round(bench_bpr(
-            synthetic_cf_access(138_000, 27_000, nnz=2_000_000, seed=1),
-            k=64, fused=True, lo=2, hi=6,
-        )),
+        lambda: round(bench_bpr(ml20m, k=64, lo=2, hi=6)),
+    )
+    stage(
+        "bpr_ml20m_shape_k64_streamed_examples_per_s",
+        lambda: round(bench_bpr(ml20m, k=64, kernel="streamed", lo=2, hi=6)),
     )
     stage(
         "bpr_100kx50k_k16_examples_per_s",
         lambda: round(bench_bpr(
             synthetic_cf_access(100_000, 50_000, nnz=1_500_000, seed=2),
-            k=16, fused=True, lo=2, hi=6,
+            k=16, lo=2, hi=6,
         )),
     )
     # --- top-k retrieval (serving path, logics/cf.go:70-79 analog) ---

@@ -322,12 +322,18 @@ class BPR(MatrixFactorization):
         history = [(0, metrics["NDCG"])]
         logger.info("fit bpr 0/%d NDCG@%d=%.4f", self.n_epochs, config.top_k, metrics["NDCG"])
 
-        # fused Pallas path on TPU when k divides the lane width and the
-        # catalog is small enough that the on-the-fly one-hot matmuls stay
-        # near-free (their FLOPs grow with items x users per step; measured
-        # crossover ~8k packed rows at k=16). User count doesn't matter —
-        # user blocks are grid-streamed. Larger catalogs use the XLA
-        # scatter path (25M+ examples/s at 100k x 50k).
+        # Kernel policy (all numbers measured on v5e, see bench.py):
+        # - fused/resident Pallas when the packed catalog fits VMEM (~8k
+        #   items at k=16): the one-hot gather/scatter matmuls are near-free
+        #   and the whole epoch runs on-chip (57M ex/s at ml-1m vs 38M XLA).
+        # - XLA scatter path beyond that: its gather/scatter cost scales
+        #   with ACTIVE users, not catalog size (41M ex/s at ml-20m k=64,
+        #   26M at 100k x 50k — vs 11M/19M for the streamed one-hot kernel,
+        #   whose matmuls do O(users x packed_rows) work per sweep).
+        # - the streamed kernel remains explicit opt-in
+        #   (Params(use_streamed_kernel=True)): block-sequential update
+        #   semantics (closest to the reference's sequential loop) at a
+        #   measured throughput cost.
         k = self.n_factors
         packed_rows = -(-train.count_items() * k // 128)
         vmem_bytes = (
@@ -348,8 +354,7 @@ class BPR(MatrixFactorization):
             use_resident = fits_epoch_resident(
                 train.count_users(), csr.padded.shape[1], packed_rows, k
             )
-        elif on_tpu_packable:
-            # larger catalogs: HBM-resident table + row-blocked one-hots
+        elif on_tpu_packable and self.params.get_bool("use_streamed_kernel", False):
             from ..ops.bpr_kernel import fits_epoch_streamed, pack_items, unpack_items
 
             use_streamed = fits_epoch_streamed(packed_rows, csr.padded.shape[1], k)
