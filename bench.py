@@ -142,7 +142,7 @@ def bench_bpr(data, k: int, kernel: str = "auto", lo=5, hi=25) -> float:
 
     p, q = model.user_factors, model.item_factors
     packed_rows = -(-n_items * k // 128)
-    if kernel == "auto" and packed_rows <= 1024:
+    if kernel == "auto" and packed_rows <= 768:
         q = pack_items(q)
         rows, max_len = q.shape[0], csr.padded.shape[1]
         epoch_fn = (

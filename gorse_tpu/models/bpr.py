@@ -341,9 +341,11 @@ class BPR(MatrixFactorization):
             + 3 * 512 * -(-csr.padded.shape[1] // 128) * 128 * 4  # pp block buffers
         )
         on_tpu_packable = jax.default_backend() == "tpu" and 128 % k == 0
+        # crossover measured at 50k users on v5e: fused wins at 500 packed
+        # rows (41.2M vs 38.2M XLA), loses at 1000 (36.4M vs 39.1M)
         use_fused = (
             on_tpu_packable
-            and packed_rows <= 1024
+            and packed_rows <= 768
             and vmem_bytes < 10 * 1024 * 1024
         )
         use_resident = False
