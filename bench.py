@@ -204,6 +204,32 @@ def bench_topk(n_items: int, batch=256, d=64, k_top=10, lo=4, hi=20) -> dict:
     return out
 
 
+def bench_topk_sq(n_items: int, batch=256, d=64, k_top=10, lo=4, hi=20) -> int:
+    """Scalar-quantized (uint8) top-k q/s — the vector-store sq serving mode
+    (ops/topk.sq_topk: dequantization folded into the MXU matmul)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gorse_tpu.ops.topk import sq_topk
+
+    items = jax.random.normal(jax.random.PRNGKey(1), (n_items, d), jnp.float32)
+    queries = jax.random.normal(jax.random.PRNGKey(2), (batch, d), jnp.float32)
+    minv = jnp.min(items, axis=1)
+    scale = (jnp.max(items, axis=1) - minv) / 255.0
+    codes = jnp.clip(
+        jnp.round((items - minv[:, None]) / scale[:, None]), 0, 255
+    ).astype(jnp.uint8)
+
+    def run(n: int) -> float:
+        t0 = time.perf_counter()
+        for i in range(n):
+            s, _ = sq_topk(queries + 1e-6 * i, codes, scale, minv, k_top)
+        _ = float(s[0, 0])
+        return time.perf_counter() - t0
+
+    return round((hi - lo) * batch / marginal_seconds(run, lo, hi))
+
+
 def bench_als(data, k=16, lo=2, hi=8) -> float:
     """eALS epoch seconds (one user-side + one item-side weighted solve)."""
     import jax.numpy as jnp
@@ -368,6 +394,7 @@ def main() -> None:
     # --- top-k retrieval (serving path, logics/cf.go:70-79 analog) ---
     stage("topk_qps_100k_items", lambda: bench_topk(100_000))
     stage("topk_qps_1m_items", lambda: bench_topk(1_000_000, lo=2, hi=8))
+    stage("topk_qps_1m_items_sq8", lambda: bench_topk_sq(1_000_000, lo=2, hi=8))
     # --- eALS + AFM ---
     stage("eals_ml1m_epoch_s", lambda: round(bench_als(ml1m), 4))
     stage("afm_train_examples_per_s", lambda: round(bench_afm()))
