@@ -61,8 +61,12 @@ class MatrixFactorizationIndex:
             self._serving_factors = self.item_factors
         else:
             self._serving_factors = self.item_factors[jnp.asarray(self._serving_rows)]
-        # transposed table built once so serving calls skip the relayout
-        self._prepared_items = prepare_items(self._serving_factors)
+        # transposed table built once so serving calls skip the relayout.
+        # bf16 like the reference's serving embeddings (common/bfloats):
+        # halves the HBM stream per query batch; scores accumulate in f32.
+        # (The XLA fallback path scores from the f32 table — orderings agree
+        # to bf16 rounding.)
+        self._prepared_items = prepare_items(self._serving_factors, jnp.bfloat16)
         self.user_index = user_index
         self.item_index = item_index
         self.item_categories = item_categories or [[] for _ in range(n_items)]
