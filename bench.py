@@ -92,7 +92,12 @@ def marginal_seconds(run, lo: int, hi: int, reps: int = 3) -> float:
     the conservative total time of the longer run if noise inverts the
     marginal.
     """
-    run(lo), run(hi)  # warm both trace paths
+    w = run(lo) + run(hi)  # warm both trace paths
+    if w > 30.0:
+        # tunnel running slow (stalled dispatch/readback bursts): one
+        # repetition each — a degraded-precision number beats burning the
+        # whole deadline on min-of-reps
+        reps = 1
     d_lo = min(run(lo) for _ in range(reps))
     d_hi = min(run(hi) for _ in range(reps))
     if d_hi <= d_lo:
@@ -337,8 +342,8 @@ def main() -> None:
     # so a slow tunnel / cold compile cache degrades coverage, not the run.
     # The hard watchdog (soft + 120s) emits partial results and exits if a
     # device op wedges outright.
-    deadline = float(os.environ.get("GORSE_BENCH_DEADLINE_S", "420"))
-    _arm_watchdog(deadline + 120.0)
+    deadline = float(os.environ.get("GORSE_BENCH_DEADLINE_S", "460"))
+    _arm_watchdog(deadline + 100.0)
     baseline = measure_native_baseline()
     dispatch = baseline["dispatch_total"]
     hogwild16 = baseline["hogwild_per_core"] * HYPOTHETICAL_CORES * HOGWILD_SCALING
@@ -366,6 +371,10 @@ def main() -> None:
             extra[key] = f"error: {type(e).__name__}: {e}"[:200]
             _progress(f"{key}: FAILED {e}", t0)
 
+    # cheap single-compile stages first: a slow tunnel burns the deadline on
+    # the headline's warmups, and these must not be the ones dropped
+    stage("eals_ml1m_epoch_s", lambda: round(bench_als(ml1m), 4))
+    stage("afm_train_examples_per_s", lambda: round(bench_afm()))
     stage(
         "bpr_ml1m_xla_scatter_examples_per_s",
         lambda: round(bench_bpr(ml1m, k=16, kernel="xla", lo=2, hi=6)),
@@ -395,9 +404,6 @@ def main() -> None:
     stage("topk_qps_100k_items", lambda: bench_topk(100_000))
     stage("topk_qps_1m_items", lambda: bench_topk(1_000_000, lo=2, hi=8))
     stage("topk_qps_1m_items_sq8", lambda: bench_topk_sq(1_000_000, lo=2, hi=8))
-    # --- eALS + AFM ---
-    stage("eals_ml1m_epoch_s", lambda: round(bench_als(ml1m), 4))
-    stage("afm_train_examples_per_s", lambda: round(bench_afm()))
 
     extra["vs_baseline_range"] = [
         round(headline / hogwild16, 2),
