@@ -10,27 +10,29 @@ Two implementations with identical semantics:
 - ``dot_topk_xla``: jnp.dot + lax.top_k (materializes [B, N] scores in HBM);
 - ``dot_topk``: a Pallas kernel that streams item blocks HBM->VMEM, does the
   [B, blk] matmul on the MXU, and folds each block into a SORTED running
-  top-k in VMEM scratch behind a threshold gate: once the running k-th best
-  beats a block's maximum, the fold costs one fused max-reduce (the common
-  case after warm-up) — the [B, N] score matrix never exists in HBM, and on
-  the warm path never even materializes in VMEM. Measured per-batch device
-  time (batch 256, d=64, k=10, 1x v5e, bf16 table): ~615k q/s at 100k items
-  (2.2x the XLA path) and ~104k q/s at 1M items (5-6x XLA).
+  top-k in VMEM scratch behind a threshold gate — the [B, N] score matrix
+  never exists in HBM, and on the warm path never even materializes in
+  VMEM. The default ``seeded=True`` variant runs TWO passes: pass 1 streams
+  the table once computing per-block maxima (matmul + fused max epilogue,
+  the HBM floor), and the k-th largest block max per query — an actual
+  score, hence a LOWER bound on the true k-th best — seeds pass 2's running
+  top-k, killing the cold-start churn where early blocks' transient top-k
+  members each paid an extraction pass.
 
-  Measured headroom (v5e, batch 256, 1M items): the pure matmul+block-max
-  stream runs at 0.21 ms/batch (625 GB/s effective), while the full kernel
-  takes ~2.4 ms — at B=256/k=10 there are ~B*k = 2560 top-k insertions
-  spread over ~245 blocks, so the batch-global gate fires on nearly every
-  block and each firing pays a matmul recompute + score materialization +
-  extraction scans. The gate only goes quiet when B*k << n_blocks (small
-  batches or very large block counts). Measured floor ~0.2 ms/batch, so
-  headroom remains for the large-batch case. Attempted and REJECTED: a
-  chunked extraction (per-128-lane maxima + one masked selection pass per
-  extraction, statically unrolled, full-scan loop as overflow) measured
-  3.0 ms vs this kernel's 2.4 ms on v5e — the ~20 small slice ops per pass
-  cost more in Mosaic op overhead than the full-block scans they replaced.
-  A future attempt should change the algorithm (e.g. seed the running k-th
-  with a bound from a separate maxima pre-pass), not just the scan shape.
+  Measured per-batch device time (batch 256, d=64, k=10, 1x v5e): 100k
+  items f32 0.38 ms (2.5x the single-pass kernel; ~600-700k q/s); 1M items
+  bf16 1.5 ms (~140-190k q/s, 6-9x XLA; the r1 single-pass kernel measured
+  2.4 ms). Remaining headroom at large batch: the pure stream floor is
+  ~0.21 ms/batch bf16, but at B=256/k=10 there are ~B*k = 2560 insertions
+  over ~245 blocks, so the batch-global gate keeps firing and extraction
+  scans (VPU/VMEM-bound over [B, block_n]) dominate. Attempted and
+  REJECTED on measurement: (a) chunked extraction — per-128-lane maxima +
+  masked selection passes cost more in Mosaic op overhead than the
+  full-block scans they replace (3.0 vs 2.4 ms); (b) conditional per-block
+  DMA of the item table in pass 2 (see _topk_seeded_kernel docstring) —
+  serial un-pipelined copies lose to the auto-prefetch stream they avoid.
+  The next real step is a per-row-group gate (firing probability drops
+  ~8x at 32-row groups) with the item block loaded once per grid step.
 
 The item table is stored TRANSPOSED ``[d, N]`` with the item axis on lanes:
 the factor dim d only pads to the sublane tile (8/16) instead of to 128
