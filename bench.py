@@ -1,14 +1,38 @@
-"""Multi-metric benchmark for the TPU-native gorse engine.
+"""Multi-metric benchmark for the TPU-native gorse engine — stall-proof form.
 
 Prints ONE JSON line. The four required keys (metric/value/unit/vs_baseline)
 carry the headline number — BPR-MF training examples/s/chip on an ml-1m-shaped
 dataset (6040x3706, ~1M implicit feedback, k=16), the first clause of
 BASELINE.json's metric string — and the ``extra`` key carries every other
 metric BASELINE.json names: top-k retrieval queries/s (100k and 1M item
-catalogs, the logics/cf.go:70-79 serving path), the XLA-scatter BPR path, the
-streamed large-catalog BPR kernel at ml-20m shape (BASELINE.json configs[2])
-and at 100k users x 50k items, the eALS epoch time (model/cf/model.go:659-738
-analog), and AFM CTR training examples/s (model/ctr/fm_xla.go:152-211 analog).
+catalogs, the logics/cf.go:70-79 serving path), the XLA-scatter BPR path,
+large-catalog BPR (ml-20m shape, BASELINE.json configs[2], and 100k x 50k),
+the eALS epoch time (model/cf/model.go:659-738 analog), AFM CTR training
+examples/s (model/ctr/fm_xla.go:152-211 analog), REST serving-path latency
+(server/rest.go:866-1037 analog), and a hardware kernel-smoke table.
+
+Round-2 root cause (VERDICT r2 "missing #1"): BENCH_r02 recorded value=0
+because every stage ran in ONE process and the headline ran FIRST — and
+Pallas kernel compilation through the TPU tunnel measures 80-240s+ even at
+tiny shapes (server-side Mosaic compile; plain XLA ops compile in ~1s and
+round-trip in ~30ms). The r2 headline's warmups therefore burned the whole
+560s watchdog inside one uninterruptible compile. This bench fixes that
+structurally:
+
+- every stage is its OWN subprocess with a hard per-stage deadline enforced
+  by the parent (SIGTERM -> SIGKILL on the process group); a wedged device
+  op costs one stage, not the run;
+- stage 0 is a hardware kernel smoke: tiny-shape runs of every Pallas kernel
+  on the real chip, parity-checked against their XLA references (the QEMU
+  analog of /root/reference/common/floats/Makefile). The headline ladder
+  refuses to select a kernel whose smoke did not pass;
+- the headline has a degradation ladder: resident -> fused -> XLA scatter ->
+  minimal XLA (fewer epochs, single rep). The first rung that lands wins;
+  the XLA rungs need no Pallas compile at all, so SOME verified number
+  always lands;
+- all stages share a persistent XLA compilation cache
+  (~/.cache/gorse_tpu/jax_cache), so reruns skip the tunnel-side compiles
+  entirely (measured: tiny resident kernel 84-240s cold, ~3s warm).
 
 Baseline grounding (VERDICT r1 weak #1): ``vs_baseline`` divides by a
 MEASURED native proxy, not an estimate. ``native/bpr_baseline.cpp``
@@ -24,25 +48,28 @@ the Go codegen) in two modes:
   buffered channel) — this caps total throughput at the producer's dispatch
   rate regardless of core count.
 
-The bench builds and runs the proxy on the bench host when a compiler is
-available (cached binary) and uses the committed fallback measurements
-otherwise (2-core host, k=16: 5.4M examples/s/core hogwild, 2.7M total
-dispatch-structured). ``vs_baseline`` = ours / dispatch_structured — the
-reference as implemented. ``extra.vs_baseline_range`` states the sensitivity:
-[ours / (hogwild_per_core * 16 cores * 0.6 scaling), ours / dispatch] — the
-low end grants the reference a hypothetical 16-core perfect-hogwild rewrite
-with typical 60% hogwild scaling (cache contention on Zipf-popular item rows);
-the high end is the measured channel-dispatch architecture.
+``vs_baseline`` = ours / dispatch_structured — the reference as implemented.
+``extra.vs_baseline_range`` states the sensitivity: [ours /
+(hogwild_per_core * 16 cores * 0.6 scaling), ours / dispatch] — the low end
+grants the reference a hypothetical 16-core perfect-hogwild rewrite with
+typical 60% hogwild scaling; the high end is the measured channel-dispatch
+architecture.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
+import signal
 import subprocess
 import sys
+import threading
 import time
 from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent
+CACHE_DIR = Path(os.environ.get("GORSE_CACHE_DIR", Path.home() / ".cache" / "gorse_tpu"))
 
 # Fallback measurements from native/bpr_baseline.cpp on the dev host
 # (2 cores, k=16, ml-1m shape) — used when the proxy can't be built/run.
@@ -53,10 +80,13 @@ HOGWILD_SCALING = 0.6  # typical hogwild efficiency at 16 threads
 
 
 def measure_native_baseline() -> dict:
-    """Build + run the C++ reference-hot-loop proxy; fall back to constants."""
-    root = Path(__file__).resolve().parent
-    src = root / "native" / "bpr_baseline.cpp"
-    exe = Path(os.environ.get("TMPDIR", "/tmp")) / "gorse_bpr_baseline"
+    """Build + run the C++ reference-hot-loop proxy; fall back to constants.
+
+    The binary is cached in the user-owned ~/.cache/gorse_tpu (never a
+    world-writable /tmp path — ADVICE r2)."""
+    src = ROOT / "native" / "bpr_baseline.cpp"
+    CACHE_DIR.mkdir(parents=True, exist_ok=True)
+    exe = CACHE_DIR / "bpr_baseline"
     try:
         if src.exists() and (
             not exe.exists() or exe.stat().st_mtime < src.stat().st_mtime
@@ -83,6 +113,31 @@ def measure_native_baseline() -> dict:
         }
 
 
+# --------------------------------------------------------------------------
+# Stage-side helpers (run inside the per-stage subprocess)
+# --------------------------------------------------------------------------
+
+def emit(obj: dict) -> None:
+    """Stage -> parent protocol: one flushed JSON line prefixed with ``@@``.
+
+    Flushed immediately so partial results survive a parent-side kill."""
+    print("@@" + json.dumps(obj), flush=True)
+
+
+def _stage_setup(platform: str | None = None):
+    """Configure JAX for a stage subprocess: persistent compilation cache
+    (compiles through the tunnel cost minutes; cache hits cost seconds) and
+    optionally a CPU platform override (must happen before backend init)."""
+    import jax
+
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    jax.config.update("jax_compilation_cache_dir", str(CACHE_DIR / "jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return jax
+
+
 def marginal_seconds(run, lo: int, hi: int, reps: int = 3) -> float:
     """Marginal wall time for (hi - lo) units of work.
 
@@ -94,9 +149,8 @@ def marginal_seconds(run, lo: int, hi: int, reps: int = 3) -> float:
     """
     w = run(lo) + run(hi)  # warm both trace paths
     if w > 30.0:
-        # tunnel running slow (stalled dispatch/readback bursts): one
-        # repetition each — a degraded-precision number beats burning the
-        # whole deadline on min-of-reps
+        # tunnel running slow: one repetition each — a degraded-precision
+        # number beats burning the whole deadline on min-of-reps
         reps = 1
     d_lo = min(run(lo) for _ in range(reps))
     d_hi = min(run(hi) for _ in range(reps))
@@ -105,31 +159,19 @@ def marginal_seconds(run, lo: int, hi: int, reps: int = 3) -> float:
     return d_hi - d_lo
 
 
-def bench_bpr(data, k: int, kernel: str = "auto", lo=5, hi=25) -> float:
-    """BPR training examples/s. ``kernel``: "auto" follows BPR.fit's policy
-    (resident/fused Pallas when the packed catalog fits VMEM, XLA scatter
-    otherwise), "xla" forces the scatter path, "streamed" forces the
-    opt-in block-sequential large-catalog kernel (tracked round-over-round
-    even though auto no longer selects it — it measured 3.7x slower than
-    XLA at ml-20m shape)."""
-    import jax
+def _make_ml1m():
+    from gorse_tpu.data import synthetic_cf
+
+    return synthetic_cf(n_users=6040, n_items=3706, rank=16, density=0.045, seed=0)
+
+
+def _bpr_setup(data, k: int):
+    """Shared BPR bench state: split, pad, and the trainer's own policies."""
     import jax.numpy as jnp
     import numpy as np
 
     from gorse_tpu.models import BPR, Params
-    from gorse_tpu.models.bpr import (
-        _bpr_epoch,
-        _bpr_epoch_fused,
-        _bpr_epoch_resident,
-        _bpr_epoch_streamed,
-        adaptive_neg_tries,
-        history_cap,
-    )
-    from gorse_tpu.ops.bpr_kernel import (
-        fits_epoch_resident,
-        fits_epoch_streamed,
-        pack_items,
-    )
+    from gorse_tpu.models.bpr import adaptive_neg_tries, history_cap
 
     train, _ = data.split_cf(seed=0)
     nnz = train.count_feedback()
@@ -137,31 +179,78 @@ def bench_bpr(data, k: int, kernel: str = "auto", lo=5, hi=25) -> float:
     model.init(train)
     cap, _ = history_cap(train)  # the trainer's own width policy
     csr = train.padded_user_positives(max_len=cap, seed=0)
-    padded_pos = jnp.asarray(csr.padded)
-    pos_counts = jnp.asarray(csr.counts)
     n_active = max(int(np.sum(csr.counts > 0)), 1)
-    n_steps = max(round(nnz / n_active), 1)
     n_items = train.count_items()
-    n_tries = adaptive_neg_tries(float(np.mean(csr.counts)) / max(n_items, 1))
-    kwargs = dict(n_steps=n_steps, n_items=n_items, lr=0.05, reg=0.01, n_tries=n_tries)
+    return dict(
+        train=train,
+        model=model,
+        padded_pos=jnp.asarray(csr.padded),
+        pos_counts=jnp.asarray(csr.counts),
+        n_active=n_active,
+        n_steps=max(round(nnz / n_active), 1),
+        n_items=n_items,
+        n_tries=adaptive_neg_tries(float(np.mean(csr.counts)) / max(n_items, 1)),
+        max_len=csr.padded.shape[1],
+    )
 
-    p, q = model.user_factors, model.item_factors
-    packed_rows = -(-n_items * k // 128)
-    if kernel == "auto" and packed_rows <= 768:
+
+def stage_headline(kernel: str, k: int, lo: int, hi: int, shape: str) -> None:
+    """BPR training examples/s for one explicit kernel choice.
+
+    ``kernel``: "resident" | "fused" | "streamed" | "xla". The parent owns
+    the selection policy (smoke-gated ladder); non-TPU backends are forced
+    to "xla" here so the stage still lands a number off-hardware."""
+    jax = _stage_setup()
+    import jax.numpy as jnp
+
+    from gorse_tpu.models.bpr import (
+        _bpr_epoch,
+        _bpr_epoch_fused,
+        _bpr_epoch_resident,
+        _bpr_epoch_streamed,
+    )
+    from gorse_tpu.ops.bpr_kernel import (
+        fits_epoch_resident,
+        fits_epoch_streamed,
+        pack_items,
+    )
+
+    if shape == "ml1m":
+        data = _make_ml1m()
+    else:
+        from gorse_tpu.data.loaders import synthetic_cf_access
+
+        dims = {
+            "ml20m": (138_000, 27_000, 2_000_000, 1),
+            "100kx50k": (100_000, 50_000, 1_500_000, 2),
+        }[shape]
+        data = synthetic_cf_access(dims[0], dims[1], nnz=dims[2], seed=dims[3])
+
+    st = _bpr_setup(data, k)
+    if jax.default_backend() != "tpu" or 128 % k != 0:
+        kernel = "xla"  # Pallas kernels are TPU-only and need k | 128
+    p, q = st["model"].user_factors, st["model"].item_factors
+    if kernel == "resident":
         q = pack_items(q)
-        rows, max_len = q.shape[0], csr.padded.shape[1]
-        epoch_fn = (
-            _bpr_epoch_resident
-            if fits_epoch_resident(train.count_users(), max_len, rows, k)
-            else _bpr_epoch_fused
-        )
+        assert fits_epoch_resident(
+            st["train"].count_users(), st["max_len"], q.shape[0], k
+        ), "resident kernel requested for a shape beyond its VMEM budget"
+        epoch_fn = _bpr_epoch_resident
+    elif kernel == "fused":
+        q = pack_items(q)
+        epoch_fn = _bpr_epoch_fused
     elif kernel == "streamed":
         q = pack_items(q)
-        assert fits_epoch_streamed(q.shape[0], csr.padded.shape[1], k)
+        assert fits_epoch_streamed(q.shape[0], st["max_len"], k)
         epoch_fn = _bpr_epoch_streamed
-    else:  # "xla", or "auto" beyond the fused cliff
+    else:
         epoch_fn = _bpr_epoch
+    kwargs = dict(
+        n_steps=st["n_steps"], n_items=st["n_items"],
+        lr=0.05, reg=0.01, n_tries=st["n_tries"],
+    )
     state = {"p": p, "q": q, "key": jax.random.PRNGKey(0)}
+    padded_pos, pos_counts = st["padded_pos"], st["pos_counts"]
 
     def run(n_epochs: int) -> float:
         t0 = time.perf_counter()
@@ -173,78 +262,241 @@ def bench_bpr(data, k: int, kernel: str = "auto", lo=5, hi=25) -> float:
         _ = float(cost)  # force host readback (see marginal_seconds)
         return time.perf_counter() - t0
 
-    return (hi - lo) * n_steps * n_active / marginal_seconds(run, lo, hi)
+    t_c = time.perf_counter()
+    first = run(1)  # compile (or cache load) + one epoch
+    emit({"compiled_s": round(time.perf_counter() - t_c, 1), "kernel": kernel})
+    sec = marginal_seconds(run, lo, hi)
+    eps = (hi - lo) * st["n_steps"] * st["n_active"] / sec
+    emit({
+        "examples_per_s": round(eps), "kernel": kernel, "shape": shape,
+        "k": k, "lo": lo, "hi": hi, "first_epoch_s": round(first, 2),
+        "epoch_ms": round(sec / (hi - lo) * 1000, 1),
+    })
 
 
-def bench_topk(n_items: int, batch=256, d=64, k_top=10, lo=4, hi=20) -> dict:
-    """Exact top-k retrieval queries/s: seeded Pallas kernel vs XLA."""
-    import jax
+def stage_smoke() -> None:
+    """Hardware kernel smoke: tiny-shape runs of every Pallas kernel on the
+    real chip, parity-checked against XLA references (VERDICT r2 next #2 —
+    the QEMU-per-ISA analog, /root/reference/common/floats/Makefile). Each
+    result is emitted immediately so a mid-stage kill keeps earlier rows."""
+    jax = _stage_setup()
     import jax.numpy as jnp
+    import numpy as np
 
-    from gorse_tpu.ops.topk import dot_topk, dot_topk_xla, prepare_items
+    on_tpu = jax.default_backend() == "tpu"
+    rng = np.random.default_rng(0)
+    k, n_items, n_users = 16, 96, 64
+    q = jnp.asarray(rng.normal(0, 0.1, (n_items, k)).astype(np.float32))
+    p = jnp.asarray(rng.normal(0, 0.1, (n_users, k)).astype(np.float32))
+    pp = jnp.asarray(
+        np.sort(
+            np.stack([rng.choice(n_items, 8, replace=False) for _ in range(n_users)]),
+            axis=1,
+        ).astype(np.int32)
+    )
+    pc = jnp.full((n_users,), 8, jnp.int32)
+    pos = pp[:, 0]
+    neg = jnp.asarray((np.asarray(pp[:, -1]) + 7) % n_items)  # may collide; same for both paths
+    active = pc > 0
 
-    key = jax.random.PRNGKey(1)
-    items = jax.random.normal(key, (n_items, d), jnp.float32)
-    queries = jax.random.normal(jax.random.PRNGKey(2), (batch, d), jnp.float32)
-    prepared = prepare_items(items, jnp.bfloat16)
-
-    def run_pallas(n: int) -> float:
+    def check(name, fn):
         t0 = time.perf_counter()
-        for i in range(n):
-            s, _ = dot_topk(queries + 1e-6 * i, prepared, k_top)
-        _ = float(s[0, 0])
-        return time.perf_counter() - t0
+        try:
+            parity = fn()
+            emit({
+                "kernel": name, "ok": True,
+                "ms": round((time.perf_counter() - t0) * 1000),
+                "parity": None if parity is None else float(parity),
+            })
+        except Exception as e:  # noqa: BLE001
+            emit({
+                "kernel": name, "ok": False,
+                "ms": round((time.perf_counter() - t0) * 1000),
+                "err": f"{type(e).__name__}: {e}"[:160],
+            })
 
-    def run_xla(n: int) -> float:
-        t0 = time.perf_counter()
-        for i in range(n):
-            s, _ = dot_topk_xla(queries + 1e-6 * i, items, k_top)
-        _ = float(s[0, 0])
-        return time.perf_counter() - t0
+    from gorse_tpu.models.bpr import _bpr_epoch, bpr_apply_pairs
+    from gorse_tpu.ops.bpr_kernel import (
+        bpr_epoch_fused,
+        bpr_fused_step,
+        bpr_fully_fused_step,
+        bpr_streamed_step,
+        pack_items,
+        unpack_items,
+    )
 
-    out = {}
-    for name, run in (("pallas_seeded", run_pallas), ("xla", run_xla)):
-        sec = marginal_seconds(run, lo, hi)
-        out[name] = round((hi - lo) * batch / sec)
-    return out
+    # XLA reference for the explicit-pairs sweep
+    p_ref, q_ref, cost_ref = bpr_apply_pairs(
+        p, q, pos, neg, active[:, None], 0.05, 0.01
+    )
+
+    def fused_step_pairs():
+        p2, qd, cost = bpr_fused_step(
+            p, pack_items(q), pos, neg, active, 0.05, 0.01, mm_dtype=jnp.float32
+        )
+        q2 = unpack_items(pack_items(q) + qd, n_items, k)
+        d = max(
+            float(jnp.max(jnp.abs(p2 - p_ref))),
+            float(jnp.max(jnp.abs(q2 - q_ref))),
+            abs(float(cost - cost_ref)) / max(abs(float(cost_ref)), 1e-6),
+        )
+        assert d < 1e-3, f"parity {d}"
+        return d
+
+    def streamed_step_pairs():
+        # donate_argnums would delete the shared p; hand it a copy
+        p2, q2p, cost = bpr_streamed_step(
+            jnp.array(p), pack_items(q), pp, pc, jnp.zeros((1,), jnp.int32),
+            n_items=n_items, lr=0.05, reg=0.01, mm_dtype=jnp.float32,
+            pos=pos, neg=neg,
+        )
+        q2 = unpack_items(q2p, n_items, k)
+        d = max(
+            float(jnp.max(jnp.abs(p2 - p_ref))),
+            float(jnp.max(jnp.abs(q2 - q_ref))),
+        )
+        assert d < 1e-3, f"parity {d}"
+        return d
+
+    def fully_fused_step():
+        p2, qd, cost, spos, sneg = bpr_fully_fused_step(
+            p, pack_items(q), pp, pc, jnp.zeros((1,), jnp.int32),
+            n_items=n_items, lr=0.05, reg=0.01,
+        )
+        spos, sneg = np.asarray(spos), np.asarray(sneg)
+        ppn = np.asarray(pp)
+        in_pos = (ppn == spos[:, None]).any(axis=1)
+        neg_clean = ~(ppn == sneg[:, None]).any(axis=1)
+        assert in_pos.all(), "sampled positive not in positive set"
+        # K-way rejection leaves ~density**K collisions; tiny shapes are
+        # dense (8/96), so allow a small tail
+        assert neg_clean.mean() > 0.85, f"neg collisions {1 - neg_clean.mean():.2f}"
+        assert np.isfinite(np.asarray(p2)).all() and np.isfinite(np.asarray(qd)).all()
+        return None
+
+    def resident_epoch():
+        kw = dict(n_steps=4, n_items=n_items, lr=0.05, reg=0.01)
+        pr, qr, cr = bpr_epoch_fused(
+            p, pack_items(q), pp, pc, jnp.zeros((1,), jnp.int32), **kw
+        )
+        assert np.isfinite(np.asarray(pr)).all() and np.isfinite(np.asarray(qr)).all()
+        # _bpr_epoch donates its factor args; hand it copies
+        _, _, cx = _bpr_epoch(jnp.array(p), jnp.array(q), pp, pc, jax.random.PRNGKey(0), **kw)
+        ratio = float(cr) / max(float(cx), 1e-6)  # PRNGs differ; loose band
+        assert 0.3 < ratio < 3.0, f"cost ratio {ratio}"
+        return abs(ratio - 1.0)
+
+    if on_tpu:
+        check("bpr_fused_step_pairs", fused_step_pairs)
+        check("bpr_streamed_step_pairs", streamed_step_pairs)
+        check("bpr_fully_fused_step", fully_fused_step)
+        check("bpr_resident_epoch", resident_epoch)
+
+    # ---- top-k family vs XLA ----
+    from gorse_tpu.ops.topk import (
+        dot_topk,
+        dot_topk_xla,
+        pq_topk,
+        prepare_items,
+        rq_topk,
+        sq_topk,
+    )
+
+    items = jnp.asarray(rng.normal(0, 1, (1024, 64)).astype(np.float32))
+    queries = jnp.asarray(rng.normal(0, 1, (16, 64)).astype(np.float32))
+    xs, xi = dot_topk_xla(queries, items, 10)
+
+    def topk(seeded):
+        def f():
+            s, i = dot_topk(queries, prepare_items(items), 10, seeded=seeded)
+            d = float(jnp.max(jnp.abs(s - xs)))
+            assert d < 1e-3, f"parity {d}"
+            return d
+        return f
+
+    def sq():
+        minv = jnp.min(items, axis=1)
+        scale = (jnp.max(items, axis=1) - minv) / 255.0
+        codes = jnp.clip(
+            jnp.round((items - minv[:, None]) / scale[:, None]), 0, 255
+        ).astype(jnp.uint8)
+        deq = minv[:, None] + scale[:, None] * codes.astype(jnp.float32)
+        rs, _ = dot_topk_xla(queries, deq, 10)
+        s, _ = sq_topk(queries, codes, scale, minv, 10)
+        d = float(jnp.max(jnp.abs(s - rs)))
+        assert d < 0.2, f"parity {d} (bf16 matmul tolerance)"
+        return d
+
+    def pq():
+        m, c, ds = 8, 16, 8
+        cb = jnp.asarray(rng.normal(0, 1, (m, c, ds)).astype(np.float32))
+        codes = jnp.asarray(rng.integers(0, c, (1024, m)).astype(np.uint8))
+        vhat = np.concatenate(
+            [np.asarray(cb)[j][np.asarray(codes)[:, j]] for j in range(m)], axis=1
+        )
+        rs, _ = dot_topk_xla(queries, jnp.asarray(vhat), 10)
+        norms2 = jnp.sum(jnp.asarray(vhat) ** 2, axis=1)
+        s, _ = pq_topk(queries, codes, cb, norms2, 10)
+        d = float(jnp.max(jnp.abs(s - rs)))
+        assert d < 0.5, f"parity {d}"
+        return d
+
+    def rq():
+        bits, dim = 4, 64
+        rot = jnp.asarray(np.linalg.qr(rng.normal(0, 1, (dim, dim)))[0].astype(np.float32))
+        rotated = items @ rot.T
+        minv = jnp.min(rotated, axis=1)
+        scale = (jnp.max(rotated, axis=1) - minv) / 15.0
+        codes = np.clip(
+            np.round((np.asarray(rotated) - np.asarray(minv)[:, None]) / np.asarray(scale)[:, None]),
+            0, 15,
+        ).astype(np.uint8)
+        packed = jnp.asarray(codes[:, 0::2] | (codes[:, 1::2] << 4))
+        deq = np.asarray(minv)[:, None] + np.asarray(scale)[:, None] * codes
+        rs, _ = dot_topk_xla(queries @ rot.T, jnp.asarray(deq.astype(np.float32)), 10)
+        norms2 = jnp.sum(jnp.asarray(deq) ** 2, axis=1)
+        s, _ = rq_topk(queries, packed, scale, minv, rot, norms2, 10, bits=bits, dim=dim)
+        d = float(jnp.max(jnp.abs(s - rs)))
+        assert d < 0.5, f"parity {d}"
+        return d
+
+    check("topk_seeded", topk(True))
+    check("topk_unseeded", topk(False))
+    check("sq_topk", sq)
+    check("pq_topk", pq)
+    check("rq_topk", rq)
+
+    # ---- mesh-of-1 shard_map epoch on the real chip (VERDICT r2 next #7:
+    # the sharded path's only hardware coverage) ----
+    def sharded_mesh1():
+        from jax.sharding import Mesh
+
+        from gorse_tpu.parallel.sharded import make_sharded_bpr_epoch, shard_bpr_inputs
+
+        mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+        ps, qs, ppad, pcs, uids, _ = shard_bpr_inputs(mesh, p, q, np.asarray(pp), np.asarray(pc))
+        ep = make_sharded_bpr_epoch(mesh, n_steps=2, n_items=n_items, lr=0.05, reg=0.01)
+        p2, q2, cost = ep(ps, qs, ppad, pcs, uids, jax.random.PRNGKey(0))
+        assert np.isfinite(np.asarray(p2)).all()
+        return None
+
+    if on_tpu:
+        check("sharded_mesh1_epoch", sharded_mesh1)
+    emit({"done": True})
 
 
-def bench_topk_sq(n_items: int, batch=256, d=64, k_top=10, lo=4, hi=20) -> int:
-    """Scalar-quantized (uint8) top-k q/s — the vector-store sq serving mode
-    (ops/topk.sq_topk: dequantization folded into the MXU matmul)."""
-    import jax
-    import jax.numpy as jnp
-
-    from gorse_tpu.ops.topk import sq_topk
-
-    items = jax.random.normal(jax.random.PRNGKey(1), (n_items, d), jnp.float32)
-    queries = jax.random.normal(jax.random.PRNGKey(2), (batch, d), jnp.float32)
-    minv = jnp.min(items, axis=1)
-    scale = (jnp.max(items, axis=1) - minv) / 255.0
-    codes = jnp.clip(
-        jnp.round((items - minv[:, None]) / scale[:, None]), 0, 255
-    ).astype(jnp.uint8)
-
-    def run(n: int) -> float:
-        t0 = time.perf_counter()
-        for i in range(n):
-            s, _ = sq_topk(queries + 1e-6 * i, codes, scale, minv, k_top)
-        _ = float(s[0, 0])
-        return time.perf_counter() - t0
-
-    return round((hi - lo) * batch / marginal_seconds(run, lo, hi))
-
-
-def bench_als(data, k=16, lo=2, hi=8) -> float:
+def stage_eals() -> None:
     """eALS epoch seconds (one user-side + one item-side weighted solve)."""
+    _stage_setup()
     import jax.numpy as jnp
     import numpy as np
 
     from gorse_tpu.models.als import _als_solve_side, _pad_rows
 
+    data = _make_ml1m()
     train, _ = data.split_cf(seed=0)
     n_users, n_items = train.count_users(), train.count_items()
-    block = 256
+    k, block = 16, 256
     user_fb = jnp.asarray(_pad_rows(train.padded_user_positives().padded, block, -1))
     item_fb = jnp.asarray(_pad_rows(train.padded_item_positives().padded, block, -1))
     rng = np.random.default_rng(0)
@@ -265,19 +517,19 @@ def bench_als(data, k=16, lo=2, hi=8) -> float:
         _ = float(state["q"][0, 0])
         return time.perf_counter() - t0
 
-    return marginal_seconds(run, lo, hi) / (hi - lo)
+    lo, hi = 2, 8
+    emit({"eals_ml1m_epoch_s": round(marginal_seconds(run, lo, hi) / (hi - lo), 4)})
 
 
-def bench_afm(n_samples=131072, batch=1024, k=8, lo=2, hi=6) -> float:
+def stage_afm() -> None:
     """AFM CTR training examples/s (the fm_xla.go scan-epoch analog)."""
+    _stage_setup()
     from gorse_tpu.data.ctr import synthetic_ctr
     from gorse_tpu.models.fm import AFM, _afm_train_epoch
     from gorse_tpu.models.params import Params
-    import optax
 
-    train = synthetic_ctr(
-        n_users=2000, n_items=2000, n_samples=n_samples, seed=0
-    )
+    n_samples, batch, k, lo, hi = 131072, 1024, 8, 2, 6
+    train = synthetic_ctr(n_users=2000, n_items=2000, n_samples=n_samples, seed=0)
     model = AFM(Params({"n_factors": k, "batch_size": batch}))
     model.index = train.index
     model.embedding_dims = list(train.embedding_dims)
@@ -297,125 +549,390 @@ def bench_afm(n_samples=131072, batch=1024, k=8, lo=2, hi=6) -> float:
         return time.perf_counter() - t0
 
     n_eff = batched[0].shape[0] * batch  # padded examples actually processed
-    return (hi - lo) * n_eff / marginal_seconds(run, lo, hi)
+    emit({
+        "afm_train_examples_per_s": round(
+            (hi - lo) * n_eff / marginal_seconds(run, lo, hi)
+        )
+    })
+
+
+def stage_topk(n_items: int, mode: str) -> None:
+    """Exact top-k retrieval queries/s (logics/cf.go:70-79 serving analog).
+
+    mode "seeded": Pallas seeded kernel vs XLA; mode "sq": scalar-quantized
+    uint8 serving path."""
+    jax = _stage_setup()
+    import jax.numpy as jnp
+
+    batch, d, k_top = 256, 64, 10
+    lo, hi = (2, 8) if n_items >= 1_000_000 else (4, 20)
+    key = jax.random.PRNGKey(1)
+    items = jax.random.normal(key, (n_items, d), jnp.float32)
+    queries = jax.random.normal(jax.random.PRNGKey(2), (batch, d), jnp.float32)
+
+    if mode == "sq":
+        from gorse_tpu.ops.topk import sq_topk
+
+        minv = jnp.min(items, axis=1)
+        scale = (jnp.max(items, axis=1) - minv) / 255.0
+        codes = jnp.clip(
+            jnp.round((items - minv[:, None]) / scale[:, None]), 0, 255
+        ).astype(jnp.uint8)
+
+        def run(n: int) -> float:
+            t0 = time.perf_counter()
+            for i in range(n):
+                s, _ = sq_topk(queries + 1e-6 * i, codes, scale, minv, k_top)
+            _ = float(s[0, 0])
+            return time.perf_counter() - t0
+
+        emit({f"topk_qps_{n_items // 1000}k_sq8": round(
+            (hi - lo) * batch / marginal_seconds(run, lo, hi)
+        )})
+        return
+
+    from gorse_tpu.ops.topk import dot_topk, dot_topk_xla, prepare_items
+
+    prepared = prepare_items(items, jnp.bfloat16)
+
+    def run_pallas(n: int) -> float:
+        t0 = time.perf_counter()
+        for i in range(n):
+            s, _ = dot_topk(queries + 1e-6 * i, prepared, k_top)
+        _ = float(s[0, 0])
+        return time.perf_counter() - t0
+
+    def run_xla(n: int) -> float:
+        t0 = time.perf_counter()
+        for i in range(n):
+            s, _ = dot_topk_xla(queries + 1e-6 * i, items, k_top)
+        _ = float(s[0, 0])
+        return time.perf_counter() - t0
+
+    out = {}
+    for name, run in (("pallas_seeded", run_pallas), ("xla", run_xla)):
+        sec = marginal_seconds(run, lo, hi)
+        out[name] = round((hi - lo) * batch / sec)
+    emit({f"topk_qps_{n_items // 1000}k_items": out})
+
+
+def stage_serving() -> None:
+    """REST serving-path latency (VERDICT r2 next #5): boot the in-one node
+    (memory stores, synthetic playground catalog), drive GET
+    /api/recommend/{user} and POST /api/session/recommend concurrently,
+    report q/s + P50/P99 (reference path: server/rest.go:866-1037).
+
+    Runs on the CPU backend: the online REST path reads precomputed caches
+    and host stores — the device top-k contribution is measured separately
+    by the topk stages."""
+    _stage_setup(platform="cpu")
+    import http.client
+    import random
+
+    import numpy as np
+
+    from gorse_tpu.serve.in_one import InOneNode
+    from gorse_tpu.utils.config import default_config
+
+    config = default_config()
+    config.recommend.data_source.positive_feedback_types = ["star"]
+    node = InOneNode(config)
+    node.seed_playground(n_users=400, n_items=1200, seed=0)
+    node.run_once()
+    httpd = node.serve(port=0, background_loop=False)
+    port = httpd.server_address[1]
+    emit({"serving_boot": "ok", "port": port})
+
+    n_threads, n_per = 8, 150
+    lat_rec: list[float] = []
+    lat_sess: list[float] = []
+    lock = threading.Lock()
+
+    def worker(tid: int) -> None:
+        rng = random.Random(tid)
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        my_rec, my_sess = [], []
+        for i in range(n_per):
+            uid = f"u{rng.randrange(400)}"
+            t0 = time.perf_counter()
+            if i % 5 == 4:
+                body = json.dumps([
+                    {"FeedbackType": "star", "UserId": "s", "ItemId": f"repo{rng.randrange(1200)}",
+                     "Timestamp": "2026-01-01T00:00:00Z"}
+                    for _ in range(3)
+                ])
+                conn.request("POST", "/api/session/recommend?n=10", body,
+                             {"Content-Type": "application/json"})
+                r = conn.getresponse(); r.read()
+                my_sess.append(time.perf_counter() - t0)
+            else:
+                conn.request("GET", f"/api/recommend/{uid}?n=10")
+                r = conn.getresponse(); r.read()
+                my_rec.append(time.perf_counter() - t0)
+        conn.close()
+        with lock:
+            lat_rec.extend(my_rec)
+            lat_sess.extend(my_sess)
+
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=worker, args=(t,)) for t in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    node.shutdown()
+
+    def pct(xs, p):
+        return round(float(np.percentile(np.asarray(xs) * 1000, p)), 2)
+
+    emit({"serving": {
+        "qps": round((len(lat_rec) + len(lat_sess)) / wall),
+        "recommend_p50_ms": pct(lat_rec, 50),
+        "recommend_p99_ms": pct(lat_rec, 99),
+        "session_p50_ms": pct(lat_sess, 50),
+        "session_p99_ms": pct(lat_sess, 99),
+        "threads": n_threads,
+        "requests": len(lat_rec) + len(lat_sess),
+        "backend": "cpu-host (device top-k measured in topk stages)",
+    }})
+
+
+# --------------------------------------------------------------------------
+# Parent orchestrator (no jax import here)
+# --------------------------------------------------------------------------
+
+def run_stage(args: list[str], timeout_s: float) -> dict:
+    """Run one stage subprocess; collect its ``@@`` JSON lines (merged in
+    order). On timeout, SIGTERM then SIGKILL the process GROUP (never a
+    pattern kill) and keep whatever partial lines arrived."""
+    cmd = [sys.executable, str(ROOT / "bench.py")] + args
+    t0 = time.perf_counter()
+    proc = subprocess.Popen(
+        cmd, stdout=subprocess.PIPE, stderr=sys.stderr,
+        text=True, start_new_session=True, cwd=str(ROOT),
+    )
+    lines: list[dict] = []
+    done = threading.Event()
+
+    def reader():
+        try:
+            for line in proc.stdout:  # type: ignore[union-attr]
+                if line.startswith("@@"):
+                    try:
+                        lines.append(json.loads(line[2:]))
+                    except json.JSONDecodeError:
+                        pass
+        finally:
+            done.set()
+
+    th = threading.Thread(target=reader, daemon=True)
+    th.start()
+    timed_out = False
+    try:
+        proc.wait(timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        timed_out = True
+        try:
+            os.killpg(proc.pid, signal.SIGTERM)
+            try:
+                proc.wait(timeout=8)
+            except subprocess.TimeoutExpired:
+                os.killpg(proc.pid, signal.SIGKILL)
+                proc.wait(timeout=8)
+        except (ProcessLookupError, PermissionError):
+            pass
+    done.wait(timeout=5)
+    merged: dict = {}
+    rows = []
+    for ln in lines:
+        if "kernel" in ln and "ok" in ln:  # smoke rows
+            rows.append(ln)
+        else:
+            merged.update(ln)
+    if rows:
+        merged["rows"] = rows
+    merged["_elapsed_s"] = round(time.perf_counter() - t0, 1)
+    merged["_rc"] = "timeout" if timed_out else proc.returncode
+    return merged
 
 
 def _progress(msg: str, t0: float) -> None:
     print(f"# [{time.perf_counter() - t0:6.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
-# Shared result the watchdog can emit if a device op wedges the process
-# (the TPU tunnel can stall indefinitely; a bench that prints a degraded
-# line beats one that prints nothing).
-_RESULT: dict = {
-    "metric": "bpr_train_examples_per_s",
-    "value": 0,
-    "unit": "examples/s/chip",
-    "vs_baseline": 0.0,
-    "extra": {},
-}
+def orchestrate() -> None:
+    t0 = time.perf_counter()
+    deadline = float(os.environ.get("GORSE_BENCH_DEADLINE_S", "460"))
 
+    result: dict = {
+        "metric": "bpr_train_examples_per_s",
+        "value": 0,
+        "unit": "examples/s/chip",
+        "vs_baseline": 0.0,
+        "extra": {},
+    }
+    extra = result["extra"]
+    extra["r2_root_cause"] = (
+        "r2 value=0: single-process bench; Pallas compiles through the TPU "
+        "tunnel measure 80-240s+ even tiny; the headline's warmup compiles ate "
+        "the 560s watchdog. Now: per-stage subprocesses + persistent compile "
+        "cache + smoke-gated kernel ladder."
+    )
 
-def _arm_watchdog(hard_deadline_s: float) -> None:
-    import os
-    import threading
-
+    # hard watchdog: whatever happens, ONE JSON line lands
     def fire():
-        _RESULT["extra"].setdefault(
-            "watchdog", f"hard deadline {hard_deadline_s}s hit; partial results"
-        )
-        print(json.dumps(_RESULT), flush=True)
+        extra.setdefault("watchdog", f"hard deadline {deadline + 100:.0f}s hit")
+        print(json.dumps(result), flush=True)
         os._exit(0)
 
-    t = threading.Timer(hard_deadline_s, fire)
-    t.daemon = True
-    t.start()
+    wd = threading.Timer(deadline + 100.0, fire)
+    wd.daemon = True
+    wd.start()
 
+    def remaining() -> float:
+        return deadline - (time.perf_counter() - t0)
 
-def main() -> None:
-    from gorse_tpu.data import synthetic_cf
-    from gorse_tpu.data.loaders import synthetic_cf_access
-
-    t0 = time.perf_counter()
-    # soft deadline for the OPTIONAL stages: the headline always runs; each
-    # extra stage is skipped once the deadline passes and recorded as such,
-    # so a slow tunnel / cold compile cache degrades coverage, not the run.
-    # The hard watchdog (soft + 120s) emits partial results and exits if a
-    # device op wedges outright.
-    deadline = float(os.environ.get("GORSE_BENCH_DEADLINE_S", "460"))
-    _arm_watchdog(deadline + 100.0)
     baseline = measure_native_baseline()
     dispatch = baseline["dispatch_total"]
     hogwild16 = baseline["hogwild_per_core"] * HYPOTHETICAL_CORES * HOGWILD_SCALING
+    extra["baseline"] = baseline
     _progress(f"native baseline: {baseline}", t0)
 
-    extra = _RESULT["extra"]
-    extra["baseline"] = baseline
+    # ---- stage 0: hardware kernel smoke ----
+    smoke_ok: dict[str, bool] = {}
+    if remaining() > 200:
+        budget = min(240.0, remaining() - 150)
+        res = run_stage(["--stage", "smoke"], budget)
+        for row in res.get("rows", []):
+            smoke_ok[row["kernel"]] = bool(row.get("ok"))
+        extra["kernel_smoke"] = {
+            "rows": res.get("rows", []),
+            "complete": bool(res.get("done")),
+            "elapsed_s": res.get("_elapsed_s"),
+        }
+        _progress(
+            f"smoke: {sum(smoke_ok.values())}/{len(smoke_ok)} ok "
+            f"(complete={bool(res.get('done'))}) in {res.get('_elapsed_s')}s",
+            t0,
+        )
+    else:
+        extra["kernel_smoke"] = "skipped: deadline"
 
-    # --- headline: BPR fused path, ml-1m shape (resident kernel) ---
-    ml1m = synthetic_cf(n_users=6040, n_items=3706, rank=16, density=0.045, seed=0)
-    headline = bench_bpr(ml1m, k=16)
-    _RESULT["value"] = round(headline)
-    _RESULT["vs_baseline"] = round(headline / dispatch, 2)
-    _progress(f"bpr ml1m fused: {headline:,.0f} ex/s", t0)
-
-    def stage(key: str, fn) -> None:
-        if time.perf_counter() - t0 > deadline:
-            extra[key] = "skipped: deadline"
-            _progress(f"{key}: skipped (deadline)", t0)
-            return
-        try:
-            extra[key] = fn()
-            _progress(f"{key}: {extra[key]}", t0)
-        except Exception as e:  # record, keep benching
-            extra[key] = f"error: {type(e).__name__}: {e}"[:200]
-            _progress(f"{key}: FAILED {e}", t0)
-
-    # cheap single-compile stages first: a slow tunnel burns the deadline on
-    # the headline's warmups, and these must not be the ones dropped
-    stage("eals_ml1m_epoch_s", lambda: round(bench_als(ml1m), 4))
-    stage("afm_train_examples_per_s", lambda: round(bench_afm()))
-    stage(
-        "bpr_ml1m_xla_scatter_examples_per_s",
-        lambda: round(bench_bpr(ml1m, k=16, kernel="xla", lo=2, hi=6)),
-    )
-    # --- large catalogs: ml-20m shape and 100k x 50k (auto = XLA scatter
-    # beyond the fused VMEM cliff; the opt-in streamed kernel is tracked
-    # separately). access-statistics generators (synthetic_cf_access):
-    # throughput depends on history widths + popularity collisions, not
-    # learnability.
-    ml20m = synthetic_cf_access(138_000, 27_000, nnz=2_000_000, seed=1)
-    stage(
-        "bpr_ml20m_shape_k64_examples_per_s",
-        lambda: round(bench_bpr(ml20m, k=64, lo=2, hi=6)),
-    )
-    stage(
-        "bpr_ml20m_shape_k64_streamed_examples_per_s",
-        lambda: round(bench_bpr(ml20m, k=64, kernel="streamed", lo=2, hi=6)),
-    )
-    stage(
-        "bpr_100kx50k_k16_examples_per_s",
-        lambda: round(bench_bpr(
-            synthetic_cf_access(100_000, 50_000, nnz=1_500_000, seed=2),
-            k=16, lo=2, hi=6,
-        )),
-    )
-    # --- top-k retrieval (serving path, logics/cf.go:70-79 analog) ---
-    stage("topk_qps_100k_items", lambda: bench_topk(100_000))
-    stage("topk_qps_1m_items", lambda: bench_topk(1_000_000, lo=2, hi=8))
-    stage("topk_qps_1m_items_sq8", lambda: bench_topk_sq(1_000_000, lo=2, hi=8))
-
+    # ---- headline ladder: resident -> fused -> XLA -> minimal XLA ----
+    # Pallas rungs require a PASSING smoke (refuse unsmoked kernels).
+    ladder = [
+        ("resident", 16, 5, 25, smoke_ok.get("bpr_resident_epoch", False), 280.0),
+        ("fused", 16, 5, 25, smoke_ok.get("bpr_fused_step_pairs", False), 170.0),
+        ("xla", 16, 2, 6, True, 150.0),
+        ("xla", 16, 1, 2, True, 90.0),
+    ]
+    headline = 0.0
+    for kernel, k, lo, hi, allowed, cap in ladder:
+        if not allowed:
+            _progress(f"ladder {kernel}: skipped (smoke not passed)", t0)
+            continue
+        budget = min(cap, max(remaining() - 20, 45.0))
+        res = run_stage(
+            ["--stage", "headline", "--kernel", kernel, "--shape", "ml1m",
+             "--k", str(k), "--lo", str(lo), "--hi", str(hi)],
+            budget,
+        )
+        if res.get("examples_per_s"):
+            headline = float(res["examples_per_s"])
+            extra["headline_path"] = {
+                "kernel": res.get("kernel", kernel), "lo": lo, "hi": hi,
+                "epoch_ms": res.get("epoch_ms"),
+                "compiled_s": res.get("compiled_s"),
+                "elapsed_s": res.get("_elapsed_s"),
+            }
+            _progress(f"headline[{kernel}]: {headline:,.0f} ex/s", t0)
+            break
+        _progress(f"ladder {kernel}: no result ({res.get('_rc')})", t0)
+    result["value"] = round(headline)
+    result["vs_baseline"] = round(headline / dispatch, 2)
     extra["vs_baseline_range"] = [
         round(headline / hogwild16, 2),
         round(headline / dispatch, 2),
     ]
-    print(json.dumps({
-        "metric": "bpr_train_examples_per_s",
-        "value": round(headline),
-        "unit": "examples/s/chip",
-        "vs_baseline": round(headline / dispatch, 2),
-        "extra": extra,
-    }))
+
+    # ---- optional stages, cheapest first; each its own subprocess ----
+    def stage(key: str, args: list[str], cap: float, reserve: float = 15.0) -> None:
+        if remaining() < reserve + 20:
+            extra[key] = "skipped: deadline"
+            _progress(f"{key}: skipped (deadline)", t0)
+            return
+        res = run_stage(args, min(cap, remaining() - reserve))
+        res.pop("rows", None)
+        rc = res.pop("_rc")
+        el = res.pop("_elapsed_s")
+        if res:
+            # single-metric stages emit {key: value}; inline them
+            if key in res:
+                extra[key] = res[key]
+            else:
+                extra[key] = res
+            _progress(f"{key}: {extra[key]} ({el}s)", t0)
+        else:
+            extra[key] = f"no result (rc={rc})"
+            _progress(f"{key}: FAILED rc={rc}", t0)
+
+    stage("eals_ml1m_epoch_s", ["--stage", "eals"], 120)
+    stage("afm_train_examples_per_s", ["--stage", "afm"], 120)
+    stage("serving", ["--stage", "serving"], 120)
+    stage(
+        "bpr_ml1m_xla_scatter_examples_per_s",
+        ["--stage", "headline", "--kernel", "xla", "--shape", "ml1m",
+         "--k", "16", "--lo", "2", "--hi", "6"],
+        130,
+    )
+    stage("topk_qps_100k_items", ["--stage", "topk", "--n", "100000"], 110)
+    stage("topk_qps_1000k_items", ["--stage", "topk", "--n", "1000000"], 110)
+    stage("topk_qps_1000k_sq8", ["--stage", "topk", "--n", "1000000", "--mode", "sq"], 100)
+    stage(
+        "bpr_ml20m_shape_k64_examples_per_s",
+        ["--stage", "headline", "--kernel", "xla", "--shape", "ml20m",
+         "--k", "64", "--lo", "2", "--hi", "6"],
+        150,
+    )
+    stage(
+        "bpr_100kx50k_k16_examples_per_s",
+        ["--stage", "headline", "--kernel", "xla", "--shape", "100kx50k",
+         "--k", "16", "--lo", "2", "--hi", "6"],
+        150,
+    )
+
+    wd.cancel()
+    print(json.dumps(result), flush=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", default=None)
+    ap.add_argument("--kernel", default="xla")
+    ap.add_argument("--shape", default="ml1m")
+    ap.add_argument("--k", type=int, default=16)
+    ap.add_argument("--lo", type=int, default=5)
+    ap.add_argument("--hi", type=int, default=25)
+    ap.add_argument("--n", type=int, default=100_000)
+    ap.add_argument("--mode", default="seeded")
+    args = ap.parse_args()
+    if args.stage is None:
+        orchestrate()
+    elif args.stage == "smoke":
+        stage_smoke()
+    elif args.stage == "headline":
+        stage_headline(args.kernel, args.k, args.lo, args.hi, args.shape)
+    elif args.stage == "eals":
+        stage_eals()
+    elif args.stage == "afm":
+        stage_afm()
+    elif args.stage == "topk":
+        stage_topk(args.n, args.mode)
+    elif args.stage == "serving":
+        stage_serving()
+    else:
+        raise SystemExit(f"unknown stage {args.stage}")
 
 
 if __name__ == "__main__":

@@ -95,7 +95,11 @@ def _fetch(url: str, dst: Path) -> None:
 def _expected_checksum(name: str, zip_path: Path, mirror: str) -> str | None:
     if CHECKSUMS.get(name):
         return CHECKSUMS[name]
-    # optional sidecar: <name>.zip.sha256 next to the zip in the mirror
+    # Optional sidecar: <name>.zip.sha256 next to the zip in the mirror.
+    # TRUST LIMITATION (ADVICE r2): for http(s) mirrors the sidecar comes
+    # from the SAME origin as the zip, so this verifies transport integrity
+    # only — a tampered mirror can rewrite both. Pin the digest in
+    # CHECKSUMS (or ship it with a file:// mirror) for tamper resistance.
     sidecar = zip_path.with_name(zip_path.name + ".sha256")
     try:
         _fetch(f"{mirror.rstrip('/')}/{name}.zip.sha256", sidecar)
@@ -152,7 +156,9 @@ def locate_built_in(name: str, fmt: str) -> tuple[Path, Path]:
         raise ValueError(f"dataset {name!r} format is {actual_fmt}, not {fmt}")
     train_p = dataset_dir() / train_rel
     test_p = dataset_dir() / test_rel
-    if not train_p.exists():
+    # refetch when EITHER file is absent — a partially-extracted cache
+    # (train present, test missing) must repair itself (ADVICE r2)
+    if not train_p.exists() or not test_p.exists():
         fetch_built_in(name)
     if not train_p.exists() or not test_p.exists():
         raise FileNotFoundError(

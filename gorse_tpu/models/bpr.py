@@ -389,7 +389,8 @@ class BPR(MatrixFactorization):
 
                 if use_fused:
                     epoch_sharded = make_sharded_bpr_epoch_fused(
-                        mesh, n_steps=n_steps, n_items=n_items, lr=self.lr, reg=self.reg,
+                        mesh, n_steps=n_steps, n_items=n_items, lr=self.lr,
+                        reg=self.reg, n_tries=n_tries,
                     )
                 else:
                     # large catalog + mesh: streamed kernel per device, one
@@ -403,7 +404,8 @@ class BPR(MatrixFactorization):
                 q = place_global(mesh, pack_items(q), P())
             else:
                 epoch_sharded = make_sharded_bpr_epoch(
-                    mesh, n_steps=n_steps, n_items=n_items, lr=self.lr, reg=self.reg
+                    mesh, n_steps=n_steps, n_items=n_items, lr=self.lr,
+                    reg=self.reg, n_tries=n_tries,
                 )
                 q = q_repl
         elif use_fused or use_streamed:

