@@ -197,7 +197,7 @@ def _bpr_setup(data, k: int):
 def stage_headline(kernel: str, k: int, lo: int, hi: int, shape: str) -> None:
     """BPR training examples/s for one explicit kernel choice.
 
-    ``kernel``: "resident" | "fused" | "streamed" | "xla". The parent owns
+    ``kernel``: "resident" | "fused" | "xla". The parent owns
     the selection policy (smoke-gated ladder); non-TPU backends are forced
     to "xla" here so the stage still lands a number off-hardware."""
     jax = _stage_setup()
@@ -207,13 +207,8 @@ def stage_headline(kernel: str, k: int, lo: int, hi: int, shape: str) -> None:
         _bpr_epoch,
         _bpr_epoch_fused,
         _bpr_epoch_resident,
-        _bpr_epoch_streamed,
     )
-    from gorse_tpu.ops.bpr_kernel import (
-        fits_epoch_resident,
-        fits_epoch_streamed,
-        pack_items,
-    )
+    from gorse_tpu.ops.bpr_kernel import fits_epoch_resident, pack_items
 
     if shape == "ml1m":
         data = _make_ml1m()
@@ -239,10 +234,6 @@ def stage_headline(kernel: str, k: int, lo: int, hi: int, shape: str) -> None:
     elif kernel == "fused":
         q = pack_items(q)
         epoch_fn = _bpr_epoch_fused
-    elif kernel == "streamed":
-        q = pack_items(q)
-        assert fits_epoch_streamed(q.shape[0], st["max_len"], k)
-        epoch_fn = _bpr_epoch_streamed
     else:
         epoch_fn = _bpr_epoch
     kwargs = dict(
@@ -320,7 +311,6 @@ def stage_smoke() -> None:
         bpr_epoch_fused,
         bpr_fused_step,
         bpr_fully_fused_step,
-        bpr_streamed_step,
         pack_items,
         unpack_items,
     )
@@ -339,21 +329,6 @@ def stage_smoke() -> None:
             float(jnp.max(jnp.abs(p2 - p_ref))),
             float(jnp.max(jnp.abs(q2 - q_ref))),
             abs(float(cost - cost_ref)) / max(abs(float(cost_ref)), 1e-6),
-        )
-        assert d < 1e-3, f"parity {d}"
-        return d
-
-    def streamed_step_pairs():
-        # donate_argnums would delete the shared p; hand it a copy
-        p2, q2p, cost = bpr_streamed_step(
-            jnp.array(p), pack_items(q), pp, pc, jnp.zeros((1,), jnp.int32),
-            n_items=n_items, lr=0.05, reg=0.01, mm_dtype=jnp.float32,
-            pos=pos, neg=neg,
-        )
-        q2 = unpack_items(q2p, n_items, k)
-        d = max(
-            float(jnp.max(jnp.abs(p2 - p_ref))),
-            float(jnp.max(jnp.abs(q2 - q_ref))),
         )
         assert d < 1e-3, f"parity {d}"
         return d
@@ -388,7 +363,6 @@ def stage_smoke() -> None:
 
     if on_tpu:
         check("bpr_fused_step_pairs", fused_step_pairs)
-        check("bpr_streamed_step_pairs", streamed_step_pairs)
         check("bpr_fully_fused_step", fully_fused_step)
         check("bpr_resident_epoch", resident_epoch)
 

@@ -219,32 +219,6 @@ def _bpr_epoch_fused(
     return user_factors, q_packed, jnp.sum(costs)
 
 
-def _bpr_epoch_streamed(
-    user_factors: jax.Array,
-    q_packed: jax.Array,
-    padded_pos: jax.Array,
-    pos_counts: jax.Array,
-    key: jax.Array,
-    n_steps: int,
-    n_items: int,
-    lr: float,
-    reg: float,
-    n_tries: int = _NEG_TRIES,
-):
-    """Large-catalog epoch: the packed item table stays HBM-resident between
-    steps and is DMA'd once per sweep into VMEM; gather/scatter one-hots are
-    blocked over item rows (ops/bpr_kernel.bpr_epoch_streamed). Lifts the
-    fused path's ~1024-packed-row VMEM cliff (VERDICT r1) up to
-    fits_epoch_streamed() — e.g. ml-20m's 27k items at k=64."""
-    from ..ops.bpr_kernel import bpr_epoch_streamed
-
-    seed = jax.random.randint(key, (1,), 0, 2**31 - 1, dtype=jnp.int32)
-    return bpr_epoch_streamed(
-        user_factors, q_packed, padded_pos, pos_counts, seed,
-        n_steps=n_steps, n_items=n_items, lr=lr, reg=reg, n_tries=n_tries,
-    )
-
-
 def _bpr_epoch_resident(
     user_factors: jax.Array,
     q_packed: jax.Array,
@@ -328,12 +302,12 @@ class BPR(MatrixFactorization):
         #   and the whole epoch runs on-chip (57M ex/s at ml-1m vs 38M XLA).
         # - XLA scatter path beyond that: its gather/scatter cost scales
         #   with ACTIVE users, not catalog size (41M ex/s at ml-20m k=64,
-        #   26M at 100k x 50k — vs 11M/19M for the streamed one-hot kernel,
-        #   whose matmuls do O(users x packed_rows) work per sweep).
-        # - the streamed kernel remains explicit opt-in
-        #   (Params(use_streamed_kernel=True)): block-sequential update
-        #   semantics (closest to the reference's sequential loop) at a
-        #   measured throughput cost.
+        #   26M at 100k x 50k). A hand-written HBM-resident "streamed"
+        #   Pallas kernel for this regime was built in r1-r2 and RETIRED in
+        #   r3: its blocked one-hot matmuls did O(users x packed_rows) work
+        #   per sweep and measured 3.7x slower than the XLA scatter path at
+        #   ml-20m with no winning regime (ops/bpr_kernel.py:433 records
+        #   the numbers) — XLA scatter is the chosen large-catalog design.
         k = self.n_factors
         packed_rows = -(-train.count_items() * k // 128)
         vmem_bytes = (
@@ -349,17 +323,12 @@ class BPR(MatrixFactorization):
             and vmem_bytes < 10 * 1024 * 1024
         )
         use_resident = False
-        use_streamed = False
         if use_fused:
             from ..ops.bpr_kernel import fits_epoch_resident, pack_items, unpack_items
 
             use_resident = fits_epoch_resident(
                 train.count_users(), csr.padded.shape[1], packed_rows, k
             )
-        elif on_tpu_packable and self.params.get_bool("use_streamed_kernel", False):
-            from ..ops.bpr_kernel import fits_epoch_streamed, pack_items, unpack_items
-
-            use_streamed = fits_epoch_streamed(packed_rows, csr.padded.shape[1], k)
 
         p, q = self.user_factors, self.item_factors
         n_users = train.count_users()
@@ -374,7 +343,6 @@ class BPR(MatrixFactorization):
             from ..parallel.sharded import (
                 make_sharded_bpr_epoch,
                 make_sharded_bpr_epoch_fused,
-                make_sharded_bpr_epoch_streamed,
                 shard_bpr_inputs,
             )
 
@@ -382,23 +350,15 @@ class BPR(MatrixFactorization):
             p, q_repl, padded_pos, pos_counts, uids, _ = shard_bpr_inputs(
                 mesh, p, q, csr.padded, csr.counts
             )
-            if use_fused or use_streamed:
+            if use_fused:
                 from jax.sharding import PartitionSpec as P
 
                 from ..parallel.sharded import place_global
 
-                if use_fused:
-                    epoch_sharded = make_sharded_bpr_epoch_fused(
-                        mesh, n_steps=n_steps, n_items=n_items, lr=self.lr,
-                        reg=self.reg, n_tries=n_tries,
-                    )
-                else:
-                    # large catalog + mesh: streamed kernel per device, one
-                    # packed-delta psum per step (BASELINE configs[2])
-                    epoch_sharded = make_sharded_bpr_epoch_streamed(
-                        mesh, n_steps=n_steps, n_items=n_items, lr=self.lr,
-                        reg=self.reg, n_tries=n_tries,
-                    )
+                epoch_sharded = make_sharded_bpr_epoch_fused(
+                    mesh, n_steps=n_steps, n_items=n_items, lr=self.lr,
+                    reg=self.reg, n_tries=n_tries,
+                )
                 # multihost-safe replicated placement (device_put rejects
                 # non-addressable devices under jax.distributed)
                 q = place_global(mesh, pack_items(q), P())
@@ -408,14 +368,14 @@ class BPR(MatrixFactorization):
                     reg=self.reg, n_tries=n_tries,
                 )
                 q = q_repl
-        elif use_fused or use_streamed:
+        elif use_fused:
             q = pack_items(q)
         # full-set rejection bitset for the XLA path when the p99 cap bit
         # and the bitset is affordable (see cap comment above)
         bits = None
         if (
             not use_sharded
-            and not (use_fused or use_resident or use_streamed)
+            and not (use_fused or use_resident)
             and cap < widest
             and n_users_total * (-(-n_items // 32)) * 4 <= 64 * 1024 * 1024
         ):
@@ -430,9 +390,7 @@ class BPR(MatrixFactorization):
                 epoch_fn = (
                     _bpr_epoch_resident
                     if use_resident
-                    else _bpr_epoch_fused
-                    if use_fused
-                    else _bpr_epoch_streamed if use_streamed else _bpr_epoch
+                    else _bpr_epoch_fused if use_fused else _bpr_epoch
                 )
                 kwargs = dict(
                     n_steps=n_steps, n_items=n_items,
@@ -446,9 +404,7 @@ class BPR(MatrixFactorization):
             if (config.verbose and epoch % config.verbose == 0) or epoch == self.n_epochs:
                 cost = float(cost)  # blocks; also syncs the epoch
                 q_eval = (
-                    unpack_items(q, n_items, self.n_factors)
-                    if use_fused or use_streamed
-                    else q
+                    unpack_items(q, n_items, self.n_factors) if use_fused else q
                 )
                 metrics = evaluate_mf(p[:n_users], q_eval, *eval_cands, config.top_k)
                 history.append((epoch, metrics["NDCG"]))
@@ -472,7 +428,7 @@ class BPR(MatrixFactorization):
                     if best_epoch <= epoch - config.patience:
                         logger.info("early stopping at epoch %d (best %d)", epoch, best_epoch)
                         break
-        if use_fused or use_streamed:
+        if use_fused:
             q = unpack_items(q, n_items, self.n_factors)
         p = p[:n_users]
         self.user_factors, self.item_factors = p, q

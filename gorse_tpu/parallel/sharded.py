@@ -198,88 +198,6 @@ def make_sharded_bpr_epoch_fused(
 
 
 
-def make_sharded_bpr_epoch_streamed(
-    mesh: Mesh,
-    n_steps: int,
-    n_items: int,
-    lr: float,
-    reg: float,
-    block_u: int = 256,
-    row_block: int = 1024,
-    interpret: bool = False,
-    mm_dtype=jnp.bfloat16,
-    n_tries: int = _NEG_TRIES,
-):
-    """Sharded BPR epoch on the LARGE-CATALOG streamed Pallas kernel
-    (ops/bpr_kernel._streamed_call): users row-sharded, the packed item
-    table replicated and HBM-resident per device, one psum of the packed
-    [R, 128] delta per step — the BASELINE.json configs[2] shape (ml-20m
-    BPR k=64 with sharded embedding tables).
-
-    Sampling is the same counter-based scheme as the XLA/fused sharded
-    epochs (_sample_pair: identical samples under any sharding of the user
-    axis), passed to the kernel as explicit pairs — which also lets this
-    path run in interpret mode on CPU meshes (the kernel's on-chip PRNG has
-    no CPU lowering). Samples are sharding-invariant; results agree across
-    device counts to update-ORDER tolerance only, because the kernel folds
-    item deltas block-sequentially within each device's sweep while
-    cross-device deltas land at the end-of-step psum."""
-    from ..ops.bpr_kernel import LANES, _round_up, _streamed_call
-
-    axes = tuple(mesh.axis_names)
-
-    def epoch(p, q_packed, padded_pos, pos_counts, uids, key):
-        def local_epoch(p, q_packed, padded_pos, pos_counts, uids, key):
-            n_local, k = p.shape
-            n_users_total = n_local * mesh.size
-            max_len = _round_up(padded_pos.shape[1], LANES)
-            rows = q_packed.shape[0]
-            rows_pad = _round_up(rows, row_block)
-            u_pad = _round_up(n_local, block_u)
-            qp = jnp.zeros((rows_pad, LANES), jnp.float32).at[:rows].set(q_packed)
-            pp_arr = (
-                jnp.full((u_pad, max_len), -1, jnp.int32)
-                .at[:n_local, : padded_pos.shape[1]]
-                .set(padded_pos)
-            )
-            pc_arr = jnp.zeros((u_pad, 1), jnp.int32).at[:n_local, 0].set(pos_counts)
-            p_arr = jnp.zeros((u_pad, k), jnp.float32).at[:n_local].set(p)
-            zero_seed = jnp.zeros((1,), jnp.int32)  # kernel PRNG unused
-
-            def step(carry, step_key):
-                p_c, qp_c = carry
-                pos, neg = _sample_pair(
-                    padded_pos, pos_counts, uids, step_key, n_items,
-                    n_users_total, n_tries,
-                )
-                pos_p = jnp.zeros((u_pad, 1), jnp.int32).at[:n_local, 0].set(pos)
-                neg_p = jnp.zeros((u_pad, 1), jnp.int32).at[:n_local, 0].set(neg)
-                p_n, qp_n, cost = _streamed_call(
-                    zero_seed, pp_arr, pc_arr, p_c, qp_c,
-                    k=k, n_items=n_items, lr=lr, reg=reg, block_u=block_u,
-                    row_block=row_block, mm_dtype=mm_dtype, n_tries=n_tries,
-                    interpret=interpret, pairs=(pos_p, neg_p),
-                )
-                # every device folds every device's item updates
-                delta = jax.lax.psum(qp_n - qp_c, axes)
-                return (p_n, qp_c + delta), cost
-
-            keys = jax.random.split(key, n_steps)
-            (p_arr, qp), costs = jax.lax.scan(step, (p_arr, qp), keys)
-            total = jax.lax.psum(jnp.sum(costs), axes)
-            return p_arr[:n_local], qp[:rows], total[None]
-
-        return jax.shard_map(
-            local_epoch,
-            mesh=mesh,
-            in_specs=(P(axes, None), P(), P(axes, None), P(axes), P(axes), P()),
-            out_specs=(P(axes, None), P(), P()),
-            check_vma=False,  # pallas_call outputs carry no varying-axes info
-        )(p, q_packed, padded_pos, pos_counts, uids, key)
-
-    return jax.jit(epoch, donate_argnums=(0, 1))
-
-
 def place_global(mesh: Mesh, host_array, spec) -> jax.Array:
     """Place host data onto ``mesh`` with ``spec`` via
     ``make_array_from_callback`` — works on single-process meshes AND on

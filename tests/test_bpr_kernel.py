@@ -65,56 +65,3 @@ def test_pack_unpack_roundtrip():
     assert packed.shape[1] == 128
     back = unpack_items(packed, 37, 16)
     np.testing.assert_array_equal(np.asarray(back), q)
-
-
-def _streamed_reference(p, q, pos, neg, active, lr, reg, block_u):
-    """Block-sequential semantics: item updates fold into the table after
-    each user block; later blocks read the updated table."""
-    p_out = p.copy()
-    q_out = q.copy()
-    n = p.shape[0]
-    for lo in range(0, n, block_u):
-        hi = min(lo + block_u, n)
-        pb, qd, _ = _xla_reference(
-            p[lo:hi], q_out, pos[lo:hi], neg[lo:hi], active[lo:hi], lr, reg
-        )
-        p_out[lo:hi] = pb
-        q_out = q_out + qd
-    return p_out, q_out
-
-
-def _check_streamed(u, n_items, k, seed, block_u=64, row_block=256):
-    from gorse_tpu.ops.bpr_kernel import bpr_streamed_step
-
-    rng = np.random.default_rng(seed)
-    p = rng.normal(size=(u, k)).astype(np.float32)
-    q = rng.normal(size=(n_items, k)).astype(np.float32)
-    pos = rng.integers(0, n_items, size=u).astype(np.int32)
-    neg = rng.integers(0, n_items, size=u).astype(np.int32)
-    counts = (rng.uniform(size=u) > 0.1).astype(np.int32)  # active mask
-    pp = np.full((u, 4), -1, np.int32)
-    lr, reg = 0.05, 0.01
-    p_new, qp_new, _cost = bpr_streamed_step(
-        jnp.asarray(p), pack_items(jnp.asarray(q)), jnp.asarray(pp),
-        jnp.asarray(counts), jnp.zeros(1, jnp.int32),
-        n_items=n_items, lr=lr, reg=reg, block_u=block_u, row_block=row_block,
-        interpret=True, mm_dtype=jnp.float32,
-        pos=jnp.asarray(pos), neg=jnp.asarray(neg),
-    )
-    q_new = unpack_items(qp_new, n_items, k)
-    ref_p, ref_q = _streamed_reference(p, q, pos, neg, counts > 0, lr, reg, block_u)
-    np.testing.assert_allclose(np.asarray(p_new), ref_p, rtol=1e-5, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(q_new), ref_q, rtol=1e-4, atol=1e-6)
-
-
-def test_streamed_step_k16_multiblock():
-    # catalog big enough for several row blocks AND several user blocks
-    _check_streamed(u=200, n_items=4000, k=16, seed=5)
-
-
-def test_streamed_step_k64():
-    _check_streamed(u=100, n_items=2000, k=64, seed=6)
-
-
-def test_streamed_step_unaligned():
-    _check_streamed(u=130, n_items=1111, k=16, seed=7)

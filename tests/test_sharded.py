@@ -231,72 +231,3 @@ def test_bpr_fit_with_mesh():
     assert abs(sharded.ndcg - single.ndcg) < 0.05, (sharded.ndcg, single.ndcg)
 
 
-def test_sharded_streamed_kernel_matches_xla_and_shardings():
-    """The large-catalog streamed sharded epoch (users sharded, packed item
-    table replicated + HBM-resident, one packed-delta psum per step — the
-    ml-20m k=64 path, BASELINE configs[2]) uses the same counter-based
-    sampling as the XLA sharded epoch, so its result must (a) track the XLA
-    sharded epoch on identical keys up to block-sequential-vs-sweep-batched
-    summation order, and (b) be sharding-invariant (1 vs 4 devices)."""
-    from gorse_tpu.ops.bpr_kernel import pack_items, unpack_items
-    from gorse_tpu.parallel.sharded import (
-        make_sharded_bpr_epoch_streamed,
-        place_global,
-        shard_bpr_inputs,
-    )
-    from jax.sharding import PartitionSpec as P
-
-    data = synthetic_cf(n_users=120, n_items=90, rank=4, density=0.15, seed=11)
-    train, _ = data.split_cf(seed=0)
-    csr = train.padded_user_positives()
-    rng = np.random.default_rng(1)
-    k = 8
-    p0 = rng.normal(scale=0.01, size=(train.count_users(), k)).astype(np.float32)
-    q0 = rng.normal(scale=0.01, size=(train.count_items(), k)).astype(np.float32)
-    n_items = train.count_items()
-    key = jax.random.PRNGKey(3)
-
-    def run_streamed(n_dev):
-        mesh = make_mesh(n_dev)
-        epoch = make_sharded_bpr_epoch_streamed(
-            mesh, n_steps=8, n_items=n_items, lr=0.05, reg=0.01,
-            block_u=8, row_block=128, interpret=True, mm_dtype=jnp.float32,
-        )
-        p, _, pp, pc, uids, n_users = shard_bpr_inputs(
-            mesh, p0, q0, csr.padded, csr.counts
-        )
-        q = place_global(mesh, pack_items(jnp.asarray(q0)), P())
-        p, q, cost = epoch(p, q, pp, pc, uids, key)
-        return (
-            np.asarray(p)[:n_users],
-            np.asarray(unpack_items(q, n_items, k)),
-            float(cost[0]),
-        )
-
-    def run_xla(n_dev):
-        mesh = make_mesh(n_dev)
-        epoch = make_sharded_bpr_epoch(
-            mesh, n_steps=8, n_items=n_items, lr=0.05, reg=0.01
-        )
-        p, q, pp, pc, uids, n_users = shard_bpr_inputs(
-            mesh, p0, q0, csr.padded, csr.counts
-        )
-        p, q, cost = epoch(p, q, pp, pc, uids, key)
-        return np.asarray(p)[:n_users], np.asarray(q), float(cost[0])
-
-    ps1, qs1, cs1 = run_streamed(1)
-    ps4, qs4, cs4 = run_streamed(4)
-    px, qx, cx = run_xla(4)
-    # Identical SAMPLES on every path (counter-based). The streamed kernel
-    # folds item deltas block-sequentially within each device's sweep, so
-    # the visibility order of same-step updates varies with sharding (and vs
-    # the sweep-batched XLA path): agreement is to update-order tolerance,
-    # not bitwise — same relationship as single-device streamed-vs-XLA.
-    np.testing.assert_allclose(ps1, ps4, rtol=0.05, atol=5e-4)
-    np.testing.assert_allclose(qs1, qs4, rtol=0.05, atol=5e-4)
-    np.testing.assert_allclose(cs1, cs4, rtol=1e-3)
-    np.testing.assert_allclose(ps4, px, rtol=0.05, atol=5e-4)
-    np.testing.assert_allclose(qs4, qx, rtol=0.05, atol=5e-4)
-    np.testing.assert_allclose(cs4, cx, rtol=1e-3)
-    # and the epoch actually moved the factors
-    assert np.abs(ps4 - p0).max() > 1e-3
