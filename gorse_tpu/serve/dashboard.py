@@ -92,6 +92,8 @@ class MasterRestServer(RestServer):
         r("POST", "/api/admin/progress", self.post_progress)
         # dashboard previews (reference: master/rest.go:81-279 dashboard
         # routes returning entity details alongside scores)
+        r("GET", "/api/dashboard/feedback", self.get_dashboard_feedback)
+        r("GET", "/api/dashboard/feedback/{feedback-type}", self.get_dashboard_feedback)
         r("GET", "/api/dashboard/users", self.get_dashboard_users)
         r("GET", "/api/dashboard/user/{user-id}", self.get_dashboard_user)
         r("GET", "/api/dashboard/user/{user-id}/feedback", self.get_dashboard_user_feedback)
@@ -151,6 +153,46 @@ class MasterRestServer(RestServer):
             key(ck_mod.LAST_UPDATE_USER_RECOMMEND_TIME, user.user_id)
         ) or ""
         return d
+
+    def get_dashboard_feedback(self, req) -> dict:
+        """Paginated global feedback browser, rows joined with item details
+        (reference: master/rest.go:81-279 getFeedback — cursor-paginated
+        scan). The cursor is an integer offset into the type-filtered scan
+        (the stores' get_feedback iterator has a stable order)."""
+        import itertools
+
+        n = req.int_query("n", self.config.server.default_n)
+        n = max(1, min(n, 500))
+        try:
+            offset = int(req.query.get("cursor") or 0)
+        except ValueError:
+            raise HTTPError(400, "cursor must be an integer offset")
+        types = (
+            [req.params["feedback_type"]] if req.params.get("feedback_type") else None
+        )
+        rows = list(
+            itertools.islice(
+                self.data.get_feedback(feedback_types=types), offset, offset + n + 1
+            )
+        )
+        has_more = len(rows) > n
+        rows = rows[:n]
+        items = {
+            it.item_id: it
+            for it in self.data.batch_get_items([f.item_id for f in rows])
+        }
+        out = []
+        for f in rows:
+            it = items.get(f.item_id)
+            out.append({
+                "FeedbackType": f.feedback_type,
+                "UserId": f.user_id,
+                "Item": it.to_dict() if it else {
+                    "ItemId": f.item_id, "Comment": "** This item doesn't exist **",
+                },
+                "Timestamp": f.timestamp,
+            })
+        return {"Cursor": str(offset + n) if has_more else "", "Feedback": out}
 
     def get_dashboard_users(self, req) -> dict:
         n = req.int_query("n", self.config.server.default_n)

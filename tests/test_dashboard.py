@@ -251,6 +251,17 @@ def test_dashboard_previews(node):
     # feedback with full item objects
     status, fb = _get(base, "/api/dashboard/user/u1/feedback/like")
     assert status == 200 and fb and fb[0]["Item"]["ItemId"].startswith("i")
+    # global feedback browser: offset-cursor pagination, item join, type filter
+    status, page1 = _get(base, "/api/dashboard/feedback?n=10")
+    assert status == 200 and len(page1["Feedback"]) == 10 and page1["Cursor"] == "10"
+    assert page1["Feedback"][0]["Item"]["ItemId"].startswith("i")
+    status, page2 = _get(base, f"/api/dashboard/feedback?n=10&cursor={page1['Cursor']}")
+    assert status == 200 and page2["Feedback"]
+    k1 = {(f["UserId"], f["Item"]["ItemId"]) for f in page1["Feedback"]}
+    k2 = {(f["UserId"], f["Item"]["ItemId"]) for f in page2["Feedback"]}
+    assert not (k1 & k2), "pages overlap"
+    status, typed = _get(base, "/api/dashboard/feedback/like?n=5")
+    assert status == 200 and all(f["FeedbackType"] == "like" for f in typed["Feedback"])
     # recommendation preview with item details
     status, recs = _get(base, "/api/dashboard/recommend/u1?n=5")
     assert status == 200 and len(recs) == 5
