@@ -389,6 +389,8 @@ def stage_smoke() -> None:
         return f
 
     def sq():
+        from gorse_tpu.ops.topk import prepare_sq_items
+
         minv = jnp.min(items, axis=1)
         scale = (jnp.max(items, axis=1) - minv) / 255.0
         codes = jnp.clip(
@@ -399,7 +401,11 @@ def stage_smoke() -> None:
         s, _ = sq_topk(queries, codes, scale, minv, 10)
         d = float(jnp.max(jnp.abs(s - rs)))
         assert d < 0.2, f"parity {d} (bf16 matmul tolerance)"
-        return d
+        # Pallas serving path (uint8 blocks + affine epilogue)
+        sp, _ = sq_topk(queries, prepare_sq_items(codes, scale, minv), k_top=10)
+        dp = float(jnp.max(jnp.abs(sp - rs)))
+        assert dp < 0.2, f"pallas parity {dp}"
+        return max(d, dp)
 
     def pq():
         m, c, ds = 8, 16, 8
@@ -545,18 +551,19 @@ def stage_topk(n_items: int, mode: str) -> None:
     queries = jax.random.normal(jax.random.PRNGKey(2), (batch, d), jnp.float32)
 
     if mode == "sq":
-        from gorse_tpu.ops.topk import sq_topk
+        from gorse_tpu.ops.topk import prepare_sq_items, sq_topk
 
         minv = jnp.min(items, axis=1)
         scale = (jnp.max(items, axis=1) - minv) / 255.0
         codes = jnp.clip(
             jnp.round((items - minv[:, None]) / scale[:, None]), 0, 255
         ).astype(jnp.uint8)
+        prep = prepare_sq_items(codes, scale, minv)  # serving layout: built once
 
         def run(n: int) -> float:
             t0 = time.perf_counter()
             for i in range(n):
-                s, _ = sq_topk(queries + 1e-6 * i, codes, scale, minv, k_top)
+                s, _ = sq_topk(queries + 1e-6 * i, prep, k_top=k_top)
             _ = float(s[0, 0])
             return time.perf_counter() - t0
 

