@@ -6,10 +6,10 @@ exporter switch :556-568) with a dependency-free tracer: spans with W3C
 ``traceparent`` propagation, an in-memory buffer for the dashboard, and
 batched wire export to a collector:
 
-- ``otlp`` / ``otlphttp`` -> OTLP/HTTP with JSON encoding (the standard
-  opentelemetry-proto JSON mapping, POST to ``<endpoint>/v1/traces``). The
-  reference's ``otlp`` variant speaks gRPC; collectors accept both
-  transports on adjacent ports, and OTLP/HTTP keeps this stdlib-only.
+- ``otlp`` -> OTLP/gRPC (hand-encoded opentelemetry-proto wire format
+  through a grpcio generic stub — the reference's otlptracegrpc analog).
+- ``otlphttp`` -> OTLP/HTTP with JSON encoding (the standard
+  opentelemetry-proto JSON mapping, POST to ``<endpoint>/v1/traces``).
 - ``zipkin`` -> Zipkin v2 JSON (POST to the collector URL as configured,
   reference: zipkin.New(CollectorEndpoint)).
 
@@ -137,6 +137,117 @@ class OTLPHTTPExporter:
         urllib.request.urlopen(req, timeout=self.timeout).read()
 
 
+# --- minimal protobuf wire encoding (no generated code needed) ------------
+
+def _pb_varint(v: int) -> bytes:
+    out = bytearray()
+    v &= (1 << 64) - 1  # two's-complement for negative int64
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        out.append(b | (0x80 if v else 0))
+        if not v:
+            return bytes(out)
+
+
+def _pb_len(field: int, payload: bytes) -> bytes:
+    return _pb_varint((field << 3) | 2) + _pb_varint(len(payload)) + payload
+
+
+def _pb_var(field: int, v: int) -> bytes:
+    return _pb_varint(field << 3) + _pb_varint(v)
+
+
+def _pb_fixed64(field: int, v: int) -> bytes:
+    import struct
+
+    return _pb_varint((field << 3) | 1) + struct.pack("<Q", v)
+
+
+def _pb_double(field: int, v: float) -> bytes:
+    import struct
+
+    return _pb_varint((field << 3) | 1) + struct.pack("<d", v)
+
+
+def _pb_anyvalue(v) -> bytes:
+    # opentelemetry.proto.common.v1.AnyValue
+    if isinstance(v, bool):
+        return _pb_var(2, 1 if v else 0)
+    if isinstance(v, int):
+        return _pb_var(3, v)
+    if isinstance(v, float):
+        return _pb_double(4, v)
+    return _pb_len(1, str(v).encode())
+
+
+def _pb_keyvalue(k: str, v) -> bytes:
+    return _pb_len(1, k.encode()) + _pb_len(2, _pb_anyvalue(v))
+
+
+class OTLPGRPCExporter:
+    """OTLP/gRPC exporter — the reference's ``otlp`` variant
+    (config/config.go:407-413 wires otlptracegrpc; closes the r2 "OTLP/HTTP
+    only" divergence). Spans are hand-encoded on the opentelemetry-proto
+    wire format (ExportTraceServiceRequest) and sent through a grpcio
+    generic unary stub to ``TraceService/Export`` — no generated OTLP
+    stubs, matching this repo's hand-written wire-client approach.
+    """
+
+    METHOD = "/opentelemetry.proto.collector.trace.v1.TraceService/Export"
+
+    def __init__(self, endpoint: str = "", service_name: str = "gorse_tpu", timeout: float = 2.0):
+        endpoint = endpoint or "localhost:4317"
+        # accept URL-ish endpoints (http://host:4317) like the reference's
+        # WithEndpointURL handling
+        for prefix in ("http://", "https://", "grpc://"):
+            if endpoint.startswith(prefix):
+                endpoint = endpoint[len(prefix):]
+        self.target = endpoint.rstrip("/")
+        self.service_name = service_name
+        self.timeout = timeout
+        self._rpc = None
+
+    def encode(self, spans: list["Span"]) -> bytes:
+        """ExportTraceServiceRequest{resource_spans=[{resource, scope_spans}]}."""
+        pb_spans = b""
+        for s in spans:
+            body = _pb_len(1, bytes.fromhex(s.trace_id))
+            body += _pb_len(2, bytes.fromhex(s.span_id))
+            if s.parent_id:
+                body += _pb_len(4, bytes.fromhex(s.parent_id))
+            body += _pb_len(5, s.name.encode())
+            body += _pb_var(6, 1)  # SPAN_KIND_INTERNAL
+            body += _pb_fixed64(7, int(s.start * 1e9))
+            body += _pb_fixed64(8, int((s.end or s.start) * 1e9))
+            for k, v in s.attrs.items():
+                body += _pb_len(9, _pb_keyvalue(k, v))
+            status = (
+                _pb_var(3, 1)
+                if s.status == "ok"
+                else _pb_len(2, s.status.encode()) + _pb_var(3, 2)
+            )
+            body += _pb_len(15, status)
+            pb_spans += _pb_len(2, body)  # ScopeSpans.spans
+        scope = _pb_len(1, _pb_len(1, b"gorse_tpu"))  # InstrumentationScope.name
+        scope_spans = scope + pb_spans
+        resource = _pb_len(1, _pb_keyvalue("service.name", self.service_name))
+        resource_spans = _pb_len(1, resource) + _pb_len(2, scope_spans)
+        return _pb_len(1, resource_spans)
+
+    def export(self, spans: list["Span"]) -> None:
+        if self._rpc is None:
+            import grpc
+
+            channel = grpc.insecure_channel(self.target)
+            self._rpc = channel.unary_unary(
+                self.METHOD,
+                request_serializer=lambda b: b,
+                response_deserializer=lambda b: b,
+            )
+        self._rpc(self.encode(spans), timeout=self.timeout)
+
+
 class ZipkinExporter:
     """Zipkin v2 JSON exporter (POST to the configured collector URL,
     reference exporter switch master/master.go:558-561)."""
@@ -178,7 +289,10 @@ def make_exporter(exporter: str, endpoint: str = "", service_name: str = "gorse_
     (config/config.go:409: oneof=zipkin otlp otlphttp)."""
     if exporter == "zipkin":
         return ZipkinExporter(endpoint, service_name)
-    if exporter in ("otlp", "otlphttp"):
+    if exporter == "otlp":
+        # the reference's otlp == OTLP/gRPC (otlptracegrpc)
+        return OTLPGRPCExporter(endpoint, service_name)
+    if exporter == "otlphttp":
         return OTLPHTTPExporter(endpoint, service_name)
     raise ValueError(f"unknown tracing exporter {exporter!r}")
 

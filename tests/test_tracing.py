@@ -200,3 +200,106 @@ def test_configure_from_collector_endpoint():
     t = configure_from(cfg)
     assert t.exporter.endpoint == "http://example:4318/v1/traces"
     configure(enabled=False)
+
+
+def _pb_parse(data: bytes) -> list:
+    """Minimal protobuf wire parser: [(field, wire_type, value), ...]."""
+    import struct
+
+    out, i = [], 0
+    while i < len(data):
+        tag, shift = 0, 0
+        while True:
+            b = data[i]; i += 1
+            tag |= (b & 0x7F) << shift
+            shift += 7
+            if not b & 0x80:
+                break
+        field, wt = tag >> 3, tag & 7
+        if wt == 0:
+            v, shift = 0, 0
+            while True:
+                b = data[i]; i += 1
+                v |= (b & 0x7F) << shift
+                shift += 7
+                if not b & 0x80:
+                    break
+            out.append((field, wt, v))
+        elif wt == 1:
+            out.append((field, wt, struct.unpack("<Q", data[i:i + 8])[0])); i += 8
+        elif wt == 2:
+            ln, shift = 0, 0
+            while True:
+                b = data[i]; i += 1
+                ln |= (b & 0x7F) << shift
+                shift += 7
+                if not b & 0x80:
+                    break
+            out.append((field, wt, data[i:i + ln])); i += ln
+        else:
+            raise AssertionError(f"unexpected wire type {wt}")
+    return out
+
+
+def test_otlp_grpc_export_wire_format():
+    """OTLP/gRPC exporter (the reference's `otlp` variant,
+    config/config.go:407-413): spans reach an in-process gRPC TraceService
+    as a valid opentelemetry-proto ExportTraceServiceRequest."""
+    import grpc
+    from concurrent import futures
+
+    from gorse_tpu.utils.tracing import OTLPGRPCExporter, Tracer
+
+    received = []
+
+    def export_handler(request: bytes, context) -> bytes:
+        received.append(request)
+        return b""  # empty ExportTraceServiceResponse
+
+    server = grpc.server(futures.ThreadPoolExecutor(max_workers=2))
+    handler = grpc.method_handlers_generic_handler(
+        "opentelemetry.proto.collector.trace.v1.TraceService",
+        {"Export": grpc.unary_unary_rpc_method_handler(
+            export_handler,
+            request_deserializer=lambda b: b,
+            response_serializer=lambda b: b,
+        )},
+    )
+    server.add_generic_rpc_handlers((handler,))
+    port = server.add_insecure_port("127.0.0.1:0")
+    server.start()
+    try:
+        t = Tracer(
+            enabled=True,
+            exporter=OTLPGRPCExporter(f"127.0.0.1:{port}"),
+            batch_size=2,
+        )
+        with t.span("parent", kind="train") as parent:
+            with t.span("child", step=3):
+                pass
+        t.flush()
+        assert len(received) == 1
+        # ExportTraceServiceRequest -> resource_spans(1)
+        req = _pb_parse(received[0])
+        rs = _pb_parse([v for f, _, v in req if f == 1][0])
+        resource = _pb_parse([v for f, _, v in rs if f == 1][0])
+        kv = _pb_parse(resource[0][2])
+        assert kv[0][2] == b"service.name"
+        scope_spans = _pb_parse([v for f, _, v in rs if f == 2][0])
+        spans = [_pb_parse(v) for f, _, v in scope_spans if f == 2]
+        assert len(spans) == 2
+        by_name = {dict((f, v) for f, _, v in s)[5]: dict((f, v) for f, _, v in s) for s in spans}
+        assert set(by_name) == {b"parent", b"child"}
+        child, par = by_name[b"child"], by_name[b"parent"]
+        assert child[1].hex() == par[1].hex() == parent.trace_id  # trace_id
+        assert child[4].hex() == par[2].hex()  # parent_span_id == parent.span_id
+        assert len(child[1]) == 16 and len(child[2]) == 8
+        assert child[8] >= child[7]  # end >= start (fixed64 nanos)
+        attr = _pb_parse(child[9])
+        assert attr[0][2] == b"step"
+        any_v = _pb_parse([v for f, _, v in attr if f == 2][0])
+        assert any_v[0] == (3, 0, 3)  # int_value = 3
+        status = _pb_parse(child[15])
+        assert (3, 0, 1) in status  # STATUS_CODE_OK
+    finally:
+        server.stop(0)
