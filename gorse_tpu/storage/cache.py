@@ -476,7 +476,7 @@ def open_cache_store(
         from .proxy import ProxyCacheStore
 
         return ProxyCacheStore(url[len("proxy://"):])
-    if url.startswith("redis://"):
+    if url.startswith(("redis://", "redis+cluster://")):
         from .redis import RedisCacheStore
 
         return RedisCacheStore(

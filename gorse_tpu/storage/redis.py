@@ -8,7 +8,11 @@ for SearchScores, this build lays documents out on plain Redis structures
 so any Redis-compatible server works — including the embedded ``MiniRedis``
 test fixture (storage/resp.py).
 
-URL format: ``redis://[:password@]host:port[/db]``.
+URL format: ``redis://[:password@]host:port[/db]`` or
+``redis+cluster://[:password@]host:port[?addr=host2:port2&addr=...]`` (the
+reference's go-redis ClusterClient URI, build_test.yml redis+cluster job) —
+cluster mode routes per key slot with MOVED/ASK following and runs
+scans/purges on every master (storage/resp.RespClusterClient).
 """
 
 from __future__ import annotations
@@ -17,8 +21,21 @@ import json
 import uuid
 
 from .cache import CacheStore, _match_categories
-from .resp import RespClient
+from .resp import RespClient, RespClusterClient
 from .types import Score, TimeSeriesPoint
+
+
+def _parse_cluster_url(url: str) -> tuple[list[tuple[str, int]], str | None]:
+    """redis+cluster://[:pass@]host:port[?addr=h2:p2&addr=...] -> nodes."""
+    import urllib.parse
+
+    parsed = urllib.parse.urlparse(url)
+    password = parsed.password or None
+    nodes = [(parsed.hostname or "127.0.0.1", parsed.port or 6379)]
+    for a in urllib.parse.parse_qs(parsed.query).get("addr", []):
+        host, _, port_s = a.rpartition(":")
+        nodes.append((host, int(port_s)))
+    return nodes, password
 
 
 def _parse_url(url: str) -> tuple[str, int, int, str | None]:
@@ -50,8 +67,12 @@ class RedisCacheStore(CacheStore):
         client_name: str = "",
         max_search_results: int = 0,
     ) -> None:
-        host, port, db, password = _parse_url(url)
-        self._c = RespClient(host, port, db=db, password=password)
+        if url.startswith("redis+cluster://"):
+            nodes, password = _parse_cluster_url(url)
+            self._c = RespClusterClient(nodes, password=password)
+        else:
+            host, port, db, password = _parse_url(url)
+            self._c = RespClient(host, port, db=db, password=password)
         self._p = key_prefix
         self._max_search = max_search_results
         if client_name:
@@ -206,10 +227,19 @@ class RedisCacheStore(CacheStore):
             return False
 
     def purge(self) -> None:
+        cluster = getattr(self._c, "is_cluster", False)
         for prefix in ("kv", "q", "qm", "zs", "doc", "subs", "ts"):
-            keys = self._c.call("KEYS", f"{self._p}{prefix}:*") or []
-            if keys:
-                self._c.call("DEL", *keys)
+            pattern = f"{self._p}{prefix}:*"
+            if cluster:
+                # per-master scan + slot-safe single-key deletes (the
+                # reference's ForEachMaster purge, redis.go:451-463)
+                keys = [k for node in self._c.call_all("KEYS", pattern) for k in (node or [])]
+                if keys:
+                    self._c.pipeline([("DEL", k) for k in keys])
+            else:
+                keys = self._c.call("KEYS", pattern) or []
+                if keys:
+                    self._c.call("DEL", *keys)
         self._c.call("DEL", f"{self._p}tsn")
 
     def close(self) -> None:

@@ -138,8 +138,18 @@ class MiniRedis:
     ZRANGE [REV] [WITHSCORES], ZCARD, HSET, HGET, HGETALL, HDEL.
     """
 
-    def __init__(self, host: str = "127.0.0.1", port: int = 0) -> None:
+    def __init__(
+        self,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        cluster_slots: tuple[int, int] | None = None,
+    ) -> None:
         state = self.state = _MiniRedisState()
+        # cluster mode (MiniRedisCluster): this node's owned slot range and
+        # the full peer table [(host, port, lo, hi)], set post-construction
+        self.cluster_slots = cluster_slots
+        self.cluster_peers: list[tuple[str, int, int, int]] = []
+        mini = self
 
         class Handler(socketserver.StreamRequestHandler):
             def handle(self) -> None:
@@ -178,7 +188,11 @@ class MiniRedis:
             @staticmethod
             def _encode(v) -> bytes:
                 if isinstance(v, RespError):
-                    return b"-ERR %s\r\n" % str(v).encode()
+                    msg = str(v)
+                    # redirects/typed errors carry their own code word
+                    if msg.startswith(("MOVED ", "ASK ", "CROSSSLOT", "WRONGTYPE", "ERR ")):
+                        return b"-%s\r\n" % msg.encode()
+                    return b"-ERR %s\r\n" % msg.encode()
                 if isinstance(v, Simple):
                     return b"+%s\r\n" % str(v).encode()
                 if isinstance(v, bool):
@@ -201,6 +215,33 @@ class MiniRedis:
             def _dispatch(self, args: list[str]):
                 cmd, rest = args[0].upper(), args[1:]
                 s = state
+                # cluster mode: bounce keys outside this node's slot range
+                if (
+                    mini.cluster_slots is not None
+                    and rest
+                    and cmd not in (
+                        "PING", "AUTH", "SELECT", "CLIENT", "CLUSTER",
+                        "KEYS", "FLUSHDB", "FLUSHALL", "ASKING",
+                    )
+                ):
+                    slot = keyslot(rest[0])
+                    lo, hi = mini.cluster_slots
+                    if not (lo <= slot <= hi):
+                        for (ph, pp, plo, phi) in mini.cluster_peers:
+                            if plo <= slot <= phi:
+                                raise RespError(f"MOVED {slot} {ph}:{pp}")
+                        raise RespError(f"MOVED {slot} unknown:0")
+                if cmd == "CLUSTER" and rest and rest[0].upper() == "NODES":
+                    lines = []
+                    for i, (ph, pp, plo, phi) in enumerate(mini.cluster_peers):
+                        myself = ",myself" if (ph, pp) == (mini.host, mini.port) else ""
+                        lines.append(
+                            f"node{i} {ph}:{pp}@{pp + 10000} "
+                            f"master{myself} - 0 0 {i} connected {plo}-{phi}"
+                        )
+                    return "\n".join(lines)
+                if cmd == "ASKING":
+                    return Simple("OK")
                 with s.lock:
                     if cmd == "PING":
                         return Simple("PONG")
@@ -310,3 +351,205 @@ class MiniRedis:
     def close(self) -> None:
         self._server.shutdown()
         self._server.server_close()
+
+
+# ---------------------------------------------------------------------------
+# Redis Cluster (reference: storage/cache/redis.go uses go-redis
+# ClusterClient for redis+cluster:// URIs; scans run per-master via
+# ForEachMaster, redis.go:133-166)
+# ---------------------------------------------------------------------------
+
+
+def crc16_xmodem(data: bytes) -> int:
+    """CRC16/XMODEM — the Redis Cluster key-slot hash."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x1021) if crc & 0x8000 else (crc << 1)
+        crc &= 0xFFFF
+    return crc
+
+
+def keyslot(key: str) -> int:
+    """Cluster slot for a key, honoring {hash tags}."""
+    raw = key.encode()
+    start = raw.find(b"{")
+    if start != -1:
+        end = raw.find(b"}", start + 1)
+        if end > start + 1:  # non-empty tag
+            raw = raw[start + 1 : end]
+    return crc16_xmodem(raw) % 16384
+
+
+# commands that carry no routable key (routed to any node)
+_KEYLESS = {
+    "PING", "AUTH", "SELECT", "CLIENT", "CLUSTER", "KEYS", "FLUSHDB",
+    "FLUSHALL", "ASKING", "INFO", "SCRIPT",
+}
+
+
+class RespClusterClient:
+    """Redis Cluster client over :class:`RespClient` connections.
+
+    Routing: each single-key command goes to the cached slot owner (learned
+    lazily from ``-MOVED`` redirects, the protocol's own teaching mechanism;
+    ``-ASK`` redirects are honored one-shot with ``ASKING``). Pipelines are
+    split per target node and reassembled in order; commands a node bounces
+    are retried individually through the redirect path. ``call_all`` runs a
+    (keyless) command on every master — the go-redis ``ForEachMaster``
+    analog the reference uses for scans/flushes.
+    """
+
+    is_cluster = True
+    _MAX_REDIRECTS = 5
+
+    def __init__(self, nodes: list[tuple[str, int]], password: str | None = None) -> None:
+        if not nodes:
+            raise ValueError("redis+cluster:// needs at least one node")
+        self._password = password
+        self._addrs = [(h, int(p)) for h, p in nodes]
+        self._conns: dict[tuple[str, int], RespClient] = {}
+        self._slot_owner: dict[int, tuple[str, int]] = {}
+        self._lock = threading.RLock()
+
+    # --- connections / topology
+    def _conn(self, addr: tuple[str, int]) -> RespClient:
+        with self._lock:
+            c = self._conns.get(addr)
+            if c is None:
+                c = RespClient(addr[0], addr[1], password=self._password)
+                self._conns[addr] = c
+                if addr not in self._addrs:
+                    self._addrs.append(addr)
+            return c
+
+    def masters(self) -> list[tuple[str, int]]:
+        """Master node addresses from CLUSTER NODES (fallback: known nodes)."""
+        for addr in list(self._addrs):
+            try:
+                raw = self._conn(addr).call("CLUSTER", "NODES")
+            except (RespError, OSError, ConnectionError):
+                continue
+            out = []
+            for line in (raw or "").splitlines():
+                parts = line.split()
+                if len(parts) >= 3 and "master" in parts[2] and "fail" not in parts[2]:
+                    hp = parts[1].split("@")[0]
+                    host, _, port_s = hp.rpartition(":")
+                    out.append((host, int(port_s)))
+            if out:
+                return out
+        return list(self._addrs)
+
+    @staticmethod
+    def _key_of(args: tuple) -> str | None:
+        if len(args) < 2 or str(args[0]).upper() in _KEYLESS:
+            return None
+        return str(args[1])
+
+    def _addr_for(self, args: tuple) -> tuple[str, int]:
+        key = self._key_of(args)
+        if key is None:
+            return self._addrs[0]
+        return self._slot_owner.get(keyslot(key), self._addrs[0])
+
+    @staticmethod
+    def _parse_redirect(msg: str) -> tuple[int, tuple[str, int]]:
+        # "MOVED 3999 127.0.0.1:6381" / "ASK 3999 127.0.0.1:6381"
+        _, slot_s, hp = msg.split(" ", 2)
+        host, _, port_s = hp.rpartition(":")
+        return int(slot_s), (host, int(port_s))
+
+    # --- public API (RespClient-compatible)
+    def call(self, *args):
+        addr = self._addr_for(args)
+        asking = False
+        for _ in range(self._MAX_REDIRECTS):
+            conn = self._conn(addr)
+            try:
+                if asking:
+                    conn.call("ASKING")
+                    asking = False
+                return conn.call(*args)
+            except RespError as e:
+                msg = str(e)
+                if msg.startswith("MOVED "):
+                    slot, addr = self._parse_redirect(msg)
+                    with self._lock:
+                        self._slot_owner[slot] = addr
+                    continue
+                if msg.startswith("ASK "):
+                    _, addr = self._parse_redirect(msg)
+                    asking = True
+                    continue
+                raise
+        raise RespError(f"too many cluster redirects for {args[:2]}")
+
+    def call_all(self, *args) -> list:
+        """Run a keyless command on every master; returns per-master replies."""
+        return [self._conn(a).call(*args) for a in self.masters()]
+
+    def pipeline(self, commands: list[tuple]) -> list:
+        if not commands:
+            return []
+        by_addr: dict[tuple[str, int], list[int]] = {}
+        for i, cmd in enumerate(commands):
+            by_addr.setdefault(self._addr_for(cmd), []).append(i)
+        results: list = [None] * len(commands)
+        for addr, idxs in by_addr.items():
+            conn = self._conn(addr)
+            batch = [commands[i] for i in idxs]
+            with conn._lock:
+                conn._sock.sendall(b"".join(conn._encode(c) for c in batch))
+                for i in idxs:
+                    try:
+                        results[i] = conn._read_reply()
+                    except RespError as e:
+                        if str(e).startswith(("MOVED ", "ASK ")):
+                            results[i] = e  # retry below, outside the batch
+                        else:
+                            raise
+        for i, r in enumerate(results):
+            if isinstance(r, RespError):
+                results[i] = self.call(*commands[i])
+        return results
+
+    def close(self) -> None:
+        with self._lock:
+            for c in self._conns.values():
+                c.close()
+            self._conns.clear()
+
+
+class MiniRedisCluster:
+    """In-process N-node Redis Cluster fixture: each node owns a contiguous
+    slot range and bounces keys it does not own with ``-MOVED``, serves
+    CLUSTER NODES, and restricts KEYS to its local keyspace — the behaviors
+    RespClusterClient routes around (the redis-cluster compat-test analog,
+    reference build_test.yml redis+cluster:// job)."""
+
+    def __init__(self, n_nodes: int = 3, host: str = "127.0.0.1") -> None:
+        bounds = [i * 16384 // n_nodes for i in range(n_nodes)] + [16384]
+        self.nodes: list[MiniRedis] = []
+        ranges: list[tuple[int, int]] = []
+        for i in range(n_nodes):
+            rng = (bounds[i], bounds[i + 1] - 1)
+            node = MiniRedis(host=host, cluster_slots=rng)
+            self.nodes.append(node)
+            ranges.append(rng)
+        peers = [
+            (n.host, n.port, r[0], r[1]) for n, r in zip(self.nodes, ranges)
+        ]
+        for node in self.nodes:
+            node.cluster_peers = peers
+
+    @property
+    def url(self) -> str:
+        first = self.nodes[0]
+        extra = "&".join(f"addr={n.host}:{n.port}" for n in self.nodes[1:])
+        return f"redis+cluster://{first.host}:{first.port}" + (f"?{extra}" if extra else "")
+
+    def close(self) -> None:
+        for n in self.nodes:
+            n.close()

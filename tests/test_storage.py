@@ -56,9 +56,12 @@ def _proxy_pair(**stores):
 REAL_ENV = {
     "postgres-real": "GORSE_TEST_POSTGRES_URI",
     "mysql-real": "GORSE_TEST_MYSQL_URI",
+    "mariadb-real": "GORSE_TEST_MARIADB_URI",  # MySQL wire client 1:1
     "clickhouse-real": "GORSE_TEST_CLICKHOUSE_URI",
     "mongodb-real": "GORSE_TEST_MONGO_URI",
     "redis-real": "GORSE_TEST_REDIS_URI",
+    "kvrocks-real": "GORSE_TEST_KVROCKS_URI",  # RESP client 1:1
+    "redis-cluster-real": "GORSE_TEST_REDIS_CLUSTER_URI",
 }
 
 
@@ -78,7 +81,8 @@ def _open_real(param: str, opener):
 @pytest.fixture(
     params=[
         "memory", "sqlite", "proxy", "postgres", "mysql", "clickhouse", "mongodb",
-        "postgres-real", "mysql-real", "clickhouse-real", "mongodb-real",
+        "postgres-real", "mysql-real", "mariadb-real", "clickhouse-real",
+        "mongodb-real",
     ]
 )
 def data_store(request):
@@ -118,8 +122,10 @@ def data_store(request):
 
 @pytest.fixture(
     params=[
-        "memory", "sqlite", "proxy", "redis", "postgres", "mysql", "mongodb",
-        "redis-real", "postgres-real", "mysql-real", "mongodb-real",
+        "memory", "sqlite", "proxy", "redis", "redis-cluster", "postgres",
+        "mysql", "mongodb",
+        "redis-real", "kvrocks-real", "redis-cluster-real", "postgres-real",
+        "mysql-real", "mongodb-real",
     ]
 )
 def cache_store(request):
@@ -164,6 +170,19 @@ def cache_store(request):
         yield store
         store.close()
         mini.close()
+        return
+    if request.param == "redis-cluster":
+        # 3-node slot-partitioned cluster fixture: exercises MOVED routing,
+        # per-node pipeline splitting, and per-master scans (the reference's
+        # redis+cluster:// compat job, build_test.yml)
+        from gorse_tpu.storage.redis import RedisCacheStore
+        from gorse_tpu.storage.resp import MiniRedisCluster
+
+        cluster = MiniRedisCluster(3)
+        store = RedisCacheStore(cluster.url)
+        yield store
+        store.close()
+        cluster.close()
         return
     yield MemoryCacheStore() if request.param == "memory" else SQLiteCacheStore()
 
@@ -439,3 +458,41 @@ def test_item_search_without_reconcile(tmp_path):
     writer2.reconcile(["item_id", "comment"])
     writer2.insert_feedback([Feedback("like", "u1", "brandnew42")])
     assert [i.item_id for i in writer2.search_items("brandnew42", 5)] == ["brandnew42"]
+
+
+def test_redis_cluster_routing_and_redirects():
+    """Slot routing fundamentals: CRC16 keyslot matches Redis's published
+    vectors, MOVED redirects teach the slot map, pipelines split per node,
+    and per-master scans see the union keyspace."""
+    from gorse_tpu.storage.resp import (
+        MiniRedisCluster,
+        RespClusterClient,
+        keyslot,
+    )
+
+    # published CRC16/XMODEM-derived slot vectors (redis cluster spec)
+    assert keyslot("foo") == 12182
+    assert keyslot("bar") == 5061
+    assert keyslot("{user1000}.following") == keyslot("{user1000}.followers")
+
+    cluster = MiniRedisCluster(3)
+    try:
+        c = RespClusterClient([(cluster.nodes[0].host, cluster.nodes[0].port)])
+        # a spread of keys must land on different nodes via MOVED learning
+        for i in range(30):
+            assert c.call("SET", f"k{i}", f"v{i}") == "OK"
+        assert len(c._slot_owner) > 0  # learned from redirects
+        got = c.pipeline([("GET", f"k{i}") for i in range(30)])
+        assert got == [f"v{i}" for i in range(30)]
+        # keys really are distributed (no single node holds all)
+        per_node = [len(n.state.keys()) for n in cluster.nodes]
+        assert sum(per_node) == 30 and max(per_node) < 30
+        # per-master union scan
+        all_keys = sorted(
+            k for node in c.call_all("KEYS", "k*") for k in (node or [])
+        )
+        assert all_keys == sorted(f"k{i}" for i in range(30))
+        assert len(c.masters()) == 3  # CLUSTER NODES parsed
+        c.close()
+    finally:
+        cluster.close()
