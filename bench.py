@@ -594,6 +594,10 @@ def stage_topk(n_items: int, mode: str) -> None:
     for name, run in (("pallas_seeded", run_pallas), ("xla", run_xla)):
         sec = marginal_seconds(run, lo, hi)
         out[name] = round((hi - lo) * batch / sec)
+    # B=256 is the kernel's design point: larger batches force smaller item
+    # blocks through the scoped-VMEM cap (see _dot_topk_prepared) and lose
+    # more to per-step overhead than the extra rows amortize (B=1024 at the
+    # capped block measured 54k q/s vs 161k here).
     emit({f"topk_qps_{n_items // 1000}k_items": out})
 
 

@@ -643,6 +643,13 @@ def _dot_topk_prepared(
     # per-grid-step overhead); if nothing fits with the maxima buffers,
     # drop to the single-pass kernel rather than overflow VMEM
     budget = 12 * 1024 * 1024
+    # Empirical cap beyond the analytic budget: the compiler's scoped-vmem
+    # stack for the extraction temporaries grows with b_pad * block_n, and
+    # B=1024 x block 1024 measured a 16.3M scoped allocation against the
+    # 16M limit on v5e. Keep b_pad * block_n at or below the proven
+    # 256 x 4096 point once the batch exceeds 256.
+    if b_pad > 256:
+        block_n = min(block_n, max(512, (256 * 4096) // b_pad // 2))
     candidates_bn = [bn for bn in (block_n, 2048, 1024, 512, 256) if bn <= block_n]
     fit = [bn for bn in candidates_bn if vmem_cost(bn, seeded) <= budget]
     if fit:
