@@ -873,7 +873,7 @@ def orchestrate() -> None:
     )
     stage("topk_qps_100k_items", ["--stage", "topk", "--n", "100000"], 110)
     stage("topk_qps_1000k_items", ["--stage", "topk", "--n", "1000000"], 110)
-    stage("topk_qps_1000k_sq8", ["--stage", "topk", "--n", "1000000", "--mode", "sq"], 100)
+    stage("topk_qps_1000k_sq8", ["--stage", "topk", "--n", "1000000", "--mode", "sq"], 140)
     stage(
         "bpr_ml20m_shape_k64_examples_per_s",
         ["--stage", "headline", "--kernel", "xla", "--shape", "ml20m",
