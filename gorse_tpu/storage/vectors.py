@@ -80,6 +80,32 @@ def _pq_subspaces(dimension: int, bits: int) -> int:
     return m
 
 
+def _device_serving_enabled(n_rows: int) -> bool:
+    """Large collections on a TPU backend serve through the streaming Pallas
+    top-k (ops/topk) instead of the XLA materialize-and-sort formulation;
+    tests monkeypatch this to exercise the device path in interpret mode."""
+    import jax
+
+    return jax.default_backend() == "tpu" and n_rows >= 1024
+
+
+def _sq_recompress(matrix: np.ndarray):
+    """Vectorized per-row 8-bit affine quantization of a decoded table —
+    the serving decode-cache for pq/rq collections: codes stay compressed at
+    rest; serving recompresses the decoded rows to uint8 (relative error
+    ~0.4%, far below the 4-8x pq/rq quantization error) so queries run
+    through the PreparedSQ Pallas kernel. Returns (codes, scale, minv,
+    norms2-of-the-ORIGINAL-decoded-rows is NOT returned — callers keep their
+    own norms2)."""
+    lo = matrix.min(axis=1).astype(np.float32)
+    hi = matrix.max(axis=1).astype(np.float32)
+    scale = np.where(hi > lo, (hi - lo) / 255.0, 1.0).astype(np.float32)
+    codes = np.clip(
+        np.rint((matrix - lo[:, None]) / scale[:, None]), 0, 255
+    ).astype(np.uint8)
+    return codes, scale, lo
+
+
 def _train_pq(matrix: np.ndarray, m: int, seed: int = 0) -> np.ndarray:
     """K-means codebooks ([m, 256, ds]) for ``matrix``'s m subspaces."""
     n, d = matrix.shape
@@ -359,7 +385,44 @@ class MemoryVectorStore(VectorStore):
             qn = np.linalg.norm(q, axis=1, keepdims=True)
             q = q / np.where(qn > 0, qn, 1.0)
         k_eff = min(k, len(ids))
-        if info.quantization == "pq":
+        import jax
+
+        interpret = jax.default_backend() != "tpu"  # tests via monkeypatch
+        if info.quantization in ("pq", "rq") and _device_serving_enabled(len(ids)):
+            # serving decode-cache: decode the compressed rows once per
+            # collection version, recompress to 8-bit sq, and stream through
+            # the PreparedSQ Pallas kernel (codes stay pq/rq-compressed at
+            # rest; the extra 8-bit noise is far below the pq/rq error)
+            from ..ops.topk import prepare_sq_items
+
+            with self._lock:
+                prep = None if c.dirty else (c.encoded or {}).get("sq_prepared")
+                if prep is None:
+                    if info.quantization == "pq":
+                        m_sub = enc["codes"].shape[1]
+                        vhat = enc["codebooks"][
+                            np.arange(m_sub)[None, :], enc["codes"].astype(np.int64)
+                        ].reshape(len(ids), -1).astype(np.float32)
+                    else:  # rq: dequantize in the rotated basis, rotate back
+                        per_byte = 8 // info.bits
+                        mask = (1 << info.bits) - 1
+                        shifts = (np.arange(per_byte, dtype=np.uint8) * info.bits)[None, None, :]
+                        vals = (enc["packed"][:, :, None] >> shifts) & mask
+                        codes_r = vals.reshape(len(ids), -1)[:, : info.dimension]
+                        rot_hat = enc["minv"][:, None] + enc["scale"][:, None] * codes_r
+                        vhat = (rot_hat @ enc["rot"]).astype(np.float32)
+                    codes8, scale8, min8 = _sq_recompress(vhat)
+                    prep = prepare_sq_items(
+                        jnp.asarray(codes8), jnp.asarray(scale8),
+                        jnp.asarray(min8), norms2=jnp.asarray(enc["norms2"]),
+                    )
+                    if c.encoded is not None:
+                        c.encoded["sq_prepared"] = prep
+            scores, idxs = sq_topk(
+                jnp.asarray(q), prep, k_top=k_eff, metric=info.distance,
+                interpret=interpret,
+            )
+        elif info.quantization == "pq":
             scores, idxs = pq_topk(
                 jnp.asarray(q), jnp.asarray(enc["codes"]),
                 jnp.asarray(enc["codebooks"]), jnp.asarray(enc["norms2"]),
@@ -377,10 +440,8 @@ class MemoryVectorStore(VectorStore):
             # serving path: uint8 Pallas kernel with the affine folded into
             # the matmul epilogue (built once per collection version,
             # rebuilt on writes via the dirty flag). Falls back to the XLA
-            # formulation off-TPU.
-            import jax
-
-            if jax.default_backend() == "tpu" and len(ids) >= 1024:
+            # formulation off-TPU / on small collections.
+            if _device_serving_enabled(len(ids)):
                 from ..ops.topk import prepare_sq_items
 
                 with self._lock:
@@ -399,7 +460,7 @@ class MemoryVectorStore(VectorStore):
                 ids = enc_sq["ids"]
                 scores, idxs = sq_topk(
                     jnp.asarray(q), enc_sq["prepared"], k_top=k_eff,
-                    metric=info.distance,
+                    metric=info.distance, interpret=interpret,
                 )
             else:
                 scores, idxs = sq_topk(

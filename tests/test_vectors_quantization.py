@@ -220,3 +220,44 @@ def test_master_syncs_cf_collection(tmp_path):
     before = vectors.query(Master.CF_COLLECTION, q, 1)[0]
     master._sync_cf_vectors()
     assert vectors.query(Master.CF_COLLECTION, q, 1)[0][0].id == before[0].id
+
+
+@pytest.mark.parametrize("quantization,bits", [("sq", 8), ("pq", 8), ("rq", 4)])
+def test_device_serving_path_matches_xla(monkeypatch, quantization, bits):
+    """The TPU serving paths (PreparedSQ Pallas kernel for sq; the sq
+    decode-cache for pq/rq) must rank like the XLA formulations — forced on
+    via the _device_serving_enabled gate and run in interpret mode."""
+    import gorse_tpu.storage.vectors as V
+
+    rng = np.random.default_rng(9)
+    n, dim, k = 300, 16, 10
+    vectors = rng.normal(size=(n, dim)).astype(np.float32)
+    ids = [f"v{i}" for i in range(n)]
+    queries = rng.normal(size=(4, dim)).astype(np.float32)
+
+    store = MemoryVectorStore()
+    store.create_collection("c", dim, quantization=quantization, bits=bits)
+    store.add("c", ids, vectors)
+    xla_rows = store.query("c", queries, k)
+
+    monkeypatch.setattr(V, "_device_serving_enabled", lambda n_rows: True)
+    # fresh store so the decode cache is built under the patched gate
+    store2 = MemoryVectorStore()
+    store2.create_collection("c", dim, quantization=quantization, bits=bits)
+    store2.add("c", ids, vectors)
+    dev_rows = store2.query("c", queries, k)
+
+    for xr, dr in zip(xla_rows, dev_rows):
+        overlap = len({s.id for s in xr} & {s.id for s in dr})
+        assert overlap >= k - 2, (quantization, overlap)
+        assert abs(xr[0].score - dr[0].score) < 0.05 * abs(xr[0].score) + 0.15
+
+    # cache reuse: second query hits the prepared layout (no rebuild)
+    again = store2.query("c", queries, k)
+    assert [s.id for s in again[0]] == [s.id for s in dev_rows[0]]
+
+    # mutation invalidates: add a dominant vector, it must appear
+    big = (queries[0] / np.linalg.norm(queries[0]) * 10).astype(np.float32)
+    store2.add("c", ["vbig"], big[None, :])
+    after = store2.query("c", queries[:1], k)
+    assert after[0][0].id == "vbig"
