@@ -42,8 +42,15 @@ Two implementations with identical semantics:
   passes themselves: the effective HBM rate measured through this chip
   varies 90-270 GB/s by time of day (shared tenancy), putting the
   two-stream floor at 1.0-2.8 ms — extraction is now ~0.1-0.3 ms on top.
-  Next lever if needed: an int8 shadow table for pass 1 (half the bytes,
-  2x MXU rate) with conservatively widened bounds.
+  (e) r3: an int8 SHADOW table for pass 1 — conservatively widened
+  upper/lower bounds from an affine-uint8 copy, exact bf16 pass 2,
+  bit-identical results (verified on hardware under heavy ties). Measured
+  0.77-0.91x SLOWER than the plain bf16 pass 1 in the same windows: Mosaic
+  has no uint8->bf16/f32 cast, so the mandatory uint8->int32->f32->bf16
+  conversion chain round-trips ~3 converted copies of every block through
+  VMEM, costing more than the halved HBM stream saves (and int8 matmuls
+  would need both operands int8 to earn MXU rate). Rejected; revisit only
+  if Mosaic grows a native u8 cast or int8-LHS matmul.
 
   The same two-pass kernel serves SCALAR-QUANTIZED tables (PreparedSQ):
   uint8 code blocks stream at 1/4 the f32 bytes and the per-row affine

@@ -248,3 +248,4 @@ def test_sq_topk_pallas_euclidean():
         np.testing.assert_allclose(
             np.sort(d2[row][got]), np.sort(d2[row][order]), rtol=2e-2, atol=5e-2
         )
+
