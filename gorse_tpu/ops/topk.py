@@ -428,12 +428,12 @@ def _topk_seeded_kernel(
     max-reduce — blocked (B, 1) input specs and dynamic lane slices are both
     unlowerable on TPU (Mosaic requires 128-divisible lane indexing).
 
-    Extraction is gated PER ``group_rows``-ROW QUERY GROUP (VERDICT r2 next
-    #3): the per-query fire vector (block max > current k-th best) already
-    exists for the batch gate, so each window folds only when one of ITS
-    queries needs this block, and each fold pass touches [group_rows,
-    block_n] instead of the full batch — see _fold_window_readonly for the
-    read-only extraction that replaced the consume-write loop.
+    At step 0 the kernel derives its own seed from the maxima table (see
+    the in-kernel extraction below); firing blocks use the single-pass fast
+    path — insert (m, first-column-at-m) via fused reductions — and only
+    fall to the consume-write loop when some query has more than one
+    candidate in the block (the module docstring records the measured
+    rejections of per-row-group gating and a read-only fold).
 
     Attempted and REJECTED: keeping the item table in HBM (memory_space=ANY)
     with an explicit single-buffered DMA only on firing blocks, to spare
