@@ -28,8 +28,12 @@ structurally:
   refuses to select a kernel whose smoke did not pass;
 - the headline has a degradation ladder: resident -> fused -> XLA scatter ->
   minimal XLA (fewer epochs, single rep). The first rung that lands wins;
-  the XLA rungs need no Pallas compile at all, so SOME verified number
-  always lands;
+  the XLA rungs need no Pallas compile at all. Rung budgets RESERVE time
+  for every later rung, the smoke's elapsed time acts as a tunnel-health
+  probe (a deeply degraded window drops the Pallas rungs entirely), and
+  each rung emits a single-warm-epoch DEGRADED estimate before its full
+  min-of-reps measurement — so even a rung killed mid-measurement
+  contributes a number;
 - all stages share a persistent XLA compilation cache
   (~/.cache/gorse_tpu/jax_cache), so reruns skip the tunnel-side compiles
   entirely (measured: tiny resident kernel 84-240s cold, ~3s warm).
@@ -256,6 +260,13 @@ def stage_headline(kernel: str, k: int, lo: int, hi: int, shape: str) -> None:
     t_c = time.perf_counter()
     first = run(1)  # compile (or cache load) + one epoch
     emit({"compiled_s": round(time.perf_counter() - t_c, 1), "kernel": kernel})
+    # degraded estimate from ONE warm epoch: lands immediately so a killed
+    # stage (deep tunnel slowdown) still contributes a usable number
+    warm1 = run(1)
+    emit({
+        "examples_per_s_degraded": round(st["n_steps"] * st["n_active"] / warm1),
+        "kernel": kernel, "shape": shape, "k": k,
+    })
     sec = marginal_seconds(run, lo, hi)
     eps = (hi - lo) * st["n_steps"] * st["n_active"] / sec
     emit({
@@ -263,6 +274,24 @@ def stage_headline(kernel: str, k: int, lo: int, hi: int, shape: str) -> None:
         "k": k, "lo": lo, "hi": hi, "first_epoch_s": round(first, 2),
         "epoch_ms": round(sec / (hi - lo) * 1000, 1),
     })
+
+
+def stage_probe() -> None:
+    """Tunnel-health probe: time two fresh PROGRAM LOADS (a trivial matmul
+    and a second distinct shape). Execution and roundtrips stay fast even
+    when the tunnel degrades; what collapses is the executable-load path —
+    measured 0.7s -> 175s for the SAME cached program between healthy and
+    degraded windows. The parent uses this to pick the bench strategy."""
+    jax = _stage_setup()
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    a = jnp.ones((512, 512))
+    _ = float((a @ a)[0, 0])
+    emit({"probe_first_s": round(time.perf_counter() - t0, 1)})
+    b = jnp.ones((768, 256))
+    _ = float((b @ b.T)[0, 0])
+    emit({"probe_s": round(time.perf_counter() - t0, 1)})
 
 
 def stage_smoke() -> None:
@@ -784,6 +813,59 @@ def orchestrate() -> None:
     extra["baseline"] = baseline
     _progress(f"native baseline: {baseline}", t0)
 
+    # ---- stage -1: tunnel-health probe ----
+    # Healthy tunnel: two program loads finish in seconds. Degraded tunnel:
+    # executable LOADS take minutes each (execution stays fast), so the
+    # whole budget must go to ONE robust XLA headline window instead of the
+    # smoke + ladder sequence (which pays a load per process).
+    probe = run_stage(["--stage", "probe"], 75.0)
+    probe_s = probe.get("probe_s") or probe.get("probe_first_s")
+    degraded_tunnel = probe.get("_rc") == "timeout" or (
+        probe_s is not None and probe_s > 25
+    )
+    _progress(f"probe: {probe_s}s degraded_tunnel={degraded_tunnel}", t0)
+    if degraded_tunnel:
+        extra["tunnel"] = f"degraded (probe {probe_s}s); XLA-first strategy"
+        headline = 0.0
+        for cap in (min(330.0, remaining() - 90), max(remaining() - 40, 60.0)):
+            if remaining() < 50:
+                break
+            res = run_stage(
+                ["--stage", "headline", "--kernel", "xla", "--shape", "ml1m",
+                 "--k", "16", "--lo", "1", "--hi", "2"],
+                cap,
+            )
+            val = res.get("examples_per_s") or res.get("examples_per_s_degraded")
+            if val:
+                headline = float(val)
+                extra["headline_path"] = {
+                    "kernel": "xla", "lo": 1, "hi": 2,
+                    "epoch_ms": res.get("epoch_ms"),
+                    "compiled_s": res.get("compiled_s"),
+                    "degraded_tunnel": True,
+                    "single_epoch_estimate": "examples_per_s" not in res,
+                }
+                _progress(f"headline[xla, degraded tunnel]: {headline:,.0f} ex/s", t0)
+                break
+            _progress(f"degraded-mode xla rung: no result ({res.get('_rc')})", t0)
+        result["value"] = round(headline)
+        result["vs_baseline"] = round(headline / dispatch, 2)
+        extra["vs_baseline_range"] = [
+            round(headline / hogwild16, 2), round(headline / dispatch, 2),
+        ]
+        extra["kernel_smoke"] = "skipped: degraded tunnel"
+        for key in (
+            "eals_ml1m_epoch_s", "afm_train_examples_per_s", "serving",
+            "bpr_ml1m_xla_scatter_examples_per_s", "topk_qps_100k_items",
+            "topk_qps_1000k_items", "topk_qps_1000k_sq8",
+            "bpr_ml20m_shape_k64_examples_per_s",
+            "bpr_100kx50k_k16_examples_per_s",
+        ):
+            extra.setdefault(key, "skipped: degraded tunnel")
+        wd.cancel()
+        print(json.dumps(result), flush=True)
+        return
+
     # ---- stage 0: hardware kernel smoke ----
     smoke_ok: dict[str, bool] = {}
     if remaining() > 200:
@@ -805,19 +887,31 @@ def orchestrate() -> None:
         extra["kernel_smoke"] = "skipped: deadline"
 
     # ---- headline ladder: resident -> fused -> XLA -> minimal XLA ----
-    # Pallas rungs require a PASSING smoke (refuse unsmoked kernels).
+    # Pallas rungs require a PASSING smoke (refuse unsmoked kernels). The
+    # smoke's elapsed time doubles as a tunnel-health probe: when the tunnel
+    # runs far slower than nominal (~45s warm), the Pallas rungs are dropped
+    # so the whole remaining budget goes to the robust XLA rungs — in the
+    # r3 session one deeply degraded window (smoke 146s) burned the entire
+    # deadline on the resident rung and zeroed the run.
+    slowdown = (extra["kernel_smoke"].get("elapsed_s") or 45.0) / 45.0         if isinstance(extra.get("kernel_smoke"), dict) else 1.0
     ladder = [
-        ("resident", 16, 5, 25, smoke_ok.get("bpr_resident_epoch", False), 280.0),
-        ("fused", 16, 5, 25, smoke_ok.get("bpr_fused_step_pairs", False), 170.0),
-        ("xla", 16, 2, 6, True, 150.0),
-        ("xla", 16, 1, 2, True, 90.0),
+        ("resident", 16, 5, 25,
+         smoke_ok.get("bpr_resident_epoch", False) and slowdown < 2.5, 180.0),
+        ("fused", 16, 5, 25,
+         smoke_ok.get("bpr_fused_step_pairs", False) and slowdown < 2.5, 120.0),
+        ("xla", 16, 2, 6, True, 170.0),
+        ("xla", 16, 1, 2, True, 150.0),
     ]
     headline = 0.0
-    for kernel, k, lo, hi, allowed, cap in ladder:
-        if not allowed:
-            _progress(f"ladder {kernel}: skipped (smoke not passed)", t0)
+    degraded = None  # (value, kernel) fallback from a killed rung
+    live = [r for r in ladder if r[4]]
+    for idx, (kernel, k, lo, hi, _allowed, cap) in enumerate(live):
+        # reserve time so every LATER rung still gets a real window
+        reserve = 60.0 * (len(live) - idx - 1)
+        budget = min(cap, max(remaining() - reserve, 60.0))
+        if remaining() < 40:
+            _progress(f"ladder {kernel}: skipped (deadline)", t0)
             continue
-        budget = min(cap, max(remaining() - 20, 45.0))
         res = run_stage(
             ["--stage", "headline", "--kernel", kernel, "--shape", "ml1m",
              "--k", str(k), "--lo", str(lo), "--hi", str(hi)],
@@ -833,7 +927,16 @@ def orchestrate() -> None:
             }
             _progress(f"headline[{kernel}]: {headline:,.0f} ex/s", t0)
             break
+        if res.get("examples_per_s_degraded") and degraded is None:
+            degraded = (float(res["examples_per_s_degraded"]), kernel)
         _progress(f"ladder {kernel}: no result ({res.get('_rc')})", t0)
+    if not headline and degraded:
+        headline = degraded[0]
+        extra["headline_path"] = {
+            "kernel": degraded[1],
+            "degraded": "single warm epoch, rung killed before min-of-reps",
+        }
+        _progress(f"headline[degraded {degraded[1]}]: {headline:,.0f} ex/s", t0)
     result["value"] = round(headline)
     result["vs_baseline"] = round(headline / dispatch, 2)
     extra["vs_baseline_range"] = [
@@ -904,6 +1007,8 @@ def main() -> None:
     args = ap.parse_args()
     if args.stage is None:
         orchestrate()
+    elif args.stage == "probe":
+        stage_probe()
     elif args.stage == "smoke":
         stage_smoke()
     elif args.stage == "headline":
