@@ -123,6 +123,7 @@ class PreparedSQ(NamedTuple):
     affine: jax.Array  # [8, n_pad] f32
     n_items: int
     dim: int
+    has_norms2: bool = False  # affine row 2 populated (euclidean-capable)
 
 
 def prepare_sq_items(
@@ -142,7 +143,7 @@ def prepare_sq_items(
     aff = aff.at[1, :n].set(minv.astype(jnp.float32))
     if norms2 is not None:
         aff = aff.at[2, :n].set(norms2.astype(jnp.float32))
-    return PreparedSQ(table, aff, n, d)
+    return PreparedSQ(table, aff, n, d, norms2 is not None)
 
 
 def dot_topk_xla(queries: jax.Array, items: jax.Array, k_top: int):
@@ -185,6 +186,14 @@ def sq_topk(
     larger is always better).
     """
     if isinstance(codes, PreparedSQ):
+        if metric == "euclidean" and not codes.has_norms2:
+            # without norms2 the affine sheet's row 2 is all zeros and the
+            # kernel would silently rank by 2*dots - q2 (ADVICE r3 #2) —
+            # mirror the raw-array path's ValueError instead
+            raise ValueError(
+                "sq_topk(metric='euclidean') on a PreparedSQ built without "
+                "norms2 — pass norms2 to prepare_sq_items"
+            )
         return _dot_topk_prepared(
             queries, codes.table, codes.n_items, codes.dim, k_top,
             block_n=4096, interpret=interpret, seeded=True,

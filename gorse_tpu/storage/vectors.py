@@ -223,7 +223,7 @@ class VectorStore:
 
 
 class _Collection:
-    __slots__ = ("info", "rows", "scales", "mins", "norms2", "encoded", "dirty")
+    __slots__ = ("info", "rows", "scales", "mins", "norms2", "encoded", "version")
 
     def __init__(self, info: CollectionInfo) -> None:
         self.info = info
@@ -232,9 +232,13 @@ class _Collection:
         self.scales: dict[str, float] = {}
         self.mins: dict[str, float] = {}
         self.norms2: dict[str, float] = {}
-        # pq/rq: lazily (re)built device-side encoded query cache
+        # lazily (re)built device-side encoded query cache, stamped with the
+        # ``version`` it was built from; valid iff its stamp == self.version.
+        # (A mutation between cache snapshot and publish bumps the version so
+        # the stale build is discarded instead of masking the write — the r3
+        # dirty-flag race, ADVICE r3 #1.)
         self.encoded: dict | None = None
-        self.dirty = True
+        self.version = 0
 
 
 class MemoryVectorStore(VectorStore):
@@ -307,7 +311,7 @@ class MemoryVectorStore(VectorStore):
                 else:
                     c.rows[vid] = vec
                     c.norms2[vid] = float(vec @ vec)
-            c.dirty = True
+            c.version += 1
 
     def delete(self, collection: str, ids: list[str]) -> None:
         with self._lock:
@@ -317,27 +321,27 @@ class MemoryVectorStore(VectorStore):
                 c.scales.pop(vid, None)
                 c.mins.pop(vid, None)
                 c.norms2.pop(vid, None)
-            c.dirty = True
+            c.version += 1
 
-    def _ensure_encoded(self, c: _Collection) -> dict:
-        """(Re)build the pq/rq device query cache; caller holds the lock.
+    @staticmethod
+    def _build_encoded(
+        info: CollectionInfo, ids: list[str], matrix: np.ndarray, prev: dict
+    ) -> dict:
+        """Build the pq/rq device query cache from a row snapshot (no lock —
+        k-means training / re-encoding can take seconds; callers snapshot
+        under the lock, build outside, and publish version-checked).
 
         Training artifacts are cached across mutations: the rq rotation is
         deterministic, and pq codebooks are retrained only on first build or
         when the row count has drifted >2x from training time — per-mutation
         rebuilds only re-ENCODE (one chunked nearest-centroid pass), never
         re-run k-means."""
-        if not c.dirty and c.encoded is not None:
-            return c.encoded
-        ids = list(c.rows)
-        matrix = np.stack([c.rows[i] for i in ids]).astype(np.float32)
         # deterministic across processes (unlike salted hash())
         import zlib
 
-        seed = zlib.crc32(c.info.name.encode())
-        prev = c.encoded or {}
-        if c.info.quantization == "pq":
-            m = _pq_subspaces(c.info.dimension, c.info.bits)
+        seed = zlib.crc32(info.name.encode())
+        if info.quantization == "pq":
+            m = _pq_subspaces(info.dimension, info.bits)
             codebooks = prev.get("codebooks")
             trained_rows = prev.get("trained_rows", 0)
             if codebooks is None or not (
@@ -348,17 +352,15 @@ class MemoryVectorStore(VectorStore):
             codes = _encode_pq(matrix, codebooks)
             vhat = codebooks[np.arange(m)[None, :], codes.astype(np.int64)]
             norms2 = (vhat.reshape(len(ids), -1) ** 2).sum(1).astype(np.float32)
-            c.encoded = {"ids": ids, "codes": codes, "codebooks": codebooks,
-                         "trained_rows": trained_rows, "norms2": norms2}
-        else:  # rq
-            rot = prev.get("rot")
-            if rot is None:
-                rot = _rotation(c.info.dimension, seed=seed)
-            packed, scale, lo, norms2 = _encode_rq(matrix, rot, c.info.bits)
-            c.encoded = {"ids": ids, "packed": packed, "scale": scale,
-                         "minv": lo, "rot": rot, "norms2": norms2}
-        c.dirty = False
-        return c.encoded
+            return {"ids": ids, "codes": codes, "codebooks": codebooks,
+                    "trained_rows": trained_rows, "norms2": norms2}
+        # rq
+        rot = prev.get("rot")
+        if rot is None:
+            rot = _rotation(info.dimension, seed=seed)
+        packed, scale, lo, norms2 = _encode_rq(matrix, rot, info.bits)
+        return {"ids": ids, "packed": packed, "scale": scale,
+                "minv": lo, "rot": rot, "norms2": norms2}
 
     def query(self, collection: str, vectors: np.ndarray, k: int) -> list[list[Score]]:
         import jax.numpy as jnp
@@ -370,16 +372,30 @@ class MemoryVectorStore(VectorStore):
             if not c.rows:
                 return [[] for _ in range(len(vectors))]
             info = c.info
-            if info.quantization in ("pq", "rq"):
-                enc = dict(self._ensure_encoded(c))
-                ids = enc.pop("ids")
-                matrix = None
+            ver = c.version
+            enc = (
+                c.encoded
+                if c.encoded is not None and c.encoded.get("version") == ver
+                else None
+            )
+            matrix = prev = None
+            if info.quantization in ("pq", "rq") and enc is not None:
+                ids = enc["ids"]
             else:
                 ids = list(c.rows)
                 matrix = np.stack([c.rows[i] for i in ids])
+                prev = c.encoded or {}
             scales = np.asarray([c.scales[i] for i in ids], dtype=np.float32) if info.quantization == "sq" else None
             mins = np.asarray([c.mins[i] for i in ids], dtype=np.float32) if info.quantization == "sq" else None
             norms2 = np.asarray([c.norms2[i] for i in ids], dtype=np.float32)
+        if info.quantization in ("pq", "rq") and enc is None:
+            # heavy build (k-means / re-encode) OUTSIDE the lock from the
+            # version-``ver`` snapshot; publish only if still current
+            enc = self._build_encoded(info, ids, matrix.astype(np.float32), prev)
+            enc["version"] = ver
+            with self._lock:
+                if c.version == ver:
+                    c.encoded = enc
         q = np.asarray(vectors, dtype=np.float32)
         if info.distance == "cosine":
             qn = np.linalg.norm(q, axis=1, keepdims=True)
@@ -392,32 +408,34 @@ class MemoryVectorStore(VectorStore):
             # serving decode-cache: decode the compressed rows once per
             # collection version, recompress to 8-bit sq, and stream through
             # the PreparedSQ Pallas kernel (codes stay pq/rq-compressed at
-            # rest; the extra 8-bit noise is far below the pq/rq error)
+            # rest; the extra 8-bit noise is far below the pq/rq error).
+            # Decode + recompress + host->device transfer run WITHOUT the
+            # lock (ADVICE r3 #4); attaching to ``enc`` is safe because enc
+            # is immutable apart from this memoized key, and readers of a
+            # superseded version never see it published.
             from ..ops.topk import prepare_sq_items
 
-            with self._lock:
-                prep = None if c.dirty else (c.encoded or {}).get("sq_prepared")
-                if prep is None:
-                    if info.quantization == "pq":
-                        m_sub = enc["codes"].shape[1]
-                        vhat = enc["codebooks"][
-                            np.arange(m_sub)[None, :], enc["codes"].astype(np.int64)
-                        ].reshape(len(ids), -1).astype(np.float32)
-                    else:  # rq: dequantize in the rotated basis, rotate back
-                        per_byte = 8 // info.bits
-                        mask = (1 << info.bits) - 1
-                        shifts = (np.arange(per_byte, dtype=np.uint8) * info.bits)[None, None, :]
-                        vals = (enc["packed"][:, :, None] >> shifts) & mask
-                        codes_r = vals.reshape(len(ids), -1)[:, : info.dimension]
-                        rot_hat = enc["minv"][:, None] + enc["scale"][:, None] * codes_r
-                        vhat = (rot_hat @ enc["rot"]).astype(np.float32)
-                    codes8, scale8, min8 = _sq_recompress(vhat)
-                    prep = prepare_sq_items(
-                        jnp.asarray(codes8), jnp.asarray(scale8),
-                        jnp.asarray(min8), norms2=jnp.asarray(enc["norms2"]),
-                    )
-                    if c.encoded is not None:
-                        c.encoded["sq_prepared"] = prep
+            prep = enc.get("sq_prepared")
+            if prep is None:
+                if info.quantization == "pq":
+                    m_sub = enc["codes"].shape[1]
+                    vhat = enc["codebooks"][
+                        np.arange(m_sub)[None, :], enc["codes"].astype(np.int64)
+                    ].reshape(len(ids), -1).astype(np.float32)
+                else:  # rq: dequantize in the rotated basis, rotate back
+                    per_byte = 8 // info.bits
+                    mask = (1 << info.bits) - 1
+                    shifts = (np.arange(per_byte, dtype=np.uint8) * info.bits)[None, None, :]
+                    vals = (enc["packed"][:, :, None] >> shifts) & mask
+                    codes_r = vals.reshape(len(ids), -1)[:, : info.dimension]
+                    rot_hat = enc["minv"][:, None] + enc["scale"][:, None] * codes_r
+                    vhat = (rot_hat @ enc["rot"]).astype(np.float32)
+                codes8, scale8, min8 = _sq_recompress(vhat)
+                prep = prepare_sq_items(
+                    jnp.asarray(codes8), jnp.asarray(scale8),
+                    jnp.asarray(min8), norms2=jnp.asarray(enc["norms2"]),
+                )
+                enc["sq_prepared"] = prep
             scores, idxs = sq_topk(
                 jnp.asarray(q), prep, k_top=k_eff, metric=info.distance,
                 interpret=interpret,
@@ -444,19 +462,24 @@ class MemoryVectorStore(VectorStore):
             if _device_serving_enabled(len(ids)):
                 from ..ops.topk import prepare_sq_items
 
-                with self._lock:
-                    enc_sq = c.encoded if not c.dirty else None
-                    if not (isinstance(enc_sq, dict) and enc_sq.get("kind") == "sq"):
-                        enc_sq = {
-                            "kind": "sq",
-                            "ids": ids,
-                            "prepared": prepare_sq_items(
-                                jnp.asarray(matrix), jnp.asarray(scales),
-                                jnp.asarray(mins), norms2=jnp.asarray(norms2),
-                            ),
-                        }
-                        c.encoded = enc_sq
-                        c.dirty = False
+                enc_sq = enc if isinstance(enc, dict) and enc.get("kind") == "sq" else None
+                if enc_sq is None:
+                    # build from the version-``ver`` snapshot OUTSIDE the
+                    # lock; publish only if no mutation landed meanwhile
+                    # (ADVICE r3 #1: the old dirty-flag clear here could
+                    # mask a concurrent add/delete forever)
+                    enc_sq = {
+                        "kind": "sq",
+                        "ids": ids,
+                        "prepared": prepare_sq_items(
+                            jnp.asarray(matrix), jnp.asarray(scales),
+                            jnp.asarray(mins), norms2=jnp.asarray(norms2),
+                        ),
+                        "version": ver,
+                    }
+                    with self._lock:
+                        if c.version == ver:
+                            c.encoded = enc_sq
                 ids = enc_sq["ids"]
                 scores, idxs = sq_topk(
                     jnp.asarray(q), enc_sq["prepared"], k_top=k_eff,

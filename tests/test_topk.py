@@ -3,6 +3,7 @@ kernel parity Pallas-interpret vs jnp reference on CPU)."""
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from gorse_tpu.ops.topk import (
     PreparedItems,
@@ -248,4 +249,10 @@ def test_sq_topk_pallas_euclidean():
         np.testing.assert_allclose(
             np.sort(d2[row][got]), np.sort(d2[row][order]), rtol=2e-2, atol=5e-2
         )
+
+    # ADVICE r3 #2 regression: a PreparedSQ built WITHOUT norms2 must refuse
+    # euclidean (affine row 2 is all zeros -> silently wrong ranking)
+    bare = prepare_sq_items(jnp.asarray(codes), jnp.asarray(scale), jnp.asarray(minv))
+    with pytest.raises(ValueError, match="norms2"):
+        sq_topk(jnp.asarray(queries), bare, k_top=k, metric="euclidean", interpret=True)
 

@@ -261,3 +261,39 @@ def test_device_serving_path_matches_xla(monkeypatch, quantization, bits):
     store2.add("c", ["vbig"], big[None, :])
     after = store2.query("c", queries[:1], k)
     assert after[0][0].id == "vbig"
+
+
+def test_concurrent_mutation_during_cache_build_not_masked(monkeypatch):
+    """ADVICE r3 #1 regression: an add() landing while another thread builds
+    the sq serving cache (outside the lock) must not be masked by the cache
+    publish — the build is version-stamped and discarded if stale."""
+    import gorse_tpu.storage.vectors as V
+    from gorse_tpu.ops import topk as T
+
+    rng = np.random.default_rng(11)
+    n, dim, k = 64, 16, 5
+    store = MemoryVectorStore()
+    store.create_collection("c", dim, quantization="sq")
+    store.add("c", [f"v{i}" for i in range(n)], rng.normal(size=(n, dim)).astype(np.float32))
+    monkeypatch.setattr(V, "_device_serving_enabled", lambda n_rows: True)
+
+    q = rng.normal(size=(1, dim)).astype(np.float32)
+    big = (q[0] / np.linalg.norm(q[0]) * 10).astype(np.float32)
+    real_prepare = T.prepare_sq_items
+    fired = {"done": False}
+
+    def racing_prepare(*args, **kwargs):
+        # simulate a concurrent writer landing mid-build (the build runs
+        # without the store lock, so a real thread could do exactly this)
+        if not fired["done"]:
+            fired["done"] = True
+            store.add("c", ["vbig"], big[None, :])
+        return real_prepare(*args, **kwargs)
+
+    monkeypatch.setattr(T, "prepare_sq_items", racing_prepare)
+    first = store.query("c", q, k)  # builds from the pre-add snapshot
+    # the racing add MUST be visible on the next query (old code cleared the
+    # dirty flag over it and served the stale cache forever)
+    after = store.query("c", q, k)
+    assert after[0][0].id == "vbig", [s.id for s in after[0]]
+    assert first is not None
