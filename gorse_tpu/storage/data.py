@@ -142,13 +142,43 @@ class DataStore:
 
 class MemoryDataStore(DataStore):
     """In-memory store; thread-safe; the embedded-test analog of the
-    reference's SQLite-in-tempdir pattern (master/master_test.go:34-52)."""
+    reference's SQLite-in-tempdir pattern (master/master_test.go:34-52).
+
+    Serving-path reads are index-backed, mirroring the reference's SQL
+    schema indexes (storage/data/sql.go: user_id/item_id feedback indexes,
+    time_stamp item index): per-user and per-item feedback dicts, plus a
+    lazily rebuilt newest-first item list for get_latest_items. The online
+    getRecommend path calls get_user_feedback + get_latest_items on every
+    request — unindexed, those were full-table scans and dominated the REST
+    hot path (r3 serving stage: 11.3ms P50)."""
 
     def __init__(self) -> None:
         self._lock = threading.RLock()
         self._users: dict[str, User] = {}
         self._items: dict[str, Item] = {}
         self._feedback: dict[tuple[str, str, str], Feedback] = {}
+        # secondary indexes: user_id / item_id -> {feedback key -> Feedback}
+        self._fb_by_user: dict[str, dict[tuple, Feedback]] = {}
+        self._fb_by_item: dict[str, dict[tuple, Feedback]] = {}
+        self._items_ver = 0  # bumped on any item mutation
+        self._latest_cache: tuple[int, list[Item]] = (-1, [])
+
+    def _index_feedback(self, f: Feedback) -> None:
+        k = f.key()
+        self._fb_by_user.setdefault(f.user_id, {})[k] = f
+        self._fb_by_item.setdefault(f.item_id, {})[k] = f
+
+    def _unindex_key(self, k: tuple) -> None:
+        user_fb = self._fb_by_user.get(k[1])
+        if user_fb is not None:
+            user_fb.pop(k, None)
+            if not user_fb:
+                del self._fb_by_user[k[1]]
+        item_fb = self._fb_by_item.get(k[2])
+        if item_fb is not None:
+            item_fb.pop(k, None)
+            if not item_fb:
+                del self._fb_by_item[k[2]]
 
     def insert_users(self, users: Iterable[User]) -> None:
         with self._lock:
@@ -161,7 +191,13 @@ class MemoryDataStore(DataStore):
     def delete_user(self, user_id: str) -> None:
         with self._lock:
             self._users.pop(user_id, None)
-            self._feedback = {k: v for k, v in self._feedback.items() if k[1] != user_id}
+            for k in list(self._fb_by_user.pop(user_id, {})):
+                del self._feedback[k]
+                item_fb = self._fb_by_item.get(k[2])
+                if item_fb is not None:
+                    item_fb.pop(k, None)
+                    if not item_fb:
+                        del self._fb_by_item[k[2]]
 
     def get_users(self, begin_id: str = "", limit: int | None = None) -> Iterator[User]:
         with self._lock:
@@ -182,6 +218,7 @@ class MemoryDataStore(DataStore):
                 # / server-SQL upsert all columns, Mongo $set the full doc);
                 # partial updates go through modify_item/PATCH instead
                 self._items[i.item_id] = i
+            self._items_ver += 1
 
     def get_item(self, item_id: str) -> Item | None:
         return self._items.get(item_id)
@@ -189,7 +226,14 @@ class MemoryDataStore(DataStore):
     def delete_item(self, item_id: str) -> None:
         with self._lock:
             self._items.pop(item_id, None)
-            self._feedback = {k: v for k, v in self._feedback.items() if k[2] != item_id}
+            self._items_ver += 1
+            for k in list(self._fb_by_item.pop(item_id, {})):
+                del self._feedback[k]
+                user_fb = self._fb_by_user.get(k[1])
+                if user_fb is not None:
+                    user_fb.pop(k, None)
+                    if not user_fb:
+                        del self._fb_by_user[k[1]]
 
     def get_items(self, begin_id: str = "", limit: int | None = None) -> Iterator[Item]:
         with self._lock:
@@ -212,18 +256,19 @@ class MemoryDataStore(DataStore):
                     continue
                 if insert_item and f.item_id not in self._items:
                     self._items[f.item_id] = Item(item_id=f.item_id)
+                    self._items_ver += 1
                 elif not insert_item and f.item_id not in self._items:
                     continue
                 if overwrite or f.key() not in self._feedback:
                     self._feedback[f.key()] = f
+                    self._index_feedback(f)
 
     def get_user_feedback(self, user_id, end_time=None, feedback_types=None):
         with self._lock:
             out = [
                 f
-                for f in self._feedback.values()
-                if f.user_id == user_id
-                and (end_time is None or f.timestamp <= end_time)
+                for f in self._fb_by_user.get(user_id, {}).values()
+                if (end_time is None or f.timestamp <= end_time)
                 and (not feedback_types or f.feedback_type in feedback_types)
             ]
         out.sort(key=lambda f: -f.timestamp)
@@ -233,10 +278,32 @@ class MemoryDataStore(DataStore):
         with self._lock:
             return [
                 f
-                for f in self._feedback.values()
-                if f.item_id == item_id
-                and (not feedback_types or f.feedback_type in feedback_types)
+                for f in self._fb_by_item.get(item_id, {}).values()
+                if not feedback_types or f.feedback_type in feedback_types
             ]
+
+    def get_latest_items(self, limit, categories=None, after=None):
+        """Index-backed: a newest-first snapshot is rebuilt lazily after item
+        mutations (the SQL backends' time_stamp index analog), so the online
+        fallback path scans O(limit) instead of sorting the table per call."""
+        with self._lock:
+            ver, ordered = self._latest_cache
+            if ver != self._items_ver:
+                ordered = sorted(
+                    (i for i in self._items.values() if not i.is_hidden),
+                    key=lambda i: -i.timestamp,
+                )
+                self._latest_cache = (self._items_ver, ordered)
+        out = []
+        for i in ordered:
+            if after is not None and i.timestamp < after:
+                break  # newest-first: everything after is older still
+            if categories and not all(c in i.categories for c in categories):
+                continue
+            out.append(i)
+            if len(out) >= limit:
+                break
+        return out
 
     def get_feedback(self, begin_time=None, end_time=None, feedback_types=None):
         with self._lock:
@@ -254,11 +321,12 @@ class MemoryDataStore(DataStore):
         with self._lock:
             keys = [
                 k
-                for k in self._feedback
-                if k[1] == user_id and k[2] == item_id and (not feedback_types or k[0] in feedback_types)
+                for k in self._fb_by_user.get(user_id, {})
+                if k[2] == item_id and (not feedback_types or k[0] in feedback_types)
             ]
             for k in keys:
                 del self._feedback[k]
+                self._unindex_key(k)
             return len(keys)
 
     def purge(self) -> None:
@@ -266,6 +334,9 @@ class MemoryDataStore(DataStore):
             self._users.clear()
             self._items.clear()
             self._feedback.clear()
+            self._fb_by_user.clear()
+            self._fb_by_item.clear()
+            self._items_ver += 1
 
 
 class SQLiteDataStore(DataStore):
