@@ -125,6 +125,7 @@ def _pairwise_math(pos, neg, active, p, g_pos, g_neg, cost, *, k, lr, reg, block
 def _kernel_block_update(
     pos, neg, active, p, qp_mm, qd, cost,
     *, k, lr, reg, block_u, rows_pad, mm_dtype, transposed_scatter,
+    ablate: str = "",
 ):
     """The packed one-hot gather / BPR update / scatter-delta block shared
     by all three kernels. Returns (p_new, qd, cost).
@@ -141,15 +142,24 @@ def _kernel_block_update(
     formulation spent ~8x its arithmetic in idle lanes — switching to masked
     [TB, 128] ops measured 1.26x on the whole epoch at ml-1m shapes."""
     pack = LANES // k
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (block_u, rows_pad), 1)
-    oh_pos = (row_ids == pos // pack).astype(mm_dtype)  # [TB, R]
-    oh_neg = (row_ids == neg // pack).astype(mm_dtype)
-    g_pos = jnp.dot(oh_pos, qp_mm, preferred_element_type=jnp.float32)  # [TB, 128]
-    g_neg = jnp.dot(oh_neg, qp_mm, preferred_element_type=jnp.float32)
+    if ablate == "nogather":
+        # profiling instrument (docs/KERNELS.md): skip the one-hot build +
+        # gather matmuls, read a broadcast row instead — results are WRONG,
+        # only the timing delta is meaningful
+        g_pos = jnp.broadcast_to(qp_mm[0:1].astype(jnp.float32), (block_u, LANES))
+        g_neg = g_pos
+    else:
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (block_u, rows_pad), 1)
+        oh_pos = (row_ids == pos // pack).astype(mm_dtype)  # [TB, R]
+        oh_neg = (row_ids == neg // pack).astype(mm_dtype)
+        g_pos = jnp.dot(oh_pos, qp_mm, preferred_element_type=jnp.float32)  # [TB, 128]
+        g_neg = jnp.dot(oh_neg, qp_mm, preferred_element_type=jnp.float32)
 
     d_pu, dp_pos, dp_neg, cost = _pairwise_math(
         pos, neg, active, p, g_pos, g_neg, cost, k=k, lr=lr, reg=reg, block_u=block_u
     )
+    if ablate == "noscatter":
+        return p + d_pu, qd + jnp.float32(1e-12), cost
     if transposed_scatter:
         row_ids_t = jax.lax.broadcasted_iota(jnp.int32, (rows_pad, block_u), 0)
         oh_pos_t = (row_ids_t == jnp.transpose(pos // pack)).astype(mm_dtype)
@@ -301,7 +311,7 @@ def _epoch_resident_kernel(
     qd_scratch,
     *, k: int, n_items: int, lr: float, reg: float,
     block_u: int, rows_pad: int, max_len: int, mm_dtype, n_tries: int,
-    n_steps: int, n_blocks: int,
+    n_steps: int, n_blocks: int, ablate: str = "",
 ):
     """A WHOLE epoch in one kernel invocation: positives, counts, user
     factors, and the packed item table all stay resident in VMEM across an
@@ -310,7 +320,11 @@ def _epoch_resident_kernel(
     positives (the dominant cost at ml-1m scale: ~165 dispatches and ~1 GB
     of repeated positive-table traffic per epoch in the grid-form kernel).
     Item deltas accumulate per sweep and fold into the resident table at
-    each step boundary, matching _fully_fused_kernel's semantics."""
+    each step boundary, matching _fully_fused_kernel's semantics.
+
+    ``ablate`` ("" | "nosample" | "nogather" | "noscatter" | "scatter_dim0")
+    disables one stage for cost attribution (docs/KERNELS.md records the
+    measurements) — ablated results are numerically WRONG by design."""
     pltpu.prng_seed(seed_ref[0])
     p_out_ref[:] = p_ref[:]
     qp_out_ref[:] = qp_ref[:]
@@ -324,12 +338,20 @@ def _epoch_resident_kernel(
             sl = pl.ds(b * block_u, block_u)
             pp = pp_ref[sl, :]
             count = pc_ref[sl, :]
-            pos, neg = _kernel_sample_pair(pp, count, block_u, max_len, n_items, n_tries)
+            if ablate == "nosample":
+                pos = jnp.maximum(pp[:, 0:1], 0)
+                neg = (pos + 37) % jnp.int32(n_items)
+            else:
+                pos, neg = _kernel_sample_pair(
+                    pp, count, block_u, max_len, n_items, n_tries
+                )
             p_new, qd, cost = _kernel_block_update(
                 pos, neg, (count > 0).astype(jnp.float32), p_out_ref[sl, :],
                 qp_mm, qd, cost,
                 k=k, lr=lr, reg=reg, block_u=block_u, rows_pad=rows_pad,
-                mm_dtype=mm_dtype, transposed_scatter=True,
+                mm_dtype=mm_dtype,
+                transposed_scatter=(ablate != "scatter_dim0"),
+                ablate=ablate,
             )
             p_out_ref[sl, :] = p_new
             return qd, cost
@@ -367,7 +389,7 @@ def fits_epoch_resident(n_users: int, max_len: int, rows: int, k: int) -> bool:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_steps", "n_items", "lr", "reg", "block_u", "interpret", "mm_dtype", "n_tries"),
+    static_argnames=("n_steps", "n_items", "lr", "reg", "block_u", "interpret", "mm_dtype", "n_tries", "ablate"),
 )
 def bpr_epoch_fused(
     p: jax.Array,  # [U, k]
@@ -383,6 +405,7 @@ def bpr_epoch_fused(
     interpret: bool = False,
     mm_dtype=jnp.bfloat16,
     n_tries: int = 4,  # matches models/bpr._NEG_TRIES (the XLA sampler)
+    ablate: str = "",  # profiling instrument, see _epoch_resident_kernel
 ):
     """A full BPR epoch (n_steps sweeps) in ONE kernel invocation.
     Returns (p_new, q_packed_new, cost). Use fits_epoch_resident() first."""
@@ -405,7 +428,7 @@ def bpr_epoch_fused(
             _epoch_resident_kernel, k=k, n_items=n_items, lr=lr, reg=reg,
             block_u=block_u, rows_pad=rows_pad, max_len=max_len,
             mm_dtype=mm_dtype, n_tries=n_tries,
-            n_steps=n_steps, n_blocks=u_pad // block_u,
+            n_steps=n_steps, n_blocks=u_pad // block_u, ablate=ablate,
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),

@@ -51,6 +51,24 @@ Two implementations with identical semantics:
   VMEM, costing more than the halved HBM stream saves (and int8 matmuls
   would need both operands int8 to earn MXU rate). Rejected; revisit only
   if Mosaic grows a native u8 cast or int8-LHS matmul.
+  (f) r4: SINGLE-stream seeding (drop pass 1, seed from a sampled stripe
+  or the previous batch's k-th scores — VERDICT r3 next #5). Measured the
+  decisive prerequisite: the one-pass kernel from a NEG_INF start runs
+  1.22x SLOWER than the two-pass (3.25 vs 2.67 ms/batch, 1M bf16 B=256,
+  same window) — the cold-start extraction churn (~2.0 ms) already costs
+  MORE than the entire second stream (~1.3 ms) it would save. A stripe
+  seed cannot close that: the k-th best of an s-item sample sits at the
+  k/s quantile (a 1% stripe -> ~the 1000th-best score at 1M items), so
+  ~block_n*k/s ~ 4 candidates/block would still clear the threshold and
+  fire the slow extraction path on nearly every block, while the two-pass
+  seed (k-th largest of the ~245 block maxima, each a local champion)
+  lands within a few ranks of the true k-th. Matching it needs s ~ N —
+  the full table, i.e. pass 1. Reusing the previous batch's k-th scores
+  is unsound outright: a threshold for query q is only a valid bound if
+  it is an actual score OF q, and serving batches carry different
+  queries. Rejected; the two-pass form is the design point. Batches >256
+  chunk internally instead of degrading through the scoped-VMEM block
+  cap (B=1024: 374k q/s chunked vs 51k direct in the same window).
 
   The same two-pass kernel serves SCALAR-QUANTIZED tables (PreparedSQ):
   uint8 code blocks stream at 1/4 the f32 bytes and the per-row affine

@@ -1,0 +1,187 @@
+"""Event-loop HTTP/1.1 front-end for the REST service (serve/rest.py).
+
+Profiled motivation (r4 session, 2-core bench host): the stdlib
+ThreadingHTTPServer spends ~0.3 ms/request on request-line parsing (the
+email-parser header path), response assembly, and thread scheduling —
+more than the whole recommend handler (~0.25 ms after the r4 store
+indexes) — and a thread per connection contends the GIL. This front-end
+is ONE asyncio event loop with hand-rolled minimal HTTP/1.1 parsing
+(readline + partition, no email parser), keep-alive, and the exact same
+``RestServer.dispatch`` contract, so every route, auth check, CORS rule,
+and metric behaves identically.
+
+Reference analog: the reference's server node is a compiled Go net/http
+server where goroutines make concurrent connections nearly free
+(/root/reference/server/rest.go:197). An event loop is the Python-native
+shape of the same requirement; the threaded server remains available via
+``backend="threaded"`` (see RestServer.serve).
+
+Handlers run inline on the loop — the online read path is sub-millisecond
+by design. Long-running admin routes (dump/restore/bulk import) would
+stall other connections, so those path prefixes are pushed to a small
+thread pool instead.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import threading
+import urllib.parse
+from concurrent.futures import ThreadPoolExecutor
+from http import HTTPStatus
+
+# admin/batch routes that may block for seconds: run on the pool, not the loop
+SLOW_PREFIXES = (
+    "/api/dump",
+    "/api/restore",
+    "/api/bulk-insert",
+    "/api/export",
+    "/api/import",
+)
+
+_REASONS = {s.value: s.phrase for s in HTTPStatus}
+
+
+class AsyncHTTPServer:
+    """Asyncio front-end driving ``rest.dispatch``; duck-compatible with the
+    ThreadingHTTPServer the callers expect (``server_address``,
+    ``shutdown()``)."""
+
+    def __init__(self, rest, host: str, port: int) -> None:
+        self.rest = rest
+        self._host, self._port = host, port
+        self._loop: asyncio.AbstractEventLoop | None = None
+        self._thread: threading.Thread | None = None
+        self._started = threading.Event()
+        self._boot_error: BaseException | None = None
+        self._pool = ThreadPoolExecutor(max_workers=2)
+        self.server_address = (host, port)
+
+    # ---------------------------------------------------------- lifecycle
+
+    def start(self) -> "AsyncHTTPServer":
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+        if not self._started.wait(timeout=15):
+            raise RuntimeError("async HTTP server failed to start in time")
+        if self._boot_error is not None:
+            raise self._boot_error
+        return self
+
+    def _run(self) -> None:
+        try:
+            asyncio.run(self._main())
+        except BaseException as e:  # noqa: BLE001 — surface boot failures
+            self._boot_error = e
+            self._started.set()
+
+    async def _main(self) -> None:
+        self._loop = asyncio.get_running_loop()
+        self._stop = asyncio.Event()
+        server = await asyncio.start_server(self._conn, self._host, self._port)
+        self.server_address = server.sockets[0].getsockname()[:2]
+        self._started.set()
+        async with server:
+            await self._stop.wait()
+
+    def shutdown(self) -> None:
+        if self._loop is not None and not self._loop.is_closed():
+            try:
+                self._loop.call_soon_threadsafe(self._stop.set)
+            except RuntimeError:
+                pass
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+        self._pool.shutdown(wait=False)
+
+    # --------------------------------------------------------- connection
+
+    async def _conn(self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter) -> None:
+        from .rest import decode_body, parse_query
+
+        rest = self.rest
+        try:
+            while True:
+                line = await reader.readline()
+                if not line:
+                    break
+                if line in (b"\r\n", b"\n"):
+                    continue  # stray blank between pipelined requests
+                try:
+                    method, target, _version = (
+                        line.decode("latin1").rstrip("\r\n").split(" ", 2)
+                    )
+                except ValueError:
+                    self._reply(writer, 400, b'{"error": "bad request line"}',
+                                "application/json", {}, close=True)
+                    break
+                headers: dict[str, str] = {}
+                while True:
+                    h = await reader.readline()
+                    if h in (b"\r\n", b"\n", b""):
+                        break
+                    k, _, v = h.decode("latin1").partition(":")
+                    headers[k.strip()] = v.strip()
+                hl = {k.lower(): v for k, v in headers.items()}
+                if "chunked" in hl.get("transfer-encoding", "").lower():
+                    # same refusal as the threaded server: an unread chunked
+                    # body would desynchronize the keep-alive stream
+                    self._reply(writer, 501,
+                                b'{"error": "chunked request bodies are not supported"}',
+                                "application/json", {}, close=True)
+                    break
+                length = int(hl.get("content-length") or 0)
+                raw = await reader.readexactly(length) if length else b""
+
+                parsed = urllib.parse.urlparse(target)
+                origin = hl.get("origin", "")
+                if method == "OPTIONS":
+                    cors = rest.cors_headers(origin)
+                    self._reply(writer, 204 if cors else 405, b"", "text/plain", cors)
+                    continue
+                body, err = decode_body(raw, hl.get("content-type"))
+                if err is not None:
+                    self._reply(writer, 400, err, "application/json",
+                                rest.cors_headers(origin))
+                    continue
+                query = parse_query(parsed.query)
+
+                if parsed.path.startswith(SLOW_PREFIXES):
+                    status, payload = await asyncio.get_running_loop().run_in_executor(
+                        self._pool, rest.dispatch,
+                        method, parsed.path, query, body, headers,
+                    )
+                else:
+                    status, payload = rest.dispatch(
+                        method, parsed.path, query, body, headers
+                    )
+                data, ctype, extra, status = rest.render_payload(status, payload)
+                close = hl.get("connection", "").lower() == "close"
+                self._reply(writer, status, data, ctype,
+                            {**extra, **rest.cors_headers(origin)}, close=close)
+                await writer.drain()
+                if close:
+                    break
+        except (asyncio.IncompleteReadError, ConnectionResetError, BrokenPipeError):
+            pass
+        finally:
+            try:
+                writer.close()
+            except Exception:  # noqa: BLE001
+                pass
+
+    @staticmethod
+    def _reply(writer, status: int, data: bytes, ctype: str,
+               extra: dict, close: bool = False) -> None:
+        reason = _REASONS.get(status, "OK")
+        parts = [
+            f"HTTP/1.1 {status} {reason}\r\n",
+            f"Content-Type: {ctype}\r\n",
+            f"Content-Length: {len(data)}\r\n",
+        ]
+        for k, v in extra.items():
+            parts.append(f"{k}: {v}\r\n")
+        if close:
+            parts.append("Connection: close\r\n")
+        parts.append("\r\n")
+        writer.write("".join(parts).encode("latin1") + data)

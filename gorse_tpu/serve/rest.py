@@ -65,6 +65,48 @@ class Redirect(RawResponse):
         super().__init__(b"", "text/plain", headers, status=302)
 
 
+def parse_query(query_string: str) -> dict:
+    """Query dict in the Request contract: last-value-wins keys plus the
+    ``__multi__`` map of every repeated value (shared by the threaded and
+    asyncio front-ends)."""
+    query: dict = {}
+    query_multi: dict = {}
+    for k, v in urllib.parse.parse_qsl(query_string):
+        query[k] = v
+        query_multi.setdefault(k, []).append(v)
+    query["__multi__"] = query_multi
+    return query
+
+
+def decode_body(raw: bytes, content_type: str | None):
+    """Decode a request body per content type. Returns (body, error_bytes):
+    exactly one is non-None (both None for an empty body). Shared by the
+    threaded and asyncio front-ends so their route behavior is identical."""
+    if not raw:
+        return None, None
+    ctype = (content_type or "application/json").split(";")[0]
+    if ctype in (
+        "application/octet-stream",
+        "text/csv",
+        "application/jsonl",
+    ) or ctype.startswith("multipart/"):
+        # binary/CSV/JSONL/multipart pass through (multipart boundary stays
+        # in the Content-Type header)
+        return raw, None
+    if ctype == "application/x-www-form-urlencoded":
+        # urllib sets this content type by default, so JSON bodies still
+        # take precedence; real form posts (login) fall through to form
+        # decoding
+        try:
+            return json.loads(raw.decode()), None
+        except (json.JSONDecodeError, UnicodeDecodeError):
+            return dict(urllib.parse.parse_qsl(raw.decode())), None
+    try:
+        return json.loads(raw.decode()), None
+    except (json.JSONDecodeError, UnicodeDecodeError):
+        return None, b'{"error": "invalid JSON body"}'
+
+
 class RestServer:
     """Shared REST service (embedded by both server and master nodes, like
     the reference's RestServer: master/master.go:74)."""
@@ -796,7 +838,41 @@ class RestServer:
             "Vary": "Origin",
         }
 
-    def serve(self, host: str = "127.0.0.1", port: int = 8087) -> ThreadingHTTPServer:
+    @staticmethod
+    def render_payload(status: int, payload) -> tuple[bytes, str, dict, int]:
+        """(data, content_type, extra_headers, status) for any handler
+        result — shared by the threaded and asyncio front-ends."""
+        extra: dict = {}
+        if isinstance(payload, RawResponse):
+            data, ctype = payload.body, payload.content_type
+            extra = payload.headers
+            if payload.status != 200:
+                status = payload.status
+        else:
+            data, ctype = json.dumps(payload).encode(), "application/json"
+        return data, ctype, extra, status
+
+    def serve(
+        self, host: str = "127.0.0.1", port: int = 8087, backend: str | None = None
+    ):
+        """Start the HTTP front-end. ``backend``: "async" (default — the
+        event-loop server, serve/asynchttp.py) or "threaded" (the stdlib
+        ThreadingHTTPServer); overridable via GORSE_TPU_HTTP_BACKEND."""
+        import os
+
+        backend = backend or os.environ.get("GORSE_TPU_HTTP_BACKEND", "async")
+        if backend == "async":
+            from .asynchttp import AsyncHTTPServer
+
+            httpd = AsyncHTTPServer(self, host, port).start()
+            self._httpd = httpd
+            logger.info(
+                "REST server (async) listening on %s:%d", *httpd.server_address
+            )
+            return httpd
+        return self._serve_threaded(host, port)
+
+    def _serve_threaded(self, host: str = "127.0.0.1", port: int = 8087) -> ThreadingHTTPServer:
         rest = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -814,52 +890,22 @@ class RestServer:
                     self._reply(501, {"error": "chunked request bodies are not supported"})
                     return
                 parsed = urllib.parse.urlparse(self.path)
-                query: dict = {}
-                query_multi: dict = {}
-                for k, v in urllib.parse.parse_qsl(parsed.query):
-                    query[k] = v
-                    query_multi.setdefault(k, []).append(v)
-                body = None
+                raw = b""
                 length = int(self.headers.get("Content-Length") or 0)
                 if length:
                     raw = self.rfile.read(length)
-                    ctype = (self.headers.get("Content-Type") or "application/json").split(";")[0]
-                    if ctype in (
-                        "application/octet-stream",
-                        "text/csv",
-                        "application/jsonl",
-                    ) or ctype.startswith("multipart/"):
-                        body = raw  # binary/CSV/JSONL/multipart pass through
-                        # (multipart boundary stays in the Content-Type header)
-                    elif ctype == "application/x-www-form-urlencoded":
-                        # urllib sets this content type by default, so JSON
-                        # bodies still take precedence; real form posts
-                        # (login) fall through to form decoding
-                        try:
-                            body = json.loads(raw.decode())
-                        except (json.JSONDecodeError, UnicodeDecodeError):
-                            body = dict(urllib.parse.parse_qsl(raw.decode()))
-                    else:
-                        try:
-                            body = json.loads(raw.decode())
-                        except (json.JSONDecodeError, UnicodeDecodeError):
-                            self._reply(400, {"error": "invalid JSON body"})
-                            return
-                query["__multi__"] = query_multi
+                body, err = decode_body(raw, self.headers.get("Content-Type"))
+                if err is not None:
+                    self._reply(400, {"error": "invalid JSON body"})
+                    return
                 status, payload = rest.dispatch(
-                    method, parsed.path, query, body, dict(self.headers)
+                    method, parsed.path, parse_query(parsed.query), body,
+                    dict(self.headers),
                 )
                 self._reply(status, payload)
 
             def _reply(self, status: int, payload) -> None:
-                extra = {}
-                if isinstance(payload, RawResponse):
-                    data, ctype = payload.body, payload.content_type
-                    extra = payload.headers
-                    if payload.status != 200:
-                        status = payload.status
-                else:
-                    data, ctype = json.dumps(payload).encode(), "application/json"
+                data, ctype, extra, status = rest.render_payload(status, payload)
                 self.send_response(status)
                 self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(data)))
