@@ -54,27 +54,48 @@ def unpack_items(q_packed: jax.Array, n_items: int, k: int) -> jax.Array:
     return q_packed.reshape(-1, k)[:n_items]
 
 
-def _kernel_sample_pair(pp, pc, block_u, max_len, n_items, n_tries):
+def _kernel_sample_pair(pp, pc, block_u, max_len, n_items, n_tries, ablate=""):
     """On-chip PRNG (pos, neg) pair per user of a block — shared by the
     fully-fused and epoch-resident kernels. Positive: uniform slot in
     [0, count) selected one-hot from the padded positives; negative: K-way
     rejection against pp (first non-colliding draw wins; if all K collide,
     fall back to the first draw — the XLA path's semantics, probability
-    ~ density**K)."""
-    bits = pltpu.bitcast(pltpu.prng_random_bits((block_u, 1)), jnp.uint32)
-    slot = (bits % jnp.maximum(pc, 1).astype(jnp.uint32)).astype(jnp.int32)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (block_u, max_len), 1)
-    pos = jnp.sum(jnp.where(lane == slot, pp, 0), axis=1, keepdims=True)
-    pos = jnp.maximum(pos, 0)  # [TB, 1]
+    ~ density**K).
 
+    All 1 + n_tries draws come from ONE batched prng_random_bits call.
+    Measured NEUTRAL on the r4 ablation rig (full epoch 45.2 ms with five
+    [TB, 1] PRNG ops vs 46.0 ms batched, same window — within noise): the
+    separate PRNG ops were already cheap. Kept for the simpler op stream;
+    the study's sampling-cost attribution lives in docs/KERNELS.md."""
+    n_draws = 1 + n_tries
+    bits = pltpu.bitcast(
+        pltpu.prng_random_bits((block_u, n_draws)), jnp.uint32
+    )  # one PRNG op for every draw of the block
+    # bits -> uniforms in [0, 1) via the mantissa trick, then scale: integer
+    # modulo has no VPU hardware (lowers to a long shift-subtract sequence,
+    # and `bits % pc` divides by a PER-USER variable) — the float path is a
+    # handful of cheap ops and exact for ranges < 2^24 (docs/KERNELS.md r4
+    # ablation study: sampling was 26% of the resident epoch, over half of
+    # it in the modulo-fed positive-slot select)
+    u01 = pltpu.bitcast(
+        (bits >> jnp.uint32(9)) | jnp.uint32(0x3F800000), jnp.float32
+    ) - 1.0  # [TB, n_draws] in [0, 1)
+    if ablate == "samp_nopos":  # cost attribution: skip the slot one-hot
+        pos = jnp.maximum(pp[:, 0:1], 0)
+    else:
+        slot = (u01[:, 0:1] * jnp.maximum(pc, 1).astype(jnp.float32)).astype(jnp.int32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (block_u, max_len), 1)
+        pos = jnp.sum(jnp.where(lane == slot, pp, 0), axis=1, keepdims=True)
+        pos = jnp.maximum(pos, 0)  # [TB, 1]
+
+    cand = (u01[:, 1:] * jnp.float32(n_items)).astype(jnp.int32)  # [TB, K]
+    if ablate == "samp_norej":  # cost attribution: skip collision compares
+        return pos, cand[:, 0:1]
     neg = jnp.zeros((block_u, 1), jnp.int32)
-    first_draw = jnp.zeros((block_u, 1), jnp.int32)
+    first_draw = cand[:, 0:1]
     ok = jnp.zeros((block_u, 1), jnp.bool_)
     for t in range(n_tries):
-        cbits = pltpu.bitcast(pltpu.prng_random_bits((block_u, 1)), jnp.uint32)
-        c = (cbits % jnp.uint32(n_items)).astype(jnp.int32)
-        if t == 0:
-            first_draw = c
+        c = cand[:, t : t + 1]
         collides = jnp.any(pp == c, axis=1, keepdims=True)
         take = jnp.logical_and(jnp.logical_not(ok), jnp.logical_not(collides))
         neg = jnp.where(take, c, neg)
@@ -343,7 +364,7 @@ def _epoch_resident_kernel(
                 neg = (pos + 37) % jnp.int32(n_items)
             else:
                 pos, neg = _kernel_sample_pair(
-                    pp, count, block_u, max_len, n_items, n_tries
+                    pp, count, block_u, max_len, n_items, n_tries, ablate=ablate
                 )
             p_new, qd, cost = _kernel_block_update(
                 pos, neg, (count > 0).astype(jnp.float32), p_out_ref[sl, :],
