@@ -108,7 +108,7 @@ class AsyncHTTPServer:
                 if line in (b"\r\n", b"\n"):
                     continue  # stray blank between pipelined requests
                 try:
-                    method, target, _version = (
+                    method, target, version = (
                         line.decode("latin1").rstrip("\r\n").split(" ", 2)
                     )
                 except ValueError:
@@ -156,7 +156,11 @@ class AsyncHTTPServer:
                         method, parsed.path, query, body, headers
                     )
                 data, ctype, extra, status = rest.render_payload(status, payload)
-                close = hl.get("connection", "").lower() == "close"
+                conn_hdr = hl.get("connection", "").lower()
+                # HTTP/1.0 defaults to close unless keep-alive is requested
+                close = conn_hdr == "close" or (
+                    version == "HTTP/1.0" and conn_hdr != "keep-alive"
+                )
                 self._reply(writer, status, data, ctype,
                             {**extra, **rest.cors_headers(origin)}, close=close)
                 await writer.drain()

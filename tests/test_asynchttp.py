@@ -199,3 +199,17 @@ def test_threaded_backend_still_available():
     assert conn.getresponse().status == 200
     conn.close()
     rest.shutdown()
+
+
+def test_http10_closes_by_default(server):
+    rest, port = server
+    s = socket.create_connection(("127.0.0.1", port), timeout=5)
+    s.sendall(b"GET /api/health/live HTTP/1.0\r\nHost: t\r\n\r\n")
+    buf = b""
+    while True:
+        chunk = s.recv(65536)
+        if not chunk:
+            break  # server closed: HTTP/1.0 default
+        buf += chunk
+    assert b"HTTP/1.1 200" in buf
+    s.close()
