@@ -30,13 +30,18 @@ import urllib.parse
 from concurrent.futures import ThreadPoolExecutor
 from http import HTTPStatus
 
-# admin/batch routes that may block for seconds: run on the pool, not the loop
+# admin/batch routes that may block for seconds: run on the pool, not the
+# loop (matches the actual registered route set — serve/dashboard.py:73-89:
+# dump/restore, JSONL bulk + CSV import/export, purge, and the upstream
+# LLM chat proxy, which blocks on a remote completion)
 SLOW_PREFIXES = (
     "/api/dump",
     "/api/restore",
-    "/api/bulk-insert",
+    "/api/bulk",
     "/api/export",
     "/api/import",
+    "/api/purge",
+    "/api/chat",
 )
 
 _REASONS = {s.value: s.phrase for s in HTTPStatus}
@@ -130,7 +135,14 @@ class AsyncHTTPServer:
                                 b'{"error": "chunked request bodies are not supported"}',
                                 "application/json", {}, close=True)
                     break
-                length = int(hl.get("content-length") or 0)
+                try:
+                    length = int(hl.get("content-length") or 0)
+                    if length < 0:
+                        raise ValueError(length)
+                except ValueError:
+                    self._reply(writer, 400, b'{"error": "invalid Content-Length"}',
+                                "application/json", {}, close=True)
+                    break
                 raw = await reader.readexactly(length) if length else b""
 
                 parsed = urllib.parse.urlparse(target)
@@ -146,14 +158,16 @@ class AsyncHTTPServer:
                     continue
                 query = parse_query(parsed.query)
 
+                # HEAD serves as GET with the body suppressed (RFC 9110)
+                dm = "GET" if method == "HEAD" else method
                 if parsed.path.startswith(SLOW_PREFIXES):
                     status, payload = await asyncio.get_running_loop().run_in_executor(
                         self._pool, rest.dispatch,
-                        method, parsed.path, query, body, headers,
+                        dm, parsed.path, query, body, headers,
                     )
                 else:
                     status, payload = rest.dispatch(
-                        method, parsed.path, query, body, headers
+                        dm, parsed.path, query, body, headers
                     )
                 data, ctype, extra, status = rest.render_payload(status, payload)
                 conn_hdr = hl.get("connection", "").lower()
@@ -162,12 +176,23 @@ class AsyncHTTPServer:
                     version == "HTTP/1.0" and conn_hdr != "keep-alive"
                 )
                 self._reply(writer, status, data, ctype,
-                            {**extra, **rest.cors_headers(origin)}, close=close)
+                            {**extra, **rest.cors_headers(origin)}, close=close,
+                            head=(method == "HEAD"))
                 await writer.drain()
                 if close:
                     break
         except (asyncio.IncompleteReadError, ConnectionResetError, BrokenPipeError):
             pass
+        except (asyncio.LimitOverrunError, ValueError):
+            # request/header line beyond the StreamReader limit (~64 KiB) or
+            # otherwise unparseable framing: answer like the threaded
+            # backend's 414/400 and drop the connection
+            try:
+                self._reply(writer, 414, b'{"error": "request line or header too long"}',
+                            "application/json", {}, close=True)
+                await writer.drain()
+            except Exception:  # noqa: BLE001
+                pass
         finally:
             try:
                 writer.close()
@@ -176,7 +201,7 @@ class AsyncHTTPServer:
 
     @staticmethod
     def _reply(writer, status: int, data: bytes, ctype: str,
-               extra: dict, close: bool = False) -> None:
+               extra: dict, close: bool = False, head: bool = False) -> None:
         reason = _REASONS.get(status, "OK")
         parts = [
             f"HTTP/1.1 {status} {reason}\r\n",
@@ -188,4 +213,6 @@ class AsyncHTTPServer:
         if close:
             parts.append("Connection: close\r\n")
         parts.append("\r\n")
-        writer.write("".join(parts).encode("latin1") + data)
+        # HEAD responses carry the headers (incl. the GET Content-Length)
+        # but no body — writing one would desynchronize keep-alive clients
+        writer.write("".join(parts).encode("latin1") + (b"" if head else data))

@@ -378,16 +378,25 @@ class MemoryVectorStore(VectorStore):
                 if c.encoded is not None and c.encoded.get("version") == ver
                 else None
             )
-            matrix = prev = None
-            if info.quantization in ("pq", "rq") and enc is not None:
+            matrix = prev = scales = mins = norms2 = None
+            cached_sq = (
+                info.quantization == "sq"
+                and isinstance(enc, dict)
+                and enc.get("kind") == "sq"
+                and _device_serving_enabled(len(c.rows))
+            )
+            if enc is not None and (info.quantization in ("pq", "rq") or cached_sq):
+                # version-valid cache: the row snapshot would be discarded
+                # unused (the sq device path serves from enc['prepared'])
                 ids = enc["ids"]
             else:
                 ids = list(c.rows)
                 matrix = np.stack([c.rows[i] for i in ids])
                 prev = c.encoded or {}
-            scales = np.asarray([c.scales[i] for i in ids], dtype=np.float32) if info.quantization == "sq" else None
-            mins = np.asarray([c.mins[i] for i in ids], dtype=np.float32) if info.quantization == "sq" else None
-            norms2 = np.asarray([c.norms2[i] for i in ids], dtype=np.float32)
+                if info.quantization == "sq":
+                    scales = np.asarray([c.scales[i] for i in ids], dtype=np.float32)
+                    mins = np.asarray([c.mins[i] for i in ids], dtype=np.float32)
+                norms2 = np.asarray([c.norms2[i] for i in ids], dtype=np.float32)
         if info.quantization in ("pq", "rq") and enc is None:
             # heavy build (k-means / re-encode) OUTSIDE the lock from the
             # version-``ver`` snapshot; publish only if still current

@@ -304,3 +304,45 @@ def test_sync_every_variant(setup):
     p_b, q_b, costs_b = run_epochs(10)
     assert np.array_equal(p_a, p_b) and np.array_equal(q_a, q_b)  # deterministic
     assert costs_a[-1] < costs_a[0] - 1.0, costs_a  # still learns
+
+
+def test_sync_every_fused_matches_xla_variant():
+    """The FUSED sharded epoch's sync_every>1 path (pcast-varying
+    accumulator around the Pallas kernel) must match the XLA sharded epoch
+    with the same sync_every — the samplers are identical, so the local-SGD
+    trajectories coincide up to FP order."""
+    from gorse_tpu.ops.bpr_kernel import pack_items, unpack_items
+    from gorse_tpu.parallel.sharded import make_sharded_bpr_epoch_fused
+
+    n_users, n_items, k = 96, 64, 16
+    rng = np.random.default_rng(4)
+    counts = rng.integers(1, 12, size=n_users).astype(np.int32)
+    padded = np.full((n_users, 16), -1, dtype=np.int32)
+    for u in range(n_users):
+        padded[u, : counts[u]] = rng.choice(n_items, size=counts[u], replace=False)
+    p0 = rng.normal(scale=0.01, size=(n_users, k)).astype(np.float32)
+    q0 = rng.normal(scale=0.01, size=(n_items, k)).astype(np.float32)
+    key = jax.random.PRNGKey(11)
+    mesh = make_mesh(4)
+
+    p, q, pp, pc, uids, _ = shard_bpr_inputs(mesh, p0, q0, padded, counts)
+    epoch_xla = make_sharded_bpr_epoch(
+        mesh, n_steps=6, n_items=n_items, lr=0.05, reg=0.01, sync_every=3
+    )
+    p_x, q_x, cost_x = epoch_xla(p, q, pp, pc, uids, key)
+
+    p, _, pp, pc, uids, _ = shard_bpr_inputs(mesh, p0, q0, padded, counts)
+    qp = jax.device_put(
+        pack_items(jnp.asarray(q0)),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()),
+    )
+    epoch_fused = make_sharded_bpr_epoch_fused(
+        mesh, n_steps=6, n_items=n_items, lr=0.05, reg=0.01, interpret=True,
+        sync_every=3,
+    )
+    p_f, qp_f, cost_f = epoch_fused(p, qp, pp, pc, uids, key)
+    q_f = unpack_items(qp_f, n_items, k)
+
+    np.testing.assert_allclose(np.asarray(cost_f), np.asarray(cost_x), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(p_f), np.asarray(p_x), rtol=2e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(q_f), np.asarray(q_x), rtol=2e-5, atol=1e-7)
