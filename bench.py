@@ -841,59 +841,69 @@ def stage_serving() -> None:
 
 
 def stage_serving_client(port: int) -> None:
-    """Load generator for stage_serving — its own process, so client-side
-    CPU (request building, JSON parse) never steals the server's GIL. Also
-    measures the pure client+transport floor via /api/health/live so the
-    recommend latencies can be read net of client overhead."""
-    import http.client
+    """Load generator for stage_serving — its own process (client-side CPU
+    never steals the server's GIL) and its own asyncio loop with raw-socket
+    HTTP/1.1 keep-alive connections: a threaded http.client generator
+    measured ~0.9 ms/request of client-side cost and bottlenecked the
+    measurement at ~6.7k q/s. Also measures the client+transport floor via
+    /api/health/live so recommend latencies can be read net of client
+    overhead."""
+    import asyncio
     import random
 
     import numpy as np
 
-    n_threads, n_per = 8, 150
+    n_conns, n_per = 6, 400
     lat_rec: list[float] = []
     lat_sess: list[float] = []
     lat_health: list[float] = []
-    lock = threading.Lock()
 
-    def worker(tid: int) -> None:
-        rng = random.Random(tid)
-        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
-        my_rec, my_sess, my_health = [], [], []
+    async def worker(cid: int) -> None:
+        rng = random.Random(cid)
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
         for i in range(n_per):
             uid = f"u{rng.randrange(400)}"
             t0 = time.perf_counter()
             if i % 10 == 9:
-                # client+transport+trivial-handler floor
-                conn.request("GET", "/api/health/live")
-                r = conn.getresponse(); r.read()
-                my_health.append(time.perf_counter() - t0)
+                req = b"GET /api/health/live HTTP/1.1\r\nHost: b\r\n\r\n"
+                bucket = lat_health
             elif i % 5 == 4:
                 body = json.dumps([
-                    {"FeedbackType": "star", "UserId": "s", "ItemId": f"repo{rng.randrange(1200)}",
+                    {"FeedbackType": "star", "UserId": "s",
+                     "ItemId": f"repo{rng.randrange(1200)}",
                      "Timestamp": "2026-01-01T00:00:00Z"}
                     for _ in range(3)
-                ])
-                conn.request("POST", "/api/session/recommend?n=10", body,
-                             {"Content-Type": "application/json"})
-                r = conn.getresponse(); r.read()
-                my_sess.append(time.perf_counter() - t0)
+                ]).encode()
+                req = (
+                    b"POST /api/session/recommend?n=10 HTTP/1.1\r\nHost: b\r\n"
+                    b"Content-Type: application/json\r\n"
+                    + f"Content-Length: {len(body)}\r\n\r\n".encode() + body
+                )
+                bucket = lat_sess
             else:
-                conn.request("GET", f"/api/recommend/{uid}?n=10")
-                r = conn.getresponse(); r.read()
-                my_rec.append(time.perf_counter() - t0)
-        conn.close()
-        with lock:
-            lat_rec.extend(my_rec)
-            lat_sess.extend(my_sess)
-            lat_health.extend(my_health)
+                req = (f"GET /api/recommend/{uid}?n=10 HTTP/1.1\r\n"
+                       f"Host: b\r\n\r\n").encode()
+                bucket = lat_rec
+            writer.write(req)
+            await writer.drain()
+            # read status + headers, then exactly Content-Length body bytes
+            length = 0
+            while True:
+                line = await reader.readline()
+                if line in (b"\r\n", b""):
+                    break
+                if line.lower().startswith(b"content-length:"):
+                    length = int(line.split(b":", 1)[1])
+            if length:
+                await reader.readexactly(length)
+            bucket.append(time.perf_counter() - t0)
+        writer.close()
+
+    async def run_all():
+        await asyncio.gather(*(worker(c) for c in range(n_conns)))
 
     t0 = time.perf_counter()
-    threads = [threading.Thread(target=worker, args=(t,)) for t in range(n_threads)]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
+    asyncio.run(run_all())
     wall = time.perf_counter() - t0
 
     def pct(xs, p):
@@ -906,9 +916,9 @@ def stage_serving_client(port: int) -> None:
         "session_p50_ms": pct(lat_sess, 50),
         "session_p99_ms": pct(lat_sess, 99),
         "health_p50_ms": pct(lat_health, 50),
-        "threads": n_threads,
+        "connections": n_conns,
         "requests": len(lat_rec) + len(lat_sess) + len(lat_health),
-        "client": "subprocess (isolated GIL; health row = client+transport floor)",
+        "client": "asyncio subprocess (isolated GIL; health row = client+transport floor)",
         "backend": "cpu-host (device top-k measured in topk stages)",
     }})
 
