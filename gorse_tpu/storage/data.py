@@ -359,6 +359,9 @@ class SQLiteDataStore(DataStore):
             )
             cur.execute("CREATE INDEX IF NOT EXISTS idx_feedback_user ON feedback (user_id)")
             cur.execute("CREATE INDEX IF NOT EXISTS idx_feedback_item ON feedback (item_id)")
+            # the reference's time_stamp index (storage/data/sql.go schema):
+            # serves get_latest_items newest-first without a table sort
+            cur.execute("CREATE INDEX IF NOT EXISTS idx_items_timestamp ON items (timestamp DESC)")
             self._conn.commit()
 
     def insert_users(self, users) -> None:
@@ -522,6 +525,36 @@ class SQLiteDataStore(DataStore):
             ).fetchall()
         for row in rows:
             yield self._row_to_item(row)
+
+    def get_latest_items(self, limit, categories=None, after=None):
+        """Newest-first through the idx_items_timestamp index (reference:
+        GetLatestItems orders by time_stamp in SQL) — the online fallback
+        path calls this per request; the base class re-sorted the whole
+        table each time."""
+        sql = (
+            "SELECT item_id, is_hidden, categories, timestamp, labels, comment"
+            " FROM items WHERE is_hidden = 0"
+        )
+        args: list = []
+        if after is not None:
+            sql += " AND timestamp >= ?"
+            args.append(after)
+        sql += " ORDER BY timestamp DESC"
+        out: list = []
+        with self._lock:
+            cur = self._conn.execute(sql, args)
+            while len(out) < limit:
+                rows = cur.fetchmany(max(limit, 64))
+                if not rows:
+                    break
+                for row in rows:
+                    item = self._row_to_item(row)
+                    if categories and not all(c in item.categories for c in categories):
+                        continue
+                    out.append(item)
+                    if len(out) >= limit:
+                        break
+        return out
 
     def insert_feedback(self, feedback, insert_user=True, insert_item=True, overwrite=True) -> None:
         with self._lock:

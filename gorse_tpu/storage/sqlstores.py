@@ -350,6 +350,40 @@ class GenericSQLDataStore(DataStore):
         for row in self._q(sql, (begin_id,)):
             yield self._row_to_item(row)
 
+    def get_latest_items(self, limit, categories=None, after=None):
+        """Newest-first in SQL (reference: GetLatestItems orders by
+        time_stamp in the database, storage/data/sql.go:558-576) instead of
+        the base class's fetch-everything-and-sort; the JSON category filter
+        applies host-side, over-fetching in timestamp order until ``limit``
+        rows match."""
+        sql = (
+            f"SELECT {', '.join(_ITEM_COLS)} FROM {self.d.from_table('items')}"
+            " WHERE is_hidden = 0"
+        )
+        args: list = []
+        if after is not None:
+            sql += " AND timestamp >= ?"
+            args.append(after)
+        sql += " ORDER BY timestamp DESC"
+        fetch = limit if not categories else max(limit * 4, 256)
+        out: list = []
+        offset = 0
+        while len(out) < limit:
+            rows = self._q(sql + f" LIMIT {int(fetch)} OFFSET {offset}", tuple(args))
+            if not rows:
+                break
+            for row in rows:
+                item = self._row_to_item(row)
+                if categories and not all(c in item.categories for c in categories):
+                    continue
+                out.append(item)
+                if len(out) >= limit:
+                    break
+            if len(rows) < fetch:
+                break
+            offset += fetch
+        return out
+
     # -- feedback ----------------------------------------------------------
     def _exists(self, table: str, col: str, value: str) -> bool:
         return bool(

@@ -207,6 +207,9 @@ def test_items_crud(data_store):
     assert [i.item_id for i in latest] == ["i3", "i1"]  # hidden excluded
     latest_a = data_store.get_latest_items(10, categories=["b"])
     assert [i.item_id for i in latest_a] == ["i3"]
+    latest_after = data_store.get_latest_items(10, after=150.0)
+    assert [i.item_id for i in latest_after] == ["i3"]  # i1 too old, i2 hidden
+    assert [i.item_id for i in data_store.get_latest_items(1)] == ["i3"]  # limit
     batch = data_store.batch_get_items(["i1", "i2", "zzz"], skip_hidden=True)
     assert [i.item_id for i in batch] == ["i1"]
 
