@@ -678,10 +678,9 @@ def stage_topk(n_items: int, mode: str) -> None:
     for name, run in (("pallas_seeded", run_pallas), ("xla", run_xla)):
         sec = marginal_seconds(run, lo, hi)
         out[name] = round((hi - lo) * batch / sec)
-    # B=256 is the kernel's design point: larger batches force smaller item
-    # blocks through the scoped-VMEM cap (see _dot_topk_prepared) and lose
-    # more to per-step overhead than the extra rows amortize (B=1024 at the
-    # capped block measured 54k q/s vs 161k here).
+    # B=256 is the kernel's design point; dot_topk chunks larger batches
+    # internally at 256 (B=1024 measured 374k q/s chunked vs 51k on the
+    # r3 path that shrank block_n through the scoped-VMEM cap).
     emit({f"topk_qps_{n_items // 1000}k_items": out})
 
 
@@ -1065,6 +1064,34 @@ def orchestrate() -> None:
             round(headline / hogwild16, 2), round(headline / dispatch, 2),
         ]
         extra["kernel_smoke"] = "skipped: degraded tunnel"
+        # the CPU-only stages never touch the tunnel — run them regardless
+        def cpu_stage(keys, args, cap):
+            if isinstance(keys, str):
+                keys = [keys]
+            if remaining() < 30:
+                for key in keys:
+                    extra.setdefault(key, "skipped: deadline")
+                return
+            res = run_stage(args, min(cap, remaining() - 10))
+            rc = res.pop("_rc"); res.pop("_elapsed_s"); res.pop("rows", None)
+            for k, v in res.items():
+                if not k.startswith("_") and not k.endswith("_setup"):
+                    extra[k] = v
+            for key in keys:
+                extra.setdefault(key, f"no result (rc={rc})")
+            _progress(f"{keys[0]} [degraded-mode]: {extra[keys[0]]}", t0)
+
+        cpu_stage("serving", ["--stage", "serving"], 80)
+        cpu_stage("offline_pipeline", ["--stage", "pipeline"], 80)
+        # one opportunistic retrieval attempt with whatever budget is left:
+        # compiles are cached, so if the window recovers mid-run the
+        # BASELINE-named top-k metrics still land (degraded-first emission
+        # keeps partial results on a kill)
+        if remaining() > 90:
+            cpu_stage(
+                ["topk_qps_100k_items", "topk_qps_1000k_items", "topk_qps_1000k_sq8"],
+                ["--stage", "topk_all"], remaining() - 40,
+            )
         for key in (
             "eals_ml1m_epoch_s", "afm_train_examples_per_s", "serving",
             "offline_pipeline",
