@@ -1075,7 +1075,8 @@ def orchestrate() -> None:
             res = run_stage(args, min(cap, remaining() - 10))
             rc = res.pop("_rc"); res.pop("_elapsed_s"); res.pop("rows", None)
             for k, v in res.items():
-                if not k.startswith("_") and not k.endswith("_setup"):
+                if (not k.startswith("_") and not k.endswith("_setup")
+                        and k not in ("done", "kernel", "shape", "k", "port")):
                     extra[k] = v
             for key in keys:
                 extra.setdefault(key, f"no result (rc={rc})")

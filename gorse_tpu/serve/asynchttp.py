@@ -16,24 +16,39 @@ server where goroutines make concurrent connections nearly free
 shape of the same requirement; the threaded server remains available via
 ``backend="threaded"`` (see RestServer.serve).
 
-Handlers run inline on the loop — the online read path is sub-millisecond
-by design. Long-running admin routes (dump/restore/bulk import) would
-stall other connections, so those path prefixes are pushed to a small
-thread pool instead.
+Small requests run inline (sub-millisecond by design; pooling everything
+measured a ~2x hot-path regression from the executor round-trip + GIL
+quanta); the admin/batch prefixes, the store-pinging readiness probe,
+and any request with a large body dispatch on a small thread pool so a
+blocking handler cannot head-of-line-block the loop (see SLOW_PREFIXES /
+POOL_BODY_BYTES).
 """
 
 from __future__ import annotations
 
 import asyncio
+import logging
 import threading
 import urllib.parse
 from concurrent.futures import ThreadPoolExecutor
 from http import HTTPStatus
 
-# admin/batch routes that may block for seconds: run on the pool, not the
-# loop (matches the actual registered route set — serve/dashboard.py:73-89:
-# dump/restore, JSONL bulk + CSV import/export, purge, and the upstream
-# LLM chat proxy, which blocks on a remote completion)
+logger = logging.getLogger(__name__)
+
+# Dispatch placement, measured on the 2-core bench host (see the sweep in
+# the r4 session): running ordinary handlers inline on the loop serves
+# ~7k q/s at P50 0.8-1.0 ms; pooling them costs an ~0.9 ms executor
+# round-trip per request plus GIL-quantum stalls for whatever stays
+# inline, halving throughput and tripling P99s. So the loop runs
+# everything SMALL inline and pools exactly the requests that can
+# genuinely block it:
+# - the admin/batch prefixes (dump/restore/export/import/bulk/purge and
+#   the remote-blocking LLM chat proxy — GET dump/export included);
+# - the readiness probe (it pings stores, which can hang when a backend
+#   is down; liveness is pure and stays inline);
+# - any request with a large body (a 50k-row feedback batch holds the
+#   store lock for seconds — body size is the cheap, accurate predictor;
+#   a normal write-back or session POST is a few hundred bytes).
 SLOW_PREFIXES = (
     "/api/dump",
     "/api/restore",
@@ -42,7 +57,13 @@ SLOW_PREFIXES = (
     "/api/import",
     "/api/purge",
     "/api/chat",
+    "/api/health/ready",
 )
+POOL_BODY_BYTES = 64 * 1024
+
+
+def _inline_ok(path: str, body_len: int) -> bool:
+    return body_len < POOL_BODY_BYTES and not path.startswith(SLOW_PREFIXES)
 
 _REASONS = {s.value: s.phrase for s in HTTPStatus}
 
@@ -59,7 +80,10 @@ class AsyncHTTPServer:
         self._thread: threading.Thread | None = None
         self._started = threading.Event()
         self._boot_error: BaseException | None = None
-        self._pool = ThreadPoolExecutor(max_workers=2)
+        # sized for a mix of fast handlers and a couple of genuinely slow
+        # ones (LLM chat proxy, dump/restore) without starving the rest;
+        # the GIL bounds useful CPU parallelism anyway
+        self._pool = ThreadPoolExecutor(max_workers=8)
         self.server_address = (host, port)
 
     # ---------------------------------------------------------- lifecycle
@@ -75,6 +99,12 @@ class AsyncHTTPServer:
 
     def _run(self) -> None:
         try:
+            import sys
+
+            # pool threads hold the GIL for a full switch quantum; the
+            # default 5 ms stalls the loop's inline reads behind any pooled
+            # mutation — 1 ms caps that head-of-line tax
+            sys.setswitchinterval(0.001)
             asyncio.run(self._main())
         except BaseException as e:  # noqa: BLE001 — surface boot failures
             self._boot_error = e
@@ -145,7 +175,12 @@ class AsyncHTTPServer:
                     break
                 raw = await reader.readexactly(length) if length else b""
 
-                parsed = urllib.parse.urlparse(target)
+                try:
+                    parsed = urllib.parse.urlparse(target)
+                except ValueError:
+                    self._reply(writer, 400, b'{"error": "bad request target"}',
+                                "application/json", {}, close=True)
+                    break
                 origin = hl.get("origin", "")
                 if method == "OPTIONS":
                     cors = rest.cors_headers(origin)
@@ -160,14 +195,14 @@ class AsyncHTTPServer:
 
                 # HEAD serves as GET with the body suppressed (RFC 9110)
                 dm = "GET" if method == "HEAD" else method
-                if parsed.path.startswith(SLOW_PREFIXES):
+                if _inline_ok(parsed.path, length):
+                    status, payload = rest.dispatch(
+                        dm, parsed.path, query, body, headers
+                    )
+                else:
                     status, payload = await asyncio.get_running_loop().run_in_executor(
                         self._pool, rest.dispatch,
                         dm, parsed.path, query, body, headers,
-                    )
-                else:
-                    status, payload = rest.dispatch(
-                        dm, parsed.path, query, body, headers
                     )
                 data, ctype, extra, status = rest.render_payload(status, payload)
                 conn_hdr = hl.get("connection", "").lower()
@@ -183,16 +218,17 @@ class AsyncHTTPServer:
                     break
         except (asyncio.IncompleteReadError, ConnectionResetError, BrokenPipeError):
             pass
-        except (asyncio.LimitOverrunError, ValueError):
-            # request/header line beyond the StreamReader limit (~64 KiB) or
-            # otherwise unparseable framing: answer like the threaded
-            # backend's 414/400 and drop the connection
+        except asyncio.LimitOverrunError:
+            # request/header line beyond the StreamReader limit (~64 KiB):
+            # answer like the threaded backend's 414 and drop the connection
             try:
                 self._reply(writer, 414, b'{"error": "request line or header too long"}',
                             "application/json", {}, close=True)
                 await writer.drain()
             except Exception:  # noqa: BLE001
                 pass
+        except Exception:  # noqa: BLE001 — never kill the server on one conn
+            logger.exception("async http connection error")
         finally:
             try:
                 writer.close()

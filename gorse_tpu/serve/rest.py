@@ -914,7 +914,8 @@ class RestServer:
                 for k, v in rest.cors_headers(self.headers.get("Origin") or "").items():
                     self.send_header(k, v)
                 self.end_headers()
-                self.wfile.write(data)
+                if self.command != "HEAD":  # RFC 9110: headers only
+                    self.wfile.write(data)
 
             def do_OPTIONS(self):
                 # CORS preflight
@@ -926,6 +927,11 @@ class RestServer:
                 self.end_headers()
 
             def do_GET(self):
+                self._handle("GET")
+
+            def do_HEAD(self):
+                # HEAD = GET with the body suppressed (see _reply) — same
+                # behavior as the asyncio front-end
                 self._handle("GET")
 
             def do_POST(self):

@@ -365,13 +365,15 @@ class GenericSQLDataStore(DataStore):
             sql += " AND timestamp >= ?"
             args.append(after)
         sql += " ORDER BY timestamp DESC"
+        # Each attempt is ONE query whose full result set is filtered from
+        # scratch — LIMIT/OFFSET paging across separate queries would
+        # duplicate or skip items when concurrent writes shift the
+        # newest-first ordering between pages. If the category filter
+        # exhausts an attempt, retry with a larger LIMIT.
         fetch = limit if not categories else max(limit * 4, 256)
-        out: list = []
-        offset = 0
-        while len(out) < limit:
-            rows = self._q(sql + f" LIMIT {int(fetch)} OFFSET {offset}", tuple(args))
-            if not rows:
-                break
+        while True:
+            rows = self._q(sql + f" LIMIT {int(fetch)}", tuple(args))
+            out: list = []
             for row in rows:
                 item = self._row_to_item(row)
                 if categories and not all(c in item.categories for c in categories):
@@ -379,10 +381,9 @@ class GenericSQLDataStore(DataStore):
                 out.append(item)
                 if len(out) >= limit:
                     break
-            if len(rows) < fetch:
-                break
-            offset += fetch
-        return out
+            if len(out) >= limit or len(rows) < fetch:
+                return out
+            fetch *= 4
 
     # -- feedback ----------------------------------------------------------
     def _exists(self, table: str, col: str, value: str) -> bool:

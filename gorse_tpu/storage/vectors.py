@@ -465,9 +465,9 @@ class MemoryVectorStore(VectorStore):
             )
         elif info.quantization == "sq":
             # serving path: uint8 Pallas kernel with the affine folded into
-            # the matmul epilogue (built once per collection version,
-            # rebuilt on writes via the dirty flag). Falls back to the XLA
-            # formulation off-TPU / on small collections.
+            # the matmul epilogue (built once per collection version; a
+            # write bumps c.version, invalidating the stamped cache). Falls
+            # back to the XLA formulation off-TPU / on small collections.
             if _device_serving_enabled(len(ids)):
                 from ..ops.topk import prepare_sq_items
 
