@@ -85,6 +85,10 @@ class AsyncHTTPServer:
         # the GIL bounds useful CPU parallelism anyway
         self._pool = ThreadPoolExecutor(max_workers=8)
         self.server_address = (host, port)
+        # writer -> "busy" flag (mid-request); lets the drain close IDLE
+        # keep-alive connections immediately instead of waiting them out
+        self._conns: dict = {}
+        self._draining = False
 
     # ---------------------------------------------------------- lifecycle
 
@@ -116,8 +120,21 @@ class AsyncHTTPServer:
         server = await asyncio.start_server(self._conn, self._host, self._port)
         self.server_address = server.sockets[0].getsockname()[:2]
         self._started.set()
-        async with server:
-            await self._stop.wait()
+        await self._stop.wait()
+        # graceful drain: stop accepting, close idle keep-alive connections
+        # right away (their handlers exit on EOF), let mid-request handlers
+        # finish and self-close (the _conn loop checks _draining after each
+        # response), and cap the whole wait (3.12+ wait_closed waits for
+        # connection handlers) before asyncio.run cancels what remains
+        self._draining = True
+        server.close()
+        for w, st in list(self._conns.items()):
+            if not st["busy"]:
+                w.close()
+        try:
+            await asyncio.wait_for(server.wait_closed(), timeout=5)
+        except (TimeoutError, asyncio.TimeoutError):
+            pass
 
     def shutdown(self) -> None:
         if self._loop is not None and not self._loop.is_closed():
@@ -135,6 +152,8 @@ class AsyncHTTPServer:
         from .rest import decode_body, parse_query
 
         rest = self.rest
+        state = {"busy": False}
+        self._conns[writer] = state
         try:
             while True:
                 line = await reader.readline()
@@ -142,6 +161,7 @@ class AsyncHTTPServer:
                     break
                 if line in (b"\r\n", b"\n"):
                     continue  # stray blank between pipelined requests
+                state["busy"] = True
                 try:
                     method, target, version = (
                         line.decode("latin1").rstrip("\r\n").split(" ", 2)
@@ -214,7 +234,8 @@ class AsyncHTTPServer:
                             {**extra, **rest.cors_headers(origin)}, close=close,
                             head=(method == "HEAD"))
                 await writer.drain()
-                if close:
+                state["busy"] = False
+                if close or self._draining:
                     break
         except (asyncio.IncompleteReadError, ConnectionResetError, BrokenPipeError):
             pass
@@ -230,6 +251,7 @@ class AsyncHTTPServer:
         except Exception:  # noqa: BLE001 — never kill the server on one conn
             logger.exception("async http connection error")
         finally:
+            self._conns.pop(writer, None)
             try:
                 writer.close()
             except Exception:  # noqa: BLE001
