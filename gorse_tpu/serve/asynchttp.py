@@ -61,9 +61,30 @@ SLOW_PREFIXES = (
 )
 POOL_BODY_BYTES = 64 * 1024
 
+# Reject any declared Content-Length above this cap with 413 BEFORE reading
+# the body: dispatch authenticates only after the body is read, so an
+# unauthenticated client could otherwise stream a multi-GB body into memory
+# (ADVICE r4). Generous enough for restore/bulk-import payloads.
+MAX_BODY_BYTES = 256 * 1024 * 1024
+
 
 def _inline_ok(path: str, body_len: int) -> bool:
     return body_len < POOL_BODY_BYTES and not path.startswith(SLOW_PREFIXES)
+
+
+class _LineTooLong(Exception):
+    """Request line or header beyond the StreamReader limit.
+
+    ``StreamReader.readline`` converts its internal LimitOverrunError into a
+    bare ValueError, so catching LimitOverrunError around readline is dead
+    code (ADVICE r4) — this wrapper restores a precise exception type."""
+
+
+async def _readline(reader: asyncio.StreamReader) -> bytes:
+    try:
+        return await reader.readline()
+    except (asyncio.LimitOverrunError, ValueError) as e:
+        raise _LineTooLong from e
 
 _REASONS = {s.value: s.phrase for s in HTTPStatus}
 
@@ -156,7 +177,7 @@ class AsyncHTTPServer:
         self._conns[writer] = state
         try:
             while True:
-                line = await reader.readline()
+                line = await _readline(reader)
                 if not line:
                     break
                 if line in (b"\r\n", b"\n"):
@@ -172,7 +193,7 @@ class AsyncHTTPServer:
                     break
                 headers: dict[str, str] = {}
                 while True:
-                    h = await reader.readline()
+                    h = await _readline(reader)
                     if h in (b"\r\n", b"\n", b""):
                         break
                     k, _, v = h.decode("latin1").partition(":")
@@ -193,6 +214,11 @@ class AsyncHTTPServer:
                     self._reply(writer, 400, b'{"error": "invalid Content-Length"}',
                                 "application/json", {}, close=True)
                     break
+                if length > MAX_BODY_BYTES:
+                    # refuse before buffering: auth happens after body read
+                    self._reply(writer, 413, b'{"error": "request body too large"}',
+                                "application/json", {}, close=True)
+                    break
                 raw = await reader.readexactly(length) if length else b""
 
                 try:
@@ -205,11 +231,16 @@ class AsyncHTTPServer:
                 if method == "OPTIONS":
                     cors = rest.cors_headers(origin)
                     self._reply(writer, 204 if cors else 405, b"", "text/plain", cors)
+                    # not mid-request anymore: without this an idle
+                    # keep-alive connection whose last request was a CORS
+                    # preflight stalls graceful drain (ADVICE r4)
+                    state["busy"] = False
                     continue
                 body, err = decode_body(raw, hl.get("content-type"))
                 if err is not None:
                     self._reply(writer, 400, err, "application/json",
                                 rest.cors_headers(origin))
+                    state["busy"] = False
                     continue
                 query = parse_query(parsed.query)
 
@@ -239,7 +270,7 @@ class AsyncHTTPServer:
                     break
         except (asyncio.IncompleteReadError, ConnectionResetError, BrokenPipeError):
             pass
-        except asyncio.LimitOverrunError:
+        except _LineTooLong:
             # request/header line beyond the StreamReader limit (~64 KiB):
             # answer like the threaded backend's 414 and drop the connection
             try:
