@@ -70,15 +70,19 @@ class CTRScore:
         return dataclasses.asdict(self)
 
 
-def afm_forward(params: dict, indices: jax.Array, values: jax.Array, embeddings: list[jax.Array]):
-    """AFM forward pass. indices/values: [B, D]; embeddings: list of [B, dim]."""
-    v = params["v"][indices]  # [B, D, k]
+def afm_forward_rows(params: dict, v: jax.Array, w: jax.Array, values: jax.Array,
+                     embeddings: list[jax.Array]):
+    """AFM forward from pre-gathered factor rows: ``v`` [B, D, k], ``w``
+    [B, D, 1] — the math shared by the replicated path (rows =
+    ``params["v"][indices]``) and the sharded-table path (rows arrive via
+    cross-device all-to-all gathers, parallel/catalog.py). ``params`` here
+    supplies only the replicated leaves (``b``, ``att``)."""
     x = values[..., None]  # [B, D, 1]
     vx = jnp.sum(v * x, axis=1)  # [B, k]
     sum_square = vx * vx
     square_sum = jnp.sum((v * v) * (x * x), axis=1)  # [B, k]
     interaction = 0.5 * jnp.sum(sum_square - square_sum, axis=1)  # [B]
-    linear = jnp.sum(params["w"][indices][..., 0] * values, axis=1)  # [B]
+    linear = jnp.sum(w[..., 0] * values, axis=1)  # [B]
     out = linear + interaction + params["b"]
     for c, e in enumerate(embeddings):
         att = params["att"][c]
@@ -87,6 +91,13 @@ def afm_forward(params: dict, indices: jax.Array, values: jax.Array, embeddings:
         enc = attended @ att["ew"] + att["eb"]  # [B, k]
         out = out + jnp.sum(vx * enc, axis=1)
     return out
+
+
+def afm_forward(params: dict, indices: jax.Array, values: jax.Array, embeddings: list[jax.Array]):
+    """AFM forward pass. indices/values: [B, D]; embeddings: list of [B, dim]."""
+    return afm_forward_rows(
+        params, params["v"][indices], params["w"][indices], values, embeddings
+    )
 
 
 @functools.lru_cache(maxsize=64)
@@ -245,23 +256,58 @@ class AFM:
         batches = self._batch(train_pad, batch_size)
 
         tx = self._make_optimizer()
-        opt_state = tx.init(self.model_params)
-        if mesh is not None and mesh.size > 1:
-            from ..parallel.sharded import replicate, shard_afm_batches
+        score = self._evaluate(test_pad)  # epoch-0 eval on the dense init
+        shard_table = (
+            mesh is not None and mesh.size > 1
+            and getattr(config, "shard_table", False)
+        )
+        to_dense = lambda p: p  # noqa: E731 — identity for the dense paths
+        if shard_table:
+            # feature table row-sharded over the mesh with per-batch a2a
+            # gathers (SURVEY §7 hard-part #4); math matches the replicated
+            # DP epoch — see parallel/catalog.make_sharded_afm_epoch
+            import functools as _ft
+
+            from ..parallel.catalog import (
+                make_sharded_afm_epoch,
+                shard_afm_params,
+                unshard_afm_params,
+            )
+            from ..parallel.sharded import shard_afm_batches
 
             batches = shard_afm_batches(mesh, batches)
-            self.model_params = replicate(mesh, self.model_params)
-            opt_state = replicate(mesh, opt_state)
+            self.model_params = shard_afm_params(mesh, self.model_params)
+            opt_state = tx.init(self.model_params)
+            raw_epoch = make_sharded_afm_epoch(mesh, tx)
+            self.table_drop_count = None  # routing-cap overflows last epoch
 
-        score = self._evaluate(test_pad)
+            def epoch_fn(params, opt_state, *b, _raw=raw_epoch):
+                params, opt_state, cost, dropped = _raw(params, opt_state, *b)
+                self.table_drop_count = dropped
+                return params, opt_state, cost
+
+            to_dense = _ft.partial(
+                unshard_afm_params, mesh, n_features=n_features,
+                n_factors=self.n_factors,
+            )
+        else:
+            opt_state = tx.init(self.model_params)
+            if mesh is not None and mesh.size > 1:
+                from ..parallel.sharded import replicate, shard_afm_batches
+
+                batches = shard_afm_batches(mesh, batches)
+                self.model_params = replicate(mesh, self.model_params)
+                opt_state = replicate(mesh, opt_state)
+            epoch_fn = functools.partial(_afm_train_epoch, optimizer=tx)
+
         history = [(0, score.auc)]
         logger.info("fit afm 0/%d AUC=%.4f", self.n_epochs, score.auc)
         params = self.model_params
         for epoch in range(1, self.n_epochs + 1):
             t0 = time.time()
-            params, opt_state, cost = _afm_train_epoch(params, opt_state, *batches, optimizer=tx)
+            params, opt_state, cost = epoch_fn(params, opt_state, *batches)
             if (config.verbose and epoch % config.verbose == 0) or epoch == self.n_epochs:
-                self.model_params = params
+                self.model_params = to_dense(params)
                 score = self._evaluate(test_pad)
                 history.append((epoch, score.auc))
                 logger.info(
@@ -276,7 +322,7 @@ class AFM:
                     if best_epoch <= epoch - config.patience:
                         logger.info("early stopping at epoch %d (best %d)", epoch, best_epoch)
                         break
-        self.model_params = params
+        self.model_params = to_dense(params)
         return self._evaluate(test_pad)
 
     def _evaluate(self, test_pad) -> CTRScore:

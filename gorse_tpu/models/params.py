@@ -56,6 +56,7 @@ class FitConfig:
         seed: int = 0,
         checkpoint_dir: str | None = None,
         mesh=None,
+        shard_table: bool = False,
     ) -> None:
         self.verbose = verbose
         self.patience = patience
@@ -70,6 +71,10 @@ class FitConfig:
         # (users sharded for BPR/eALS, batch sharded for AFM) — the
         # distributed-training axis the reference lacks (SURVEY.md §2.7)
         self.mesh = mesh
+        # with a mesh: ALSO row-shard the AFM feature table across devices
+        # (a2a gathers per batch, parallel/catalog.py) instead of
+        # replicating it — for feature spaces too large per device
+        self.shard_table = shard_table
 
     def __repr__(self) -> str:
         return (
