@@ -350,6 +350,11 @@ class BPR(MatrixFactorization):
             p, q_repl, padded_pos, pos_counts, uids, _ = shard_bpr_inputs(
                 mesh, p, q, csr.padded, csr.counts
             )
+            # local-SGD bounded staleness: sync item updates every N steps
+            # (accuracy cost at ml-1m scale measured in PARITY.md)
+            sync_every = max(int(getattr(config, "sync_every", 1)), 1)
+            if n_steps % sync_every:
+                n_steps = -(-n_steps // sync_every) * sync_every
             if use_fused:
                 from jax.sharding import PartitionSpec as P
 
@@ -357,7 +362,7 @@ class BPR(MatrixFactorization):
 
                 epoch_sharded = make_sharded_bpr_epoch_fused(
                     mesh, n_steps=n_steps, n_items=n_items, lr=self.lr,
-                    reg=self.reg, n_tries=n_tries,
+                    reg=self.reg, n_tries=n_tries, sync_every=sync_every,
                 )
                 # multihost-safe replicated placement (device_put rejects
                 # non-addressable devices under jax.distributed)
@@ -365,7 +370,7 @@ class BPR(MatrixFactorization):
             else:
                 epoch_sharded = make_sharded_bpr_epoch(
                     mesh, n_steps=n_steps, n_items=n_items, lr=self.lr,
-                    reg=self.reg, n_tries=n_tries,
+                    reg=self.reg, n_tries=n_tries, sync_every=sync_every,
                 )
                 q = q_repl
         elif use_fused:

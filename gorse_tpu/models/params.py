@@ -57,6 +57,7 @@ class FitConfig:
         checkpoint_dir: str | None = None,
         mesh=None,
         shard_table: bool = False,
+        sync_every: int = 1,
     ) -> None:
         self.verbose = verbose
         self.patience = patience
@@ -75,6 +76,10 @@ class FitConfig:
         # (a2a gathers per batch, parallel/catalog.py) instead of
         # replicating it — for feature spaces too large per device
         self.shard_table = shard_table
+        # with a mesh: combine sharded-BPR item updates across devices every
+        # N steps instead of every step (local-SGD bounded staleness — cuts
+        # collective volume N×; accuracy cost measured in PARITY.md)
+        self.sync_every = sync_every
 
     def __repr__(self) -> str:
         return (

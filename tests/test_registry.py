@@ -143,3 +143,32 @@ def test_convert_movielens_formats(tmp_path):
     # user 1: latest is item 11 (ts 9) held out; user 2 has 1 rating -> train only
     assert train2.count_feedback() == 3
     assert test2.count_feedback() == 1
+
+
+def test_convert_movielens_fit_through(tmp_path):
+    """End-to-end: raw ratings.dat -> converter -> NCF loader -> BPR fit with
+    the file-negative eval protocol — the exact path a real ml-1m mirror
+    would take (VERDICT r4 next #9), so it is known-good before one appears."""
+    import jax
+
+    from gorse_tpu.models import BPR, Params
+    from gorse_tpu.models.params import FitConfig
+
+    rng = np.random.default_rng(1)
+    lines = []
+    # 40 users x ~12 ratings over 60 items, timestamps ordered per user
+    for u in range(1, 41):
+        for j, it in enumerate(rng.permutation(60)[:12]):
+            lines.append(f"{u}::{it + 1}::{rng.integers(1, 6)}::{2000 + j}")
+    raw = tmp_path / "ratings.dat"
+    raw.write_text("\n".join(lines) + "\n")
+    train_p, test_p = convert_movielens_ncf(
+        raw, "ml-tiny", out_dir=tmp_path / "out", n_negatives=20
+    )
+    train, test = loaders.load_ncf(train_p, test_p)
+    model = BPR(Params(n_factors=8, n_epochs=10, lr=0.05, reg=0.01))
+    score = model.fit(train, test, FitConfig(verbose=0, candidates=20))
+    assert np.isfinite(score.ndcg) and 0.0 <= score.ndcg <= 1.0
+    # with file negatives present the evaluator must use them (the NCF
+    # protocol), not resample
+    assert test.file_negatives is not None

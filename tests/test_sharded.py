@@ -346,3 +346,27 @@ def test_sync_every_fused_matches_xla_variant():
     np.testing.assert_allclose(np.asarray(cost_f), np.asarray(cost_x), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(p_f), np.asarray(p_x), rtol=2e-5, atol=1e-7)
     np.testing.assert_allclose(np.asarray(q_f), np.asarray(q_x), rtol=2e-5, atol=1e-7)
+
+
+def test_sync_every_accuracy_regression():
+    """Staleness cost gate (VERDICT r4 next #5): at a power-law corpus scale
+    the bounded-staleness variants must stay within the measured envelope of
+    the exact epoch. Full ml-1m-scale numbers (sync4 -0.0023, sync16
+    -0.0359 vs 0.6030) live in PARITY.md; this pins the smaller-scale
+    shape so a samplng/merge regression can't silently widen the gap."""
+    from gorse_tpu.data import synthetic_cf_powerlaw
+    from gorse_tpu.models import BPR, Params
+    from gorse_tpu.models.params import FitConfig
+
+    mesh = make_mesh(8)
+    data = synthetic_cf_powerlaw(n_users=1500, n_items=2000, nnz=150_000, seed=5)
+    train, test = data.split_cf(seed=0)
+    scores = {}
+    for sync in (1, 4, 16):
+        model = BPR(Params(n_factors=8, n_epochs=15, lr=0.05, reg=0.01))
+        scores[sync] = model.fit(
+            train, test, FitConfig(verbose=0, mesh=mesh, sync_every=sync)
+        ).ndcg
+    assert scores[1] >= 0.50, scores  # corpus sanity (r3/r4 rig level)
+    assert scores[4] >= scores[1] - 0.03, scores
+    assert scores[16] >= scores[1] - 0.10, scores
