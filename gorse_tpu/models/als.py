@@ -138,7 +138,32 @@ class ALS(MatrixFactorization):
 
         p, q = self.user_factors, self.item_factors
         mesh = getattr(config, "mesh", None)
-        if mesh is not None and mesh.size > 1:
+        use_catalog = (
+            mesh is not None and mesh.size > 1
+            and getattr(config, "shard_table", False)
+        )
+        p_pad = None
+        if use_catalog:
+            # catalog-sharded epoch (SURVEY §2.7): BOTH factor tables stay
+            # row-sharded between half-epochs; the alpha-weighted Gram is a
+            # psum of shard-local k×k partials (parallel/catalog.py)
+            from ..parallel.catalog import (
+                make_catalog_sharded_als_epoch,
+                shard_catalog_als_inputs,
+            )
+
+            p_pad, q, user_fb, item_fb, user_mask, item_mask, _, _ = (
+                shard_catalog_als_inputs(
+                    mesh, p, q,
+                    train.padded_user_positives().padded,
+                    train.padded_item_positives().padded,
+                    block,
+                )
+            )
+            sharded_epoch = make_catalog_sharded_als_epoch(
+                mesh, block, self.alpha, self.reg
+            )
+        elif mesh is not None and mesh.size > 1:
             # sharded epoch: user/item rows sharded over the mesh, one tiled
             # all_gather per half-epoch (parallel/sharded.py)
             from ..parallel.sharded import make_sharded_als_epoch, shard_als_inputs
@@ -165,7 +190,12 @@ class ALS(MatrixFactorization):
 
         for epoch in range(1, self.n_epochs + 1):
             t0 = time.time()
-            if sharded_epoch is not None:
+            if use_catalog:
+                p_pad, q = sharded_epoch(
+                    p_pad, q, user_fb, item_fb, user_mask, item_mask
+                )
+                p = p_pad[:n_users]
+            elif sharded_epoch is not None:
                 p, q = sharded_epoch(q, user_fb, item_fb, user_mask, item_mask)
                 p = p[:n_users]
             else:

@@ -336,7 +336,29 @@ class BPR(MatrixFactorization):
         use_sharded = mesh is not None and mesh.size > 1
         epoch_sharded = None
         uids = None
-        if use_sharded:
+        use_catalog = False
+        if use_sharded and getattr(config, "shard_table", False):
+            # catalog-sharded training (SURVEY §2.7, parallel/catalog.py):
+            # item table row-sharded with per-step a2a row exchanges —
+            # per-device memory O(I/D·k), collective payload O(U_local·k)
+            # independent of catalog size. sync_every does not apply (rows
+            # are exchanged fresh every step by construction).
+            from ..parallel.catalog import (
+                make_catalog_sharded_bpr_epoch,
+                shard_catalog_bpr_inputs,
+            )
+
+            use_catalog = True
+            use_resident = use_fused = False
+            epoch_sharded = make_catalog_sharded_bpr_epoch(
+                mesh, n_steps=n_steps, n_items=n_items, lr=self.lr,
+                reg=self.reg, n_tries=n_tries,
+            )
+            p, q, padded_pos, pos_counts, uids, _, _ = shard_catalog_bpr_inputs(
+                mesh, p, q, csr.padded, csr.counts
+            )
+            self.catalog_drop_count = None
+        elif use_sharded:
             # users sharded over all mesh devices, item updates psum'd per
             # step (parallel/sharded.py); sampling is sharding-invariant so
             # results match the single-device epochs
@@ -390,6 +412,8 @@ class BPR(MatrixFactorization):
             key, epoch_key = jax.random.split(key)
             if use_sharded:
                 p, q, cost = epoch_sharded(p, q, padded_pos, pos_counts, uids, epoch_key)
+                if use_catalog:
+                    self.catalog_drop_count = cost[1]
                 cost = cost[0]
             else:
                 epoch_fn = (
@@ -408,9 +432,16 @@ class BPR(MatrixFactorization):
                 )
             if (config.verbose and epoch % config.verbose == 0) or epoch == self.n_epochs:
                 cost = float(cost)  # blocks; also syncs the epoch
-                q_eval = (
-                    unpack_items(q, n_items, self.n_factors) if use_fused else q
-                )
+                if use_fused:
+                    q_eval = unpack_items(q, n_items, self.n_factors)
+                elif use_catalog:
+                    from ..parallel.catalog import unpack_catalog
+
+                    q_eval = jnp.asarray(
+                        unpack_catalog(np.asarray(q), n_items, mesh.size)
+                    )
+                else:
+                    q_eval = q
                 metrics = evaluate_mf(p[:n_users], q_eval, *eval_cands, config.top_k)
                 history.append((epoch, metrics["NDCG"]))
                 if config.checkpoint_dir:
@@ -435,6 +466,10 @@ class BPR(MatrixFactorization):
                         break
         if use_fused:
             q = unpack_items(q, n_items, self.n_factors)
+        elif use_catalog:
+            from ..parallel.catalog import unpack_catalog
+
+            q = jnp.asarray(unpack_catalog(np.asarray(q), n_items, mesh.size))
         p = p[:n_users]
         self.user_factors, self.item_factors = p, q
         metrics = evaluate_mf(p, q, *eval_cands, config.top_k)

@@ -130,9 +130,16 @@ def a2a_scatter_add(table_shard, ids, valid, deltas, axes, n_devices: int, cap: 
 
 def request_cap(n_requests: int, n_devices: int, slack: float = 2.0) -> int:
     """Per-destination buffer size: uniform expectation × slack, padded to a
-    multiple of 8 lanes."""
+    multiple of 8 lanes — but never more than ``n_requests`` (one destination
+    can at most receive everything), which makes SMALL request sets exactly
+    drop-free where multinomial tails would otherwise overflow the slack."""
     c = int(np.ceil(n_requests / n_devices * slack))
-    return max(-(-c // 8) * 8, 8)
+    c = max(-(-c // 8) * 8, 8)
+    # exactness floor: below 512 slots the buffer is cheap enough to size
+    # for the worst case (all requests to one owner) — zero drops by
+    # construction; tiny request sets otherwise overflow on multinomial
+    # tails that the slack factor models poorly
+    return min(max(n_requests, 1), max(c, 512))
 
 
 def exchange_bytes_per_step(n_requests: int, n_devices: int, k: int,
