@@ -853,6 +853,20 @@ def stage_topk_all() -> None:
     prepared = prepare_items(items, jnp.bfloat16)
     bench_one("topk_qps_1000k_items",
               lambda q: dot_topk(q, prepared, k_top), 4, 20)
+    # approximate tier (hardware PartialReduce — the HNSW analog, CLEARLY
+    # labeled approx): throughput + measured recall vs the exact kernel
+    from gorse_tpu.ops.topk import dot_topk_approx
+
+    bench_one("topk_qps_1000k_approx",
+              lambda q: dot_topk_approx(q, prepared, k_top, 0.99), 8, 40)
+    import numpy as _np
+
+    es, ei = dot_topk(queries, prepared, k_top)
+    av, ai = dot_topk_approx(queries, prepared, k_top, 0.99)
+    ein, ain = _np.asarray(ei), _np.asarray(ai)
+    emit({"topk_1000k_approx_recall": round(float(_np.mean(
+        [len(set(ein[b]) & set(ain[b])) / k_top for b in range(batch)]
+    )), 4)})
     del prepared
 
     minv = jnp.min(items, axis=1)
@@ -1070,7 +1084,8 @@ def stage_serving_client(port: int) -> None:
 # every metric BASELINE.json names, in summary order
 METRIC_KEYS = (
     "topk_qps_100k_items", "topk_qps_100k_items_xla", "topk_qps_1000k_items",
-    "topk_qps_1000k_sq8", "eals_ml1m_epoch_s", "afm_train_examples_per_s",
+    "topk_qps_1000k_approx", "topk_qps_1000k_sq8",
+    "eals_ml1m_epoch_s", "afm_train_examples_per_s",
     "bpr_ml1m_xla_scatter_examples_per_s",
     "bpr_ml20m_shape_k64_examples_per_s", "bpr_100kx50k_k16_examples_per_s",
 )
@@ -1352,14 +1367,16 @@ def orchestrate() -> None:
         # keeps partial results on a kill)
         if remaining() > 90:
             cpu_stage(
-                ["topk_qps_100k_items", "topk_qps_1000k_items", "topk_qps_1000k_sq8"],
+                ["topk_qps_100k_items", "topk_qps_1000k_items",
+                 "topk_qps_1000k_approx", "topk_qps_1000k_sq8"],
                 ["--stage", "topk_all"], remaining() - 40,
             )
         for key in (
             "eals_ml1m_epoch_s", "afm_train_examples_per_s", "serving",
             "offline_pipeline",
             "bpr_ml1m_xla_scatter_examples_per_s", "topk_qps_100k_items",
-            "topk_qps_1000k_items", "topk_qps_1000k_sq8",
+            "topk_qps_1000k_items", "topk_qps_1000k_approx",
+            "topk_qps_1000k_sq8",
             "bpr_ml20m_shape_k64_examples_per_s",
             "bpr_100kx50k_k16_examples_per_s",
         ):
@@ -1494,7 +1511,8 @@ def orchestrate() -> None:
     def reserve() -> float:
         return 35.0 * n_left[0]
 
-    stage(["topk_qps_100k_items", "topk_qps_1000k_items", "topk_qps_1000k_sq8"],
+    stage(["topk_qps_100k_items", "topk_qps_1000k_items",
+           "topk_qps_1000k_approx", "topk_qps_1000k_sq8"],
           ["--stage", "topk_all"], 200, reserve())
     n_left[0] -= 1
     stage("serving", ["--stage", "serving"], 80, reserve())

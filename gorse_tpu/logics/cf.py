@@ -98,6 +98,7 @@ class MatrixFactorizationIndex:
         exclude: list[list[str]] | None = None,
         use_pallas: bool | None = None,
         interpret: bool = False,
+        approx_recall: float | None = None,
     ) -> list[list[Score]]:
         """Batched top-n recommendation for many users at once
         (reference: MatrixFactorizationItems.Search logics/cf.go:70-79,
@@ -127,7 +128,10 @@ class MatrixFactorizationIndex:
             chunk_ids = user_ids[lo : lo + self._SEARCH_CHUNK]
             chunk_ex = exclude[lo : lo + self._SEARCH_CHUNK] if exclude else None
             out.extend(
-                self._search_chunk(chunk_ids, n_eff, chunk_ex, use_pallas, interpret)
+                self._search_chunk(
+                    chunk_ids, n_eff, chunk_ex, use_pallas, interpret,
+                    approx_recall=approx_recall,
+                )
             )
         return out
 
@@ -135,7 +139,8 @@ class MatrixFactorizationIndex:
     _PALLAS_FETCH_MAX = 2048  # top-(n+E) beyond this: XLA path (k_pad VMEM)
 
     def _search_chunk(
-        self, user_ids, n_eff, exclude, use_pallas, interpret
+        self, user_ids, n_eff, exclude, use_pallas, interpret,
+        approx_recall: float | None = None,
     ) -> list[list[Score]]:
         rows, valid = [], []
         for uid in user_ids:
@@ -167,6 +172,7 @@ class MatrixFactorizationIndex:
             self._prepared_items if use_pallas else self._serving_factors,
             n_eff, ex_arr,
             use_pallas=use_pallas, interpret=interpret,
+            approx_recall=approx_recall,
         )
         scores = np.asarray(scores)
         idxs = np.asarray(idxs)

@@ -185,9 +185,16 @@ class Worker:
                 exclude = [
                     [fb.item_id for fb in self.data.get_user_feedback(u)] for u in todo
                 ]
-                # backend-aware: fused Pallas top-k on TPU, XLA elsewhere
+                # backend-aware: fused Pallas top-k on TPU, XLA elsewhere;
+                # index_recall < 1.0 selects the approximate PartialReduce
+                # tier (the reference's HNSW analog — config-compatible
+                # trade of recall for throughput)
+                recall = getattr(
+                    self.config.recommend.collaborative, "index_recall", 1.0
+                )
                 cf_results = self.cf_index.search_users(
-                    todo, cfg.cache_size, exclude=exclude
+                    todo, cfg.cache_size, exclude=exclude,
+                    approx_recall=recall if recall < 1.0 else None,
                 )
                 run_ts = time.time()
                 for user_id, scores in zip(todo, cf_results):

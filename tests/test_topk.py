@@ -290,3 +290,74 @@ def test_sq_topk_prepared_chunks_large_batches():
     # bf16 matmul tolerance on scores; index sets nearly identical
     for b in range(300):
         assert len(set(np.asarray(i)[b]) & set(np.asarray(xi)[b])) >= 4
+
+
+def test_dot_topk_approx_matches_exact_small():
+    """Approximate tier (ops/topk.dot_topk_approx — the HNSW analog): on
+    small catalogs / CPU lowering it should essentially coincide with the
+    exact kernel; padding columns must never be returned."""
+    import numpy as np
+
+    from gorse_tpu.ops.topk import dot_topk_approx, dot_topk_xla, prepare_items
+
+    rng = np.random.default_rng(0)
+    items = jnp.asarray(rng.normal(size=(1000, 32)).astype(np.float32))
+    queries = jnp.asarray(rng.normal(size=(16, 32)).astype(np.float32))
+    prep = prepare_items(items, jnp.bfloat16)
+    av, ai = dot_topk_approx(queries, prep, 10, recall_target=0.99)
+    assert int(jnp.max(ai)) < 1000  # lane padding masked out
+    # bf16 scoring reference
+    xs, xi = dot_topk_xla(queries.astype(jnp.bfloat16).astype(jnp.float32),
+                          np.asarray(items, np.float32), 10)
+    ein, ain = np.asarray(xi), np.asarray(ai)
+    recall = np.mean([len(set(ein[b]) & set(ain[b])) / 10 for b in range(16)])
+    assert recall >= 0.9, recall
+
+
+def test_topk_excluding_approx_route():
+    import numpy as np
+
+    from gorse_tpu.ops.topk import topk_excluding
+
+    rng = np.random.default_rng(1)
+    items = jnp.asarray(rng.normal(size=(500, 16)).astype(np.float32))
+    queries = jnp.asarray(rng.normal(size=(4, 16)).astype(np.float32))
+    s1, i1 = topk_excluding(queries, items, 5, use_pallas=False)
+    exclude = i1[:, :2]  # ban each query's top-2
+    s2, i2 = topk_excluding(
+        queries, items, 5, exclude=exclude, use_pallas=False, approx_recall=0.99
+    )
+    i2 = np.asarray(i2)
+    for b in range(4):
+        banned = set(np.asarray(exclude)[b].tolist())
+        assert not (set(i2[b].tolist()) & banned)
+
+
+def test_cf_index_search_approx_recall():
+    """search_users(approx_recall=...) returns the same top items as the
+    exact path on a small catalog (CPU lowering of approx_max_k)."""
+    import numpy as np
+
+    from gorse_tpu.data.dict import FreqDict
+    from gorse_tpu.logics.cf import MatrixFactorizationIndex
+
+    rng = np.random.default_rng(2)
+    n_u, n_i, k = 12, 200, 8
+    users = FreqDict()
+    items = FreqDict()
+    for u in range(n_u):
+        users.add(f"u{u}")
+    for i in range(n_i):
+        items.add(f"i{i}")
+    idx = MatrixFactorizationIndex(
+        rng.normal(size=(n_u, k)).astype(np.float32),
+        rng.normal(size=(n_i, k)).astype(np.float32),
+        users, items,
+    )
+    uid_list = [f"u{u}" for u in range(n_u)]
+    exact = idx.search_users(uid_list, 5, use_pallas=False)
+    approx = idx.search_users(uid_list, 5, use_pallas=False, approx_recall=0.99)
+    for e_row, a_row in zip(exact, approx):
+        e_ids = {s.id for s in e_row}
+        a_ids = {s.id for s in a_row}
+        assert len(e_ids & a_ids) >= 4  # >=80% overlap at this tiny scale
