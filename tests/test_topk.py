@@ -361,3 +361,30 @@ def test_cf_index_search_approx_recall():
         e_ids = {s.id for s in e_row}
         a_ids = {s.id for s in a_row}
         assert len(e_ids & a_ids) >= 4  # >=80% overlap at this tiny scale
+
+
+def test_sq_topk_approx_matches_exact_small():
+    """Quantized approximate tier: high overlap with the exact sq path on a
+    small catalog; euclidean requires norms2 exactly like the exact path."""
+    import numpy as np
+    import pytest as _pytest
+
+    from gorse_tpu.ops.topk import prepare_sq_items, sq_topk, sq_topk_approx
+
+    rng = np.random.default_rng(3)
+    items = rng.normal(size=(800, 32)).astype(np.float32)
+    queries = jnp.asarray(rng.normal(size=(8, 32)).astype(np.float32))
+    minv = items.min(axis=1)
+    scale = (items.max(axis=1) - minv) / 255.0
+    codes = np.clip(np.round((items - minv[:, None]) / scale[:, None]), 0, 255)
+    prep = prepare_sq_items(
+        jnp.asarray(codes.astype(np.uint8)), jnp.asarray(scale), jnp.asarray(minv)
+    )
+    es, ei = sq_topk(queries, prep, k_top=10, interpret=True)
+    av, ai = sq_topk_approx(queries, prep, 10, recall_target=0.99)
+    assert int(jnp.max(ai)) < 800
+    ein, ain = np.asarray(ei), np.asarray(ai)
+    rec = np.mean([len(set(ein[b]) & set(ain[b])) / 10 for b in range(8)])
+    assert rec >= 0.9, rec
+    with _pytest.raises(ValueError):
+        sq_topk_approx(queries, prep, 10, metric="euclidean")
