@@ -221,7 +221,16 @@ def window_health(jax) -> dict:
 
     lo = min(t(4), t(4))
     hi = min(t(20), t(20))
-    hbm = 16 * 2 * big.nbytes / max(hi - lo, 1e-9) / 1e9
+    if hi - lo > 5e-4:
+        hbm = 16 * 2 * big.nbytes / (hi - lo) / 1e9
+    else:
+        # dispatch jitter swamped the marginal (can invert it): fall back to
+        # the TOTAL-time lower bound — 20 sweeps / t(20) including dispatch.
+        # A healthy window still clears the 100 GB/s gate on this bound
+        # (~138 GB/s measured); a degraded one cannot — the conservative
+        # direction, instead of 1e-9-clamping into an astronomically
+        # "healthy" number exactly when the measurement is nonsense.
+        hbm = 20 * 2 * big.nbytes / max(hi, 1e-9) / 1e9
     return {"rt_ms": round(rt_ms, 2), "hbm_gbs": round(hbm)}
 
 
@@ -1184,17 +1193,26 @@ def compact_summary(result: dict) -> dict:
     if "tunnel" in extra:
         s["tunnel"] = extra["tunnel"]
     # hard size guard: the driver records only the last 2000 chars of
-    # stdout — the summary must fit whole. Strings are the compressible part.
-    out = json.dumps(s, separators=(",", ":"))
-    if len(out) > 1500:
+    # stdout — the summary must fit whole. Shrink in escalating steps,
+    # RE-CHECKING after each, until it provably fits.
+    def size() -> int:
+        return len(json.dumps(s, separators=(",", ":")))
+
+    if size() > 1500:
         for k, v in list(s.get("metrics", {}).items()):
             if isinstance(v, str):
                 s["metrics"][k] = "skip"
         s.pop("baseline", None)
-        out = json.dumps(s, separators=(",", ":"))
-        if len(out) > 1900:
-            s["metrics"] = {k: v for k, v in s["metrics"].items()
-                            if not isinstance(v, str)}
+    if size() > 1900:
+        s["metrics"] = {k: v for k, v in s["metrics"].items()
+                        if not isinstance(v, str)}
+    if size() > 1900:  # clamp any remaining long strings (watchdog/tunnel/…)
+        for k, v in list(s.items()):
+            if isinstance(v, str) and len(v) > 40:
+                s[k] = v[:40]
+    if size() > 1900:  # last resort: keep only the required keys + metrics
+        s = {k: s[k] for k in
+             ("metric", "value", "unit", "vs_baseline", "metrics") if k in s}
     return s
 
 
@@ -1420,7 +1438,10 @@ def orchestrate() -> None:
                 ["topk_qps_100k_items", "topk_qps_1000k_items",
                  "topk_qps_1000k_approx", "topk_qps_1000k_sq8"],
                 ["--stage", "topk_all"],
-                min(200.0, remaining() - 140),
+                # floor at 60s: with remaining() in (90, 140] the reserve
+                # subtraction would otherwise go non-positive and the stage
+                # would be spawned into an instant kill
+                max(min(200.0, remaining() - 140), 60.0),
             )
         for keys, args, cap in (
             ("eals_ml1m_epoch_s", ["--stage", "eals"], 60),

@@ -167,9 +167,15 @@ class MatrixFactorizationIndex:
                 ex_arr = jnp.asarray(ex)
         if n_eff + width > self._PALLAS_FETCH_MAX:
             use_pallas = False
+        # the approx tier consumes the prepared layout directly — passing
+        # the raw matrix would make it re-run prepare_items (full-table
+        # transpose + cast) on EVERY chunk
+        use_prepared = use_pallas or (
+            approx_recall is not None and approx_recall < 1.0
+        )
         scores, idxs = topk_excluding(
             queries,
-            self._prepared_items if use_pallas else self._serving_factors,
+            self._prepared_items if use_prepared else self._serving_factors,
             n_eff, ex_arr,
             use_pallas=use_pallas, interpret=interpret,
             approx_recall=approx_recall,

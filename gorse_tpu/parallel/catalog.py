@@ -264,18 +264,34 @@ def shard_catalog_bpr_inputs(mesh: Mesh, user_factors, item_factors,
                              padded_pos, pos_counts):
     """Pad + place inputs for :func:`make_catalog_sharded_bpr_epoch`: users
     row-sharded (contiguous, as the replicated-path helper does), item table
-    strided-packed and row-sharded. Returns
-    ``(p, q_shard, padded_pos, counts, uids, n_users, n_items)``."""
-    from .sharded import shard_bpr_inputs
-
+    strided-packed and row-sharded. The full item table is NEVER placed
+    replicated — not even transiently (delegating to ``shard_bpr_inputs``
+    would commit a replicated [I, k] copy to every device during setup,
+    defeating the O(I/D·k) per-device memory the sharding exists for).
+    Returns ``(p, q_shard, padded_pos, counts, uids, n_users, n_items)``."""
     d = mesh.size
     axes = tuple(mesh.axis_names)
-    p, _, pp, pc, uid_arr, n_users = shard_bpr_inputs(
-        mesh, user_factors, item_factors, padded_pos, pos_counts
+    n_users = np.asarray(user_factors).shape[0]
+    pad = (-n_users) % d
+
+    def pad_rows(x, fill):
+        x = np.asarray(x)
+        if pad == 0:
+            return x
+        return np.concatenate(
+            [x, np.full((pad,) + x.shape[1:], fill, dtype=x.dtype)], axis=0
+        )
+
+    p = place_global(mesh, pad_rows(user_factors, 0.0), P(axes, None))
+    pp = place_global(mesh, pad_rows(padded_pos, -1), P(axes, None))
+    pc = place_global(
+        mesh, pad_rows(np.asarray(pos_counts, dtype=np.int32), 0), P(axes)
+    )
+    uid_arr = place_global(
+        mesh, np.arange(n_users + pad, dtype=np.int32), P(axes)
     )
     n_items = np.asarray(item_factors).shape[0]
-    q_packed = pack_catalog(item_factors, d)
-    q_shard = place_global(mesh, q_packed, P(axes, None))
+    q_shard = place_global(mesh, pack_catalog(item_factors, d), P(axes, None))
     return p, q_shard, pp, pc, uid_arr, n_users, n_items
 
 
@@ -408,13 +424,24 @@ def make_sharded_afm_epoch(mesh: Mesh, optimizer, slack: float = 4.0,
                 params, opt_state = carry
                 idx, val, tgt, wgt, embs = batch
                 ids = idx.reshape(-1)
-                valid = jnp.ones(ids.shape, bool)  # padding rows: id 0, wgt 0
+                # A slot with value 0 contributes NOTHING to the forward
+                # (v and w only ever enter multiplied by x) and has zero
+                # gradient, so it needs no gather — and padded sparse rows
+                # fill unused slots with (id 0, value 0), which would
+                # otherwise all route to id 0's owner and overflow its cap
+                # on sparse data, silently masking real samples out of the
+                # loss. Exact regardless of whether a zero is padding or a
+                # genuine zero-valued feature.
+                valid = val.reshape(-1) != 0
                 rows, got, n_drop = a2a_gather(params["vw"], ids, valid, axes, d, c)
                 rows = rows.reshape(idx.shape + (k1 + 1,))
                 # a sample whose gather overflowed the routing cap would see
                 # zero rows and compute a WRONG forward — mask it out of the
-                # loss entirely (the BPR epoch's drop semantics)
-                wgt_eff = wgt * jnp.all(got.reshape(idx.shape), axis=1)
+                # loss entirely (the BPR epoch's drop semantics). Slots that
+                # were invalid (value 0) were never requested and must not
+                # mask their sample.
+                slot_ok = got | ~valid
+                wgt_eff = wgt * jnp.all(slot_ok.reshape(idx.shape), axis=1)
                 rep = {"b": params["b"], "att": params["att"]}
                 # global weight sum OUTSIDE the differentiated function: with
                 # check_vma=False a psum inside grad transposes to another

@@ -233,14 +233,21 @@ class AsyncHTTPServer:
                     self._reply(writer, 204 if cors else 405, b"", "text/plain", cors)
                     # not mid-request anymore: without this an idle
                     # keep-alive connection whose last request was a CORS
-                    # preflight stalls graceful drain (ADVICE r4)
+                    # preflight stalls graceful drain (ADVICE r4). And if
+                    # drain began while this request was in flight (the
+                    # one-shot idle sweep already skipped us), close now
+                    # instead of waiting out the 5s shutdown cap.
                     state["busy"] = False
+                    if self._draining:
+                        break
                     continue
                 body, err = decode_body(raw, hl.get("content-type"))
                 if err is not None:
                     self._reply(writer, 400, err, "application/json",
                                 rest.cors_headers(origin))
                     state["busy"] = False
+                    if self._draining:
+                        break
                     continue
                 query = parse_query(parsed.query)
 

@@ -36,8 +36,11 @@ class MetricsRegistry:
         # raw observation ring per histogram key — the Prometheus buckets
         # bottom out at 5ms, far too coarse for sub-ms serving latencies;
         # the bench reads these back for exact server-side quantiles
-        # (VERDICT r4 weak #2). Bounded so a long-lived server stays O(1).
+        # (VERDICT r4 weak #2). A true ring (overwrite-oldest at raw_cap),
+        # so a long-lived server stays O(1) AND the quantiles reflect the
+        # most recent raw_cap observations, not the startup era.
         self._raw: dict[tuple[str, tuple], list] = {}
+        self._raw_pos: dict[tuple[str, tuple], int] = {}
         self.raw_cap = 100_000
 
     def _key(self, name: str, labels: dict | None):
@@ -93,6 +96,10 @@ class MetricsRegistry:
             raw = self._raw.setdefault(k, [])
             if len(raw) < self.raw_cap:
                 raw.append(value)
+            else:
+                pos = self._raw_pos.get(k, 0)
+                raw[pos] = value
+                self._raw_pos[k] = (pos + 1) % self.raw_cap
 
     def histogram_raw(self, name: str) -> dict[tuple, list]:
         """Raw observed values per label set for histogram ``name`` (exact

@@ -275,15 +275,20 @@ def test_catalog_als_epoch_matches_replicated(mesh8):
     )
 
 
-def test_exchange_bytes_independent_of_catalog():
+def test_exchange_bytes_and_cap_properties():
     k = 64
-    b_small = exchange_bytes_per_step(2 * 1000, 8, k)
-    # payload depends on requests & k only — a 100x larger catalog costs the
-    # same, unlike the replicated psum's O(I·k)
-    assert b_small == exchange_bytes_per_step(2 * 1000, 8, k)
-    assert b_small < 8 * 1024 * 1024
-    cap = request_cap(2 * 1000, 8)
-    assert cap >= 2 * 1000 / 8
+    # payload is a function of (requests, devices, k) ONLY — there is no
+    # catalog-size argument at all, by construction; pin the scaling shape:
+    # linear in the request count (beyond the small-set exactness floor)
+    b1 = exchange_bytes_per_step(2 * 10_000, 8, k)
+    b4 = exchange_bytes_per_step(8 * 10_000, 8, k)
+    assert 3.5 * b1 <= b4 <= 4.5 * b1
+    # far below the replicated psum's dense [I, k] payload at a 1M catalog
+    assert b1 < 1_000_000 * k * 4
+    # cap: worst-case-exact for small request sets, slack-scaled above
+    assert request_cap(24, 8) == 24  # exactness floor (<=512 slots)
+    big = request_cap(2 * 1_000_000, 8, slack=2.0)
+    assert 2 * 1_000_000 / 8 <= big <= 2 * 1_000_000 / 8 * 2.1
 
 
 def test_sharded_table_afm_matches_dense_sgd(mesh8):
@@ -393,3 +398,56 @@ def test_als_fit_with_catalog_sharding(mesh8):
         rtol=5e-4, atol=1e-5,
     )
     assert abs(s1.ndcg - s2.ndcg) < 1e-3
+
+
+def test_sharded_afm_padding_slots_not_routed(mesh8):
+    """Sparse rows pad unused slots with (id 0, value 0); those slots must
+    NOT be routed (they would all hit id 0's owner and overflow its cap,
+    silently masking real samples). Zero-valued slots contribute nothing to
+    the AFM forward or gradient, so skipping their gathers is exact."""
+    import optax
+
+    from gorse_tpu.models.fm import AFM, _afm_train_epoch
+    from gorse_tpu.models.params import Params as MParams
+    from gorse_tpu.parallel.catalog import (
+        make_sharded_afm_epoch,
+        shard_afm_params,
+        unshard_afm_params,
+    )
+    from gorse_tpu.parallel.sharded import shard_afm_batches
+
+    rng = np.random.default_rng(7)
+    n_feat, dmax, batch, s_steps, k = 64, 12, 16, 3, 8
+    # heavily padded: each sample uses only 3 of 12 slots
+    idx = np.zeros((s_steps, batch, dmax), np.int32)
+    val = np.zeros((s_steps, batch, dmax), np.float32)
+    for s in range(s_steps):
+        for b in range(batch):
+            feats = rng.choice(n_feat, 3, replace=False)
+            idx[s, b, :3] = feats
+            val[s, b, :3] = 1.0
+    tgt = rng.integers(0, 2, (s_steps, batch)).astype(np.float32)
+    wgt = np.ones((s_steps, batch), np.float32)
+    batches = (jnp.asarray(idx), jnp.asarray(val), jnp.asarray(tgt),
+               jnp.asarray(wgt), ())
+
+    m = AFM(MParams(n_factors=k, optimizer="sgd", lr=0.05))
+    params = m._init_params(n_feat, [], 0)
+    tx = m._make_optimizer()
+
+    p_dense, _, c_dense = _afm_train_epoch(
+        jax.tree.map(jnp.array, params), tx.init(params), *batches, optimizer=tx
+    )
+
+    sp = shard_afm_params(mesh8, params)
+    ep = make_sharded_afm_epoch(mesh8, tx)  # default slack — tight cap
+    sp, _, c_shard, dropped = ep(sp, tx.init(sp), *shard_afm_batches(mesh8, batches))
+    assert float(dropped) == 0.0  # padding slots never requested
+    p_shard = unshard_afm_params(mesh8, sp, n_feat, k)
+    np.testing.assert_allclose(float(c_dense), float(c_shard), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(p_dense["v"]), np.asarray(p_shard["v"]), rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(p_dense["w"]), np.asarray(p_shard["w"]), rtol=1e-4, atol=1e-6
+    )
