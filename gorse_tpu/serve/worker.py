@@ -257,9 +257,19 @@ class Worker:
         self._step_labels |= set(step_timings)
         for step, seconds in step_timings.items():
             g("worker_offline_recommend_step_seconds", seconds, labels={"step": step})
-        from ..utils.sizeof import deep_size
+        # memory accounting AT MOST once a minute: a full deep_size walk of
+        # the item cache measured 4.6 s of an 8.4 s worker pass (55%) at
+        # 2000 items — the gauge's freshness is worth seconds, not half the
+        # pipeline (reference computes sizeof.DeepSize per run, but in
+        # compiled Go; a recursive Python walk is not that)
+        now = time.perf_counter()
+        last_t, last_v = getattr(self, "_sizeof_cache", (-1e9, 0))
+        if now - last_t > 60.0:
+            from ..utils.sizeof import deep_size
 
-        g("worker_memory_inuse_bytes", deep_size(self.items), labels={"data": "item_cache"})
+            last_v = deep_size(self.items)
+            self._sizeof_cache = (now, last_v)
+        g("worker_memory_inuse_bytes", last_v, labels={"data": "item_cache"})
         return len(todo)
 
     def _add_replacement_candidates(
@@ -333,39 +343,51 @@ class Worker:
             return {
                 u: sorted(s, key=lambda x: -x.score) for u, s in candidates.items()
             }
+        from ..logics.item_to_item import _flatten_labels
+
         rows = []
         owners = []
         index = self.ctr_model.index
         # one batched metadata fetch for the whole shard's candidates
         self.items.prefetch([s.id for scores in candidates.values() for s in scores])
+        # per-item feature encodings are identical wherever the item appears;
+        # candidates repeat heavily across a shard's users (profiled: ~47
+        # re-encodings per item per pass), so memoize for the pass — and
+        # hoist the per-USER features out of the candidate loop
+        item_feats: dict[str, tuple[list[int], list[float]]] = {}
         for user_id, scores in candidates.items():
             user = self.data.get_user(user_id)
+            u_idx: list[int] = []
+            u_val: list[float] = []
+            u_enc = index.encode_user(user_id)
+            if u_enc >= 0:
+                u_idx.append(u_enc)
+                u_val.append(1.0)
+            if user is not None:
+                for l in _flatten_labels(user.labels):
+                    l_enc = index.encode_user_label(l)
+                    if l_enc >= 0:
+                        u_idx.append(l_enc)
+                        u_val.append(1.0)
             for s in scores:
-                item = self.items.get(s.id)
-                idx, val = [], []
-                u_enc = index.encode_user(user_id)
-                if u_enc >= 0:
-                    idx.append(u_enc)
-                    val.append(1.0)
-                i_enc = index.encode_item(s.id)
-                if i_enc >= 0:
-                    idx.append(i_enc)
-                    val.append(1.0)
-                from ..logics.item_to_item import _flatten_labels
-
-                if user is not None:
-                    for l in _flatten_labels(user.labels):
-                        l_enc = index.encode_user_label(l)
-                        if l_enc >= 0:
-                            idx.append(l_enc)
-                            val.append(1.0)
-                if item is not None:
-                    for l in _flatten_labels(item.labels):
-                        l_enc = index.encode_item_label(l)
-                        if l_enc >= 0:
-                            idx.append(l_enc)
-                            val.append(1.0)
-                rows.append((idx, val))
+                feat = item_feats.get(s.id)
+                if feat is None:
+                    f_idx: list[int] = []
+                    f_val: list[float] = []
+                    i_enc = index.encode_item(s.id)
+                    if i_enc >= 0:
+                        f_idx.append(i_enc)
+                        f_val.append(1.0)
+                    item = self.items.get(s.id)
+                    if item is not None:
+                        for l in _flatten_labels(item.labels):
+                            l_enc = index.encode_item_label(l)
+                            if l_enc >= 0:
+                                f_idx.append(l_enc)
+                                f_val.append(1.0)
+                    feat = (f_idx, f_val)
+                    item_feats[s.id] = feat
+                rows.append((u_idx + feat[0], u_val + feat[1]))
                 owners.append((user_id, s))
         if not rows:
             return candidates
