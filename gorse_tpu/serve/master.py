@@ -839,19 +839,44 @@ class Master:
             self.search_model(data, "ctr")
         self.collect_garbage(data)
         # deep memory accounting per component (reference: sizeof.DeepSize
-        # gauges, master/tasks.go:211-222), rendered at /metrics
-        from ..utils.sizeof import deep_size
+        # gauges, master/tasks.go:211-222), rendered at /metrics — at most
+        # once a minute: the recursive Python walk is O(nnz) and measured
+        # 6 s of a 23 s playground cycle (the reference's DeepSize is
+        # compiled Go; ours is not, and the gauges don't need per-cycle
+        # freshness)
+        now_ts = time.perf_counter()
+        last_t = getattr(self, "_sizeof_ts", -1e9)
+        if now_ts - last_t > 60.0 and not getattr(self, "_sizeof_busy", False):
+            self._sizeof_ts = now_ts
+            self._sizeof_busy = True
 
-        self.memory_inuse = {
-            "dataset": deep_size(data),
-            "cf_index": deep_size(self.cf_index),
-            "ctr_model": deep_size(self.ctr_model),
-        }
-        for component, nbytes in self.memory_inuse.items():
-            # reference: MemoryInUseBytesVec{data=...}, master/metrics.go:211-222
-            self.metrics.gauge_set(
-                "master_memory_inuse_bytes", nbytes, labels={"data": component}
-            )
+            def _account(data=data):
+                from ..utils.sizeof import deep_size
+
+                try:
+                    sizes = {
+                        "dataset": deep_size(data),
+                        "cf_index": deep_size(self.cf_index),
+                        "ctr_model": deep_size(self.ctr_model),
+                    }
+                    self.memory_inuse = sizes
+                    for component, nbytes in sizes.items():
+                        # reference: MemoryInUseBytesVec{data=...},
+                        # master/metrics.go:211-222
+                        self.metrics.gauge_set(
+                            "master_memory_inuse_bytes", nbytes,
+                            labels={"data": component},
+                        )
+                except Exception:  # noqa: BLE001 — a concurrent mutation
+                    # mid-walk (next cycle rebuilding the dataset) only
+                    # costs this sample; the previous gauges stand
+                    logger.debug("memory accounting walk aborted", exc_info=True)
+                finally:
+                    self._sizeof_busy = False
+
+            threading.Thread(
+                target=_account, name="memory-accounting", daemon=True
+            ).start()
         return data
 
     def trigger(self) -> None:

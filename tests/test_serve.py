@@ -5,6 +5,7 @@ Pattern mirrors the reference's suite tests with embedded storage
 """
 
 import json
+import time
 import urllib.error
 import urllib.request
 
@@ -490,6 +491,11 @@ def test_master_task_metrics(env):
     config, data, cache, blob, meta = env
     master = Master(config, data, cache, blob, meta)
     master.run_tasks_once()
+    # memory accounting runs on a background thread off the task loop (its
+    # deep walk measured 6s of a playground cycle inline) — wait for it
+    deadline = time.time() + 5.0
+    while time.time() < deadline and getattr(master, "_sizeof_busy", False):
+        time.sleep(0.02)
     text = master.metrics.render()
     for name in (
         "gorse_master_load_dataset_total_seconds",
