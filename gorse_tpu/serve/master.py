@@ -317,20 +317,29 @@ class Master:
             item_labels=dataset.item_label_dict,
         )
         ctr = CTRDataset(index)
+        # hot loop over every edge: hoist the lookups and build each row once
+        u_num = dataset.user_dict.to_number
+        i_num = dataset.item_dict.to_number
+        item_off = index.item_offset
+        ul_off, il_off = index.user_label_offset, index.item_label_offset
+        user_labels, item_labels = dataset.user_labels, dataset.item_labels
+        n_ul, n_il = len(user_labels), len(item_labels)
 
         def add_row(user_id: str, item_id: str, target: float) -> None:
-            u = dataset.user_dict.to_number(user_id)
-            i = dataset.item_dict.to_number(item_id)
+            u = u_num(user_id)
+            i = i_num(item_id)
             if u < 0 or i < 0:
                 return
-            idx = [u, index.item_offset + i]
+            idx = [u, item_off + i]
             val = [1.0, 1.0]
-            for l in dataset.user_labels[u] if u < len(dataset.user_labels) else []:
-                idx.append(index.user_label_offset + l)
-                val.append(1.0)
-            for l in dataset.item_labels[i] if i < len(dataset.item_labels) else []:
-                idx.append(index.item_label_offset + l)
-                val.append(1.0)
+            if u < n_ul:
+                for l in user_labels[u]:
+                    idx.append(ul_off + l)
+                    val.append(1.0)
+            if i < n_il:
+                for l in item_labels[i]:
+                    idx.append(il_off + l)
+                    val.append(1.0)
             ctr.add(idx, val, target, user=u)
 
         for user_id, item_id in positive_edges:
@@ -341,12 +350,14 @@ class Master:
         n_missing = len(positive_edges) - len(negative_edges)
         if n_missing > 0 and dataset.count_items() > 1:
             rng = np.random.default_rng(0)
+            pos_set = set(map(tuple, positive_edges))  # O(1) membership —
+            # a list scan here is O(edges) per sample, O(edges^2) overall
             users = list({u for u, _ in positive_edges})
             for _ in range(n_missing):
                 user_id = users[int(rng.integers(len(users)))]
                 item_idx = int(rng.integers(dataset.count_items()))
                 item_id = dataset.item_dict.to_name(item_idx)
-                if (user_id, item_id) not in positive_edges:
+                if (user_id, item_id) not in pos_set:
                     add_row(user_id, item_id, 0.0)
         return ctr
 
