@@ -1438,10 +1438,13 @@ def orchestrate() -> None:
                 ["topk_qps_100k_items", "topk_qps_1000k_items",
                  "topk_qps_1000k_approx", "topk_qps_1000k_sq8"],
                 ["--stage", "topk_all"],
-                # floor at 60s: with remaining() in (90, 140] the reserve
-                # subtraction would otherwise go non-positive and the stage
-                # would be spawned into an instant kill
-                max(min(200.0, remaining() - 140), 60.0),
+                # retrieval is the highest-value remaining block: give it
+                # the remainder minus a ~50s tail reserve when the usual
+                # 140s reserve would leave it too little (in a DEEPLY
+                # degraded window each cached program load costs 30-60s, so
+                # a 60s floor produced nothing), and never a negative cap
+                max(min(200.0, remaining() - 140),
+                    min(150.0, remaining() - 50.0), 60.0),
             )
         for keys, args, cap in (
             ("eals_ml1m_epoch_s", ["--stage", "eals"], 60),
