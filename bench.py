@@ -1515,14 +1515,18 @@ def orchestrate() -> None:
     # in an r4 rehearsal, where warm-cache resident took 14s) should still
     # ATTEMPT the 2.7x-better resident number — only the 3x+ windows skip.
     ladder = [
+        # resident cap 130s (was 180): warm-cache loads take ~15-25s; the
+        # only way to spend more is a hung load (observed 180s burned with
+        # nothing in a flapping window) — better to bank the time for the
+        # later stages than wait out a wedged executable load
         ("resident", 16, 5, 25,
-         smoke_ok.get("bpr_resident_epoch", False) and slowdown < 3.1, 180.0),
+         smoke_ok.get("bpr_resident_epoch", False) and slowdown < 3.1, 130.0),
         # the fused rung executes bpr_fully_fused_step (on-chip PRNG), so it
         # must be gated on THAT kernel's smoke too (ADVICE r3 #3)
         ("fused", 16, 5, 25,
          smoke_ok.get("bpr_fully_fused_step", False)
          and smoke_ok.get("bpr_fused_step_pairs", False) and slowdown < 3.1,
-         120.0),
+         100.0),
         ("xla", 16, 2, 6, True, 170.0),
         ("xla", 16, 1, 2, True, 150.0),
     ]
@@ -1584,7 +1588,7 @@ def orchestrate() -> None:
                 extra[key] = "skipped: deadline"
             _progress(f"{keys}: skipped (deadline)", t0)
             return
-        res = run_stage(args, min(cap, max(remaining() - reserve, 45.0)))
+        res = run_stage(args, min(cap, max(remaining() - reserve, 55.0)))
         res.pop("rows", None)
         rc = res.pop("_rc")
         el = res.pop("_elapsed_s")
@@ -1603,7 +1607,8 @@ def orchestrate() -> None:
     n_left = [7]  # stages after topk_all (for reserve: ~35s floor each)
 
     def reserve() -> float:
-        return 35.0 * n_left[0]
+        # ~30s/stage matches measured warm-cache stage times (12-30s each)
+        return 30.0 * n_left[0]
 
     stage(["topk_qps_100k_items", "topk_qps_1000k_items",
            "topk_qps_1000k_approx", "topk_qps_1000k_sq8"],
