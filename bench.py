@@ -1610,9 +1610,11 @@ def orchestrate() -> None:
         # ~30s/stage matches measured warm-cache stage times (12-30s each)
         return 30.0 * n_left[0]
 
+    # retrieval carries 4 BASELINE metrics — lend it 60s of the later
+    # stages' reserve (the lowest-value tail stage absorbs the squeeze)
     stage(["topk_qps_100k_items", "topk_qps_1000k_items",
            "topk_qps_1000k_approx", "topk_qps_1000k_sq8"],
-          ["--stage", "topk_all"], 200, reserve())
+          ["--stage", "topk_all"], 200, max(reserve() - 60.0, 0.0))
     n_left[0] -= 1
     stage("serving", ["--stage", "serving"], 80, reserve())
     n_left[0] -= 1
