@@ -266,8 +266,6 @@ class AFM:
             # feature table row-sharded over the mesh with per-batch a2a
             # gathers (SURVEY §7 hard-part #4); math matches the replicated
             # DP epoch — see parallel/catalog.make_sharded_afm_epoch
-            import functools as _ft
-
             from ..parallel.catalog import (
                 make_sharded_afm_epoch,
                 shard_afm_params,
@@ -286,7 +284,7 @@ class AFM:
                 self.table_drop_count = dropped
                 return params, opt_state, cost
 
-            to_dense = _ft.partial(
+            to_dense = functools.partial(
                 unshard_afm_params, mesh, n_features=n_features,
                 n_factors=self.n_factors,
             )

@@ -64,12 +64,13 @@ def route_requests(ids: jax.Array, valid: jax.Array, n_devices: int, cap: int):
     """Route ``ids`` ([N] global rows, strided ownership ``id % D``) into a
     fixed-shape per-destination buffer.
 
-    Returns ``(buf, sowner, srank, order, n_dropped)``:
+    Returns ``(buf, sowner, srank, order, kept, n_dropped)``:
     - ``buf``: [D, cap] int32 request buffer (-1 = empty slot);
     - ``sowner``/``srank``: owner and within-owner rank of each request in
       ``order``'s (sorted) permutation — the coordinates where its response
       lands;
     - ``order``: argsort permutation (sorted → original via scatter);
+    - ``kept``: per-request (sorted order) routed-without-drop mask;
     - ``n_dropped``: valid requests that overflowed their destination's cap.
     """
     n = ids.shape[0]
@@ -86,7 +87,7 @@ def route_requests(ids: jax.Array, valid: jax.Array, n_devices: int, cap: int):
     )
     kept = (sowner < d) & (srank < cap)
     n_dropped = jnp.sum(valid) - jnp.sum(kept)
-    return buf, sowner, srank, order, n_dropped
+    return buf, sowner, srank, order, kept, n_dropped
 
 
 def a2a_gather(table_shard, ids, valid, axes, n_devices: int, cap: int):
@@ -94,12 +95,11 @@ def a2a_gather(table_shard, ids, valid, axes, n_devices: int, cap: int):
     ``shard_map`` body). Returns ``(rows [N, k], got [N] bool, n_dropped)``;
     dropped/invalid requests return zero rows with ``got=False``."""
     d = n_devices
-    buf, sowner, srank, order, n_dropped = route_requests(ids, valid, d, cap)
+    buf, sowner, srank, order, kept, n_dropped = route_requests(ids, valid, d, cap)
     req = jax.lax.all_to_all(buf, axes, 0, 0)  # [D, cap]: row s = from device s
     local = jnp.where(req >= 0, req // d, 0)
     rows = table_shard[local] * (req >= 0)[..., None].astype(table_shard.dtype)
     resp = jax.lax.all_to_all(rows, axes, 0, 0)  # [D, cap, k]: row s = my rows from s
-    kept = (sowner < d) & (srank < cap)
     vals_sorted = resp[
         jnp.where(kept, sowner, 0), jnp.where(kept, srank, 0)
     ] * kept[:, None].astype(resp.dtype)
@@ -114,7 +114,7 @@ def a2a_scatter_add(table_shard, ids, valid, deltas, axes, n_devices: int, cap: 
     ``ids`` across the mesh (reverse routing of :func:`a2a_gather`).
     Invalid/overflowing updates are dropped. Returns the updated shard."""
     d = n_devices
-    buf, sowner, srank, order, _ = route_requests(ids, valid, d, cap)
+    buf, sowner, srank, order, _, _ = route_requests(ids, valid, d, cap)
     sdeltas = deltas[order]
     dbuf = jnp.zeros((d, cap) + deltas.shape[1:], deltas.dtype).at[
         sowner, srank
@@ -149,6 +149,18 @@ def exchange_bytes_per_step(n_requests: int, n_devices: int, k: int,
     independent of the catalog size I."""
     c = cap if cap is not None else request_cap(n_requests, n_devices, slack)
     return 2 * n_devices * c * (4 + 4 * k)
+
+
+def _pad_rows_to(x, multiple: int, fill):
+    """Pad ``x``'s leading axis up to a multiple of ``multiple`` with
+    ``fill`` (shared by the input-placement helpers below)."""
+    x = np.asarray(x)
+    pad = (-x.shape[0]) % multiple
+    if pad == 0:
+        return x
+    return np.concatenate(
+        [x, np.full((pad,) + x.shape[1:], fill, dtype=x.dtype)], axis=0
+    )
 
 
 # ------------------------------------------------------- table (re)layout
@@ -273,19 +285,10 @@ def shard_catalog_bpr_inputs(mesh: Mesh, user_factors, item_factors,
     axes = tuple(mesh.axis_names)
     n_users = np.asarray(user_factors).shape[0]
     pad = (-n_users) % d
-
-    def pad_rows(x, fill):
-        x = np.asarray(x)
-        if pad == 0:
-            return x
-        return np.concatenate(
-            [x, np.full((pad,) + x.shape[1:], fill, dtype=x.dtype)], axis=0
-        )
-
-    p = place_global(mesh, pad_rows(user_factors, 0.0), P(axes, None))
-    pp = place_global(mesh, pad_rows(padded_pos, -1), P(axes, None))
+    p = place_global(mesh, _pad_rows_to(user_factors, d, 0.0), P(axes, None))
+    pp = place_global(mesh, _pad_rows_to(padded_pos, d, -1), P(axes, None))
     pc = place_global(
-        mesh, pad_rows(np.asarray(pos_counts, dtype=np.int32), 0), P(axes)
+        mesh, _pad_rows_to(np.asarray(pos_counts, dtype=np.int32), d, 0), P(axes)
     )
     uid_arr = place_global(
         mesh, np.arange(n_users + pad, dtype=np.int32), P(axes)
@@ -503,19 +506,10 @@ def shard_catalog_als_inputs(mesh: Mesh, user_factors, item_factors,
     ``(p, q, user_fb, item_fb, umask, imask, n_users, n_items)``."""
     axes = tuple(mesh.axis_names)
     multiple = mesh.size * block
-
-    def pad_rows(x, fill):
-        x = np.asarray(x)
-        pad = (-x.shape[0]) % multiple
-        if pad == 0:
-            return x
-        return np.concatenate(
-            [x, np.full((pad,) + x.shape[1:], fill, dtype=x.dtype)], axis=0
-        )
-
-    ufb_np, ifb_np = pad_rows(user_fb, -1), pad_rows(item_fb, -1)
-    p_np = pad_rows(np.asarray(user_factors), 0.0)
-    q_np = pad_rows(np.asarray(item_factors), 0.0)
+    ufb_np = _pad_rows_to(user_fb, multiple, -1)
+    ifb_np = _pad_rows_to(item_fb, multiple, -1)
+    p_np = _pad_rows_to(user_factors, multiple, 0.0)
+    q_np = _pad_rows_to(item_factors, multiple, 0.0)
     p = place_global(mesh, p_np, P(axes, None))
     q = place_global(mesh, q_np, P(axes, None))
     ufb = place_global(mesh, ufb_np, P(axes, None))

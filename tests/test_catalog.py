@@ -42,7 +42,7 @@ def test_route_requests_places_every_valid_id():
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(0, 32, n).astype(np.int32))
     valid = jnp.asarray(rng.random(n) < 0.8)
-    buf, sowner, srank, order, n_dropped = jax.jit(
+    buf, sowner, srank, order, kept, n_dropped = jax.jit(
         route_requests, static_argnums=(2, 3)
     )(ids, valid, d, cap)
     buf = np.asarray(buf)
@@ -62,7 +62,7 @@ def test_route_requests_overflow_counted():
     d, cap = 2, 4
     ids = jnp.zeros(16, jnp.int32)  # all owned by device 0
     valid = jnp.ones(16, bool)
-    buf, _, _, _, n_dropped = jax.jit(route_requests, static_argnums=(2, 3))(
+    buf, _, _, _, _, n_dropped = jax.jit(route_requests, static_argnums=(2, 3))(
         ids, valid, d, cap
     )
     assert int(n_dropped) == 16 - cap
